@@ -1,0 +1,76 @@
+"""Golden parity tests against the reference hacktv binary's file output.
+
+Run `tools/make_golden.sh` first to build the reference (outside the repo)
+and capture golden captures into /tmp/golden.  Tests are skipped when the
+golden files are absent.
+
+The parity bound is the BASELINE.md target: >= 40 dB SNR.  Note the
+reference's per-line chroma FIR reads 6 samples past its line buffer
+(src/fir.c:357-375 block prefill feeds `samples` more inputs than remain),
+so the last few samples of each chroma line in the golden capture contain
+noise from uninitialised heap memory; excluding those columns our output
+matches to within 2 LSB.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hacktv_tpu import Encoder
+
+GOLDEN = "/tmp/golden"
+
+
+def _snr(ref: np.ndarray, ours: np.ndarray) -> float:
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    return 10 * np.log10(np.sum(r ** 2) / np.sum(e ** 2))
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden file {path} missing; run tools/make_golden.sh")
+    return np.fromfile(path, dtype=np.int16)
+
+
+def test_pal_composite_snr():
+    ref = _golden("pal_16M_4frames.s16")
+    enc = Encoder("pal", 16_000_000)
+    ours = np.concatenate([enc.encode_frame(f) for f in range(4)])
+    snr = _snr(ref, ours)
+    assert snr >= 40.0, f"PAL SNR {snr:.2f} dB below 40 dB bound"
+
+    # Excluding the reference's out-of-bounds chroma tail the match is
+    # essentially exact.
+    n = min(len(ref), len(ours))
+    w = enc.params.width
+    nl = n // w * w
+    r = ref[:nl].reshape(-1, w)[:, :w - 8]
+    o = ours[:nl].reshape(-1, w)[:, :w - 8]
+    clean = _snr(r.ravel(), o.ravel())
+    if clean < 80.0:
+        e = np.abs(o - r)
+        ln, cl = np.nonzero(e > 4)
+        print(f"clean SNR {clean:.2f}; maxerr {e.max()} "
+              f"lines {np.unique(ln)[:10]} cols {np.unique(cl)[:10]}")
+    assert clean >= 80.0, f"clean-region SNR {clean:.2f} dB"
+    assert np.abs(o.astype(np.int32) - r.astype(np.int32)).max() <= 4
+
+
+def test_ntsc_composite_snr():
+    ref = _golden("ntsc_135M_2frames.s16")
+    enc = Encoder("ntsc", 13_500_000)
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    snr = _snr(ref, ours)
+    assert snr >= 40.0, f"NTSC SNR {snr:.2f} dB below 40 dB bound"
+
+
+def test_405_composite_snr():
+    ref = _golden("405_14M_2frames.s16")
+    enc = Encoder("405", 14_000_000)
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    snr = _snr(ref, ours)
+    assert snr >= 40.0, f"405-line SNR {snr:.2f} dB below 40 dB bound"

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Build the reference hacktv (from /root/reference, patched only to drop the
+# unavailable libavdevice dependency) and capture golden output files used by
+# the SNR parity tests.  Everything stays outside the repo in /tmp.
+set -e
+
+REF=${REF:-/root/reference}
+BUILD=/tmp/refbuild
+GOLDEN=/tmp/golden
+
+if [ ! -x "$BUILD/src/hacktv" ]; then
+    mkdir -p "$BUILD"
+    cp -r "$REF/src" "$BUILD/"
+    cd "$BUILD/src"
+    sed -i 's|#include <libavdevice/avdevice.h>|/* avdevice stubbed */|;
+            s|avdevice_register_all();|/* stubbed */|' av_ffmpeg.c
+    sed -i 's/ libavdevice//' Makefile
+    make -j"$(nproc)" >/dev/null
+fi
+
+mkdir -p "$GOLDEN"
+HACKTV="$BUILD/src/hacktv"
+
+capture() { # capture <name> <bytes> <args...>
+    local name=$1 bytes=$2; shift 2
+    if [ ! -s "$GOLDEN/$name" ]; then
+        echo "golden: $name"
+        timeout 120 "$HACKTV" -o - "$@" 2>/dev/null | head -c "$bytes" > "$GOLDEN/$name"
+    fi
+}
+
+# 4 frames PAL composite @16MS/s real s16 (640000 samples/frame * 2 bytes)
+capture pal_16M_4frames.s16 5120000 -m pal test
+# 2 frames NTSC composite @13.5MS/s real s16 (13.5e6/29.97 ~ 450450.45/frame)
+capture ntsc_135M_2frames.s16 1801800 -s 13500000 -m ntsc test
+# 2 frames PAL-I complex @16MS/s (no audio services by default? hacktv
+# enables FM mono + NICAM for mode i automatically)
+capture pali_16M_2frames.c16 5120000 -s 16000000 -m i test
+# 2 frames 405-line composite
+capture 405_14M_2frames.s16 2240000 -s 14000000 -m 405 test
+
+ls -la "$GOLDEN"
