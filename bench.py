@@ -21,28 +21,23 @@ def main():
     sample_rate = 16_000_000
     from hacktv_tpu import Encoder
 
-    enc = Encoder(mode, sample_rate)
+    fpb = 32
+    enc = Encoder(mode, sample_rate, frames_per_block=fpb)
     frame_samples = enc.params.frame_samples
-    frame_rate = float(enc.conf.frame_rate)
 
-    # Warm-up: compile + first execution
-    y = enc._encode_frame_dev(0)
-    y.block_until_ready()
+    # Warm-up: compile + populate meta cache over one carrier cycle
+    for b in range(5):
+        enc.encode_block_device(b).block_until_ready()
 
-    # Steady state: meta cache populated after one carrier cycle of frames
-    cycle = 16
-    for f in range(cycle):
-        enc._encode_frame_dev(f).block_until_ready()
-
-    n_frames = 100
+    n_blocks = 8
     t0 = time.perf_counter()
     outs = []
-    for f in range(n_frames):
-        outs.append(enc._encode_frame_dev(f))
+    for b in range(n_blocks):
+        outs.append(enc.encode_block_device(b))
     outs[-1].block_until_ready()
     dt = time.perf_counter() - t0
 
-    sps = n_frames * frame_samples / dt
+    sps = n_blocks * fpb * frame_samples / dt
     x_rt = sps / sample_rate
     result = {
         "metric": f"{mode} baseband synthesis samples/s/chip",

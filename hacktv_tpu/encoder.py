@@ -1,107 +1,112 @@
 """Top-level encoder: source frames -> device block synthesis -> int16 IQ.
 
 Architectural inversion of the reference's sample-serial line loop
-(src/hacktv.c:1579-1587, src/video.c:4867-4952): a whole frame of scan
-lines (plus one halo line each side for filter continuity) is synthesised
-as a single jitted array program.  The stream-line counter `k` is the only
-"state": k=0 is the warm-up line the reference renders and drops, k>=1 maps
-to (frame, line) = ((k-1)//lines, (k-1)%lines+1).
+(src/hacktv.c:1579-1587, src/video.c:4867-4952): a block of whole frames
+(plus one halo line each side for filter continuity) is synthesised as a
+single fused jitted array program.  The stream-line counter `k` is the
+only "state": k=0 is the first rendered line, (frame 1, line 1) — the
+reference starts bline=1/bframe=1 (src/video.c:4166) and every rendered
+line is output, with zero filter history at the stream start.
+
+Dispatch through the TPU runtime has a ~1.5 ms floor per call, so
+`frames_per_block` frames are synthesised per call to amortise it.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config.standards import (ColourMode, Modulation, OutputType, VidConfig,
-                               get_mode)
+from .config.standards import VidConfig, get_mode
 from .video.params import VideoParams
 from .video import raster
 from .av.testcard import TestCardSource
 
+_META_KEYS = ("base", "nxt", "burst", "vswitch", "vy", "al", "ar")
+
 
 class Encoder:
     def __init__(self, mode: str | VidConfig, sample_rate: int,
-                 pixel_rate: int = 0, source=None):
+                 pixel_rate: int = 0, source=None,
+                 frames_per_block: int = 1):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         self.conf = conf
         self.params = VideoParams.create(conf, sample_rate, pixel_rate)
+        self.frames_per_block = frames_per_block
         p = self.params
 
         if source is None:
             source = TestCardSource(p.active_width, conf.active_lines)
         self.source = source
 
-        # Frame geometry: test card is generated at the active resolution so
-        # there is no crop/offset (src/hacktv.c:1502-1526).
+        # Frame geometry: the test card is generated at the active
+        # resolution so there is no crop/offset (src/hacktv.c:1502-1526).
         self.vframe_x = (p.active_width - source.width) // 2
         self.vframe_y = (conf.active_lines - source.height) // 2
 
         self.statics = raster.make_statics(p, self.vframe_x, source.width)
 
-        self._synth = jax.jit(functools.partial(raster.synth_block,
-                                                self.statics))
-        self._finish = jax.jit(self._finish_impl)
-
-        # cache per-frame metadata (depends only on frame parity and k
-        # modulo carrier cycle; recomputed per frame for now — cheap)
+        self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
+        self._rgb_cache: tuple | None = None
 
     # ------------------------------------------------------------------
-    def _frame_meta(self, frame_no: int):
-        """Line metadata for stream lines [k0-1, k0+lines+1) where k0 is the
-        first line of `frame_no` (0-based; the reference's frame counter
-        starts at 1, handled inside line_meta)."""
+    def _block_meta(self, block_no: int):
+        """Device metadata for stream lines [k0-1, k0+n+1) where k0 is the
+        first line of block `block_no` and n = frames_per_block*lines."""
         p = self.params
-        k0 = frame_no * p.lines
-        key = None
-        # Metadata is periodic: burst/vswitch depend on frame parity; the
-        # carrier phase ph0 on k modulo its cycle in lines.
+        nlines = self.frames_per_block * p.lines
+        k0 = block_no * nlines
         cyc = self._carrier_cycle_lines()
-        key = (frame_no & 1, k0 % cyc if cyc else 0, frame_no == 0)
-        if key in self._meta_cache:
-            return self._meta_cache[key]
-        meta = p.line_meta(k0 - 1, p.lines + 2,
+        key = (block_no % 2 if p.conf.lines % 2 else 0,
+               k0 % cyc if cyc else 0, block_no == 0)
+        hit = self._meta_cache.get(key)
+        if hit is not None:
+            return hit
+        meta = p.line_meta(k0 - 1, nlines + 2,
                            vframe_interlaced=self.source.interlaced,
                            vframe_x=self.vframe_x, vframe_y=self.vframe_y,
                            vframe_w=self.source.width,
                            vframe_h=self.source.height)
-        dev = dict(
-            base=jnp.asarray(meta["base"]),
-            nxt=jnp.asarray(meta["nxt"]),
-            burst=jnp.asarray(meta["burst"]),
-            vswitch=jnp.asarray(meta["vswitch"]),
-            vy=jnp.asarray(meta["vy"]),
-            al=jnp.asarray(meta["al"]),
-            ar=jnp.asarray(meta["ar"]),
-            ph0=jnp.asarray(meta["ph0"].astype(np.int32)),
-        )
+        dev = {k: jnp.asarray(meta[k]) for k in _META_KEYS}
+        dev["cos0"] = jnp.asarray(meta["cos0"].astype(np.float32))
+        dev["sin0"] = jnp.asarray(meta["sin0"].astype(np.float32))
         self._meta_cache[key] = dev
         return dev
 
     def _carrier_cycle_lines(self) -> int:
+        import math
         p = self.params
         if not p.cl_num:
             return 1
-        # ph0 repeats when k*width mod cl_num cycles
-        import math
         g = math.gcd(p.width, p.cl_num)
         return p.cl_num // g
 
+    def _device_rgb(self, block_no: int):
+        """Upload the source frame once per distinct frame (the test card
+        is constant, so this is a one-time transfer)."""
+        rgb = self.source.read_video(block_no)
+        if self._rgb_cache is not None and self._rgb_cache[0] is rgb:
+            return self._rgb_cache[1]
+        dev = jax.device_put(jnp.asarray(rgb))
+        self._rgb_cache = (rgb, dev)
+        return dev
+
     # ------------------------------------------------------------------
-    def _finish_impl(self, block: jnp.ndarray,
-                     first_mask: jnp.ndarray) -> jnp.ndarray:
-        """Apply the output video filter over the continuous sample stream
-        and quantise to int16.  `block` is [lines+2, width]; the first and
-        last lines are halo.  `first_mask` is 0.0 for the first frame of the
-        stream (whose leading halo is zero history), else 1.0."""
+    def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
+                   cos0, sin0, first_mask):
+        """Fused synthesis + output filter + int16 quantisation for one
+        block of frames (plus halo lines)."""
         p = self.params
         W = p.width
-        n = p.lines * W
+        n = self.frames_per_block * p.lines * W
+
+        block = raster.synth_block(self.statics, rgb, base, nxt, burst,
+                                   vswitch, vy, al, ar, cos0, sin0)
         block = block.at[0].multiply(first_mask)
         x = block.reshape(-1)
 
@@ -117,30 +122,29 @@ class Encoder:
         else:
             y = x[W: W + n]
 
-        i16 = jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
-        return i16
+        return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
 
     # ------------------------------------------------------------------
-    def encode_frame(self, frame_no: int) -> np.ndarray:
-        """Synthesise one full frame -> int16 [frame_samples] (I channel).
+    def encode_block_device(self, block_no: int):
+        """Synthesise one block of frames_per_block frames; returns a
+        device int16 array of frames_per_block*frame_samples samples."""
+        rgb = self._device_rgb(block_no)
+        m = self._block_meta(block_no)
+        first = jnp.float32(0.0 if block_no == 0 else 1.0)
+        return self._step(rgb, m["base"], m["nxt"], m["burst"],
+                          m["vswitch"], m["vy"], m["al"], m["ar"],
+                          m["cos0"], m["sin0"], first)
 
-        Complex modes are handled by later stages; for now this covers the
-        unmodulated (real) baseband path.
-        """
-        return np.asarray(self._encode_frame_dev(frame_no))
+    def encode_frame(self, frame_no: int) -> np.ndarray:
+        """Single-frame convenience API (frames_per_block must be 1)."""
+        assert self.frames_per_block == 1
+        return np.asarray(self.encode_block_device(frame_no))
+
+    # back-compat aliases
+    _encode_frame_dev = encode_block_device
+    encode_frame_device = encode_block_device
 
     def iter_frames(self, n_frames: int) -> Iterator[np.ndarray]:
+        assert self.frames_per_block == 1
         for f in range(n_frames):
             yield self.encode_frame(f)
-
-    # device-side variant (no host transfer) — also used for benchmarking
-    def _encode_frame_dev(self, frame_no: int):
-        rgb = jnp.asarray(self.source.read_video(frame_no))
-        meta = self._frame_meta(frame_no)
-        block = self._synth(rgb, meta["base"], meta["nxt"], meta["burst"],
-                            meta["vswitch"], meta["vy"], meta["al"],
-                            meta["ar"], meta["ph0"])
-        first = jnp.float32(0.0 if frame_no == 0 else 1.0)
-        return self._finish(block, first)
-
-    encode_frame_device = _encode_frame_dev

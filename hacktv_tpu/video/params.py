@@ -305,6 +305,8 @@ class VideoParams:
         al = np.full(n, -1, dtype=np.int32)
         ar = np.full(n, -1, dtype=np.int32)
         ph0 = np.zeros(n, dtype=np.int64)
+        cos0 = np.ones(n, dtype=np.float64)
+        sin0 = np.zeros(n, dtype=np.float64)
         frame_no = np.zeros(n, dtype=np.int64)
         line_no = np.zeros(n, dtype=np.int64)
 
@@ -330,6 +332,9 @@ class VideoParams:
                     vsw[j] = -1.0
                 ph0[j] = (k * self.width % self.cl_num) * self.cl_den \
                     % self.cl_num
+                ang = 2.0 * np.pi * ph0[j] / self.cl_num
+                cos0[j] = np.cos(ang)
+                sin0[j] = np.sin(ang)
 
             v = sequence.active_video_line(conf.type, line)
             if v >= 0 and conf.interlaced != 0 and \
@@ -348,4 +353,5 @@ class VideoParams:
                          else (self.half_width if code[2] == 'a' else -1))
 
         return dict(base=base, nxt=nxt, burst=burst, vswitch=vsw, vy=vy,
-                    al=al, ar=ar, ph0=ph0, frame=frame_no, line=line_no)
+                    al=al, ar=ar, ph0=ph0, cos0=cos0, sin0=sin0,
+                    frame=frame_no, line=line_no)

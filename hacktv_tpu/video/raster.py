@@ -41,11 +41,15 @@ class RasterStatics:
     burst_left: int
     burst_u: jnp.ndarray | None
     burst_v: jnp.ndarray | None
-    cl_num: int
-    cl_den: int
     colour: bool
+    # Colour carrier: per-column cos/sin at the exact rational frequency.
+    # The per-line phase rotation (cos0/sin0) comes in via line metadata and
+    # the full carrier is reconstructed with the angle-addition identity —
+    # two FMAs per sample instead of a transcendental.
+    carrier_cos: jnp.ndarray | None   # [width]
+    carrier_sin: jnp.ndarray | None   # [width]
     # YUV conversion
-    gamma_lut: jnp.ndarray     # [256]
+    gamma: float
     rw: float
     gw: float
     bw: float
@@ -60,6 +64,16 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
                  frame_w: int | None = None) -> RasterStatics:
     conf = p.conf
     colour = conf.colour_mode in (ColourMode.PAL, ColourMode.NTSC)
+    if colour and p.cl_num:
+        # angle(x) = 2*pi * ((x * cl_den) mod cl_num) / cl_num, exact in
+        # integer arithmetic then evaluated in float64 on the host.
+        x = np.arange(p.width, dtype=np.int64)
+        v = (x * p.cl_den) % p.cl_num
+        ang = 2.0 * np.pi * v / p.cl_num
+        ccos = jnp.asarray(np.cos(ang).astype(np.float32))
+        csin = jnp.asarray(np.sin(ang).astype(np.float32))
+    else:
+        ccos = csin = None
     return RasterStatics(
         width=p.width,
         margin=p.syncs.margin,
@@ -74,10 +88,10 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
         burst_left=p.burst_left,
         burst_u=jnp.asarray(p.burst_u) if p.burst_u is not None else None,
         burst_v=jnp.asarray(p.burst_v) if p.burst_v is not None else None,
-        cl_num=p.cl_num,
-        cl_den=p.cl_den,
         colour=colour,
-        gamma_lut=jnp.asarray(p.gamma_lut, dtype=jnp.float32),
+        carrier_cos=ccos,
+        carrier_sin=csin,
+        gamma=p.gamma,
         rw=p.rw_co, gw=p.gw_co, bw=p.bw_co,
         eu=conf.eu_co, ev=conf.ev_co,
         y_scale=(conf.white_level - conf.black_level) * p.level,
@@ -99,10 +113,13 @@ def rgb_to_yuv(st: RasterStatics, rgb: jnp.ndarray):
 
     Matches the reference's 16M-entry LUT build (src/video.c:3897-3959):
     gamma per channel, weighted sum, colour-difference scaling, level
-    mapping, round to int16.
+    mapping, round to int16.  Gamma is computed arithmetically — a 256-LUT
+    gather of u8 indices is pathologically slow on TPU.
     """
-    g = st.gamma_lut[rgb[..., 0]], st.gamma_lut[rgb[..., 1]], st.gamma_lut[rgb[..., 2]]
-    r, gg, b = g
+    f = rgb.astype(jnp.float32) * (1.0 / 255.0)
+    if st.gamma != 1.0:
+        f = jnp.power(jnp.maximum(f, 1e-9), 1.0 / st.gamma)
+    r, gg, b = f[..., 0], f[..., 1], f[..., 2]
     y = r * st.rw + gg * st.gw + b * st.bw
     u = (b - y) * st.eu
     v = (r - y) * st.ev
@@ -130,7 +147,6 @@ def _chroma_filter(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return out[:, 0, :]
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
 def synth_block(st: RasterStatics,
                 rgb: jnp.ndarray,       # u8 [H, W, 3]
                 base: jnp.ndarray,      # i32 [B]
@@ -140,7 +156,8 @@ def synth_block(st: RasterStatics,
                 vy: jnp.ndarray,        # i32 [B]
                 al: jnp.ndarray,        # i32 [B]
                 ar: jnp.ndarray,        # i32 [B]
-                ph0: jnp.ndarray,       # i32 [B]
+                cos0: jnp.ndarray,      # f32 [B] carrier phase at line start
+                sin0: jnp.ndarray,      # f32 [B]
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
@@ -192,12 +209,13 @@ def synth_block(st: RasterStatics,
             bn = st.burst_u.shape[0]
             uc = uc.at[:, bl:bl + bn].set(st.burst_u[None, :])
             vc = vc.at[:, bl:bl + bn].set(st.burst_v[None, :])
-        # Colour subcarrier, closed form phase
-        val = (ph0[:, None] + cols * st.cl_den) % st.cl_num
-        theta = val.astype(jnp.float32) * np.float32(2.0 * np.pi / st.cl_num)
-        # int16-quantised carrier like the reference LUT, /32768 shift
-        cos_t = jnp.round(jnp.cos(theta) * 32767.0)
-        sin_t = jnp.round(jnp.sin(theta) * 32767.0)
+        # Colour subcarrier: angle addition against the static per-column
+        # table — cos(a+b) = cos a cos b - sin a sin b.  Quantised to the
+        # int16 grid like the reference LUT, then /32768.
+        cos_t = jnp.round((cos0[:, None] * st.carrier_cos
+                           - sin0[:, None] * st.carrier_sin) * 32767.0)
+        sin_t = jnp.round((sin0[:, None] * st.carrier_cos
+                           + cos0[:, None] * st.carrier_sin) * 32767.0)
         sub = (cos_t * vc * vswitch[:, None] + sin_t * uc) * (1.0 / 32768.0)
         # The reference truncates (>>15); floor instead of round
         out = out + jnp.where(burst[:, None] > 0, jnp.floor(sub), 0.0)
