@@ -17,7 +17,7 @@ import numpy as np
 
 
 def main():
-    mode = "pal"           # upgraded to the full PAL-I chain as it lands
+    mode = "i"             # PAL-I: raster + FM audio + NICAM-728, complex IQ
     sample_rate = 16_000_000
     from hacktv_tpu import Encoder
 
@@ -40,7 +40,7 @@ def main():
     sps = n_blocks * fpb * frame_samples / dt
     x_rt = sps / sample_rate
     result = {
-        "metric": f"{mode} baseband synthesis samples/s/chip",
+        "metric": f"PAL-I ({mode}) full-chain IQ samples/s/chip",
         "value": round(sps),
         "unit": "samples/s",
         "vs_baseline": round(x_rt / 100.0, 3),

@@ -6,6 +6,22 @@ audio subcarriers, conditional-access scramblers and the RF chain, computed
 as batched whole-frame array programs instead of a sample-serial loop.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: TPU compiles of the fused synth graphs are
+# expensive (tens of seconds); cache them across processes.
+if not _os.environ.get("HACKTV_TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             _os.path.expanduser("~/.cache/hacktv_tpu_xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from .config import REGISTRY, VidConfig, get_mode, list_modes  # noqa: F401
 from .encoder import Encoder  # noqa: F401
 from .rational import Rational  # noqa: F401

@@ -1,0 +1,302 @@
+"""Host-side audio pipeline: everything that runs at the 32 kHz audio rate.
+
+The reference processes audio one output sample at a time inside the video
+loop (src/video.c:3261-3450).  Here the audio-rate work (volume, limiter,
+pre-emphasis, NICAM framing) happens on the host in numpy — it is ~500x
+less data than the sample rate — and the device receives compact per-line
+descriptions:
+
+  - FM carriers: the zero-order-held sample value per segment of each
+    line, plus the deviation-phase base at each segment start (the FM
+    phase integral is closed-form within a segment because the sample is
+    constant: src/video.c:3273-3277 nearest-neighbour hold)
+  - NICAM: symbol start offsets + differential I/Q signs for the DQPSK
+    pulse train
+
+All timing is exact integer arithmetic on the absolute output-sample
+index, so blocks are reproducible independently of block boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config.standards import Modulation, Preemph, VidConfig
+from . import nicam as nicam_mod
+from .limiter import Limiter
+from .preemph import FLAT_TAPS, taps_for
+
+AUDIO_RATE = 32000
+INT16_MAX = 32767
+
+_LIM_HIST = 256      # audio samples of history for limiter/J17 recompute
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass
+class FMCarrier:
+    frequency: float
+    deviation: float
+    level_int: int            # round(32767 * level * slevel)
+    limiter: Limiter | None
+    # exact carrier ratio frequency/fs as reduced integers
+    num: int = 0
+    den: int = 0
+    kd: float = 0.0           # rad per (sample * unit)
+
+    @classmethod
+    def create(cls, frequency: float, deviation: float, level: float,
+               preemph: Preemph, sample_rate: int) -> "FMCarrier":
+        lim = None
+        if preemph != Preemph.NONE:
+            lim = Limiter(INT16_MAX, 21, taps_for(preemph), FLAT_TAPS)
+        fi = int(round(frequency))
+        assert fi == frequency, "fractional carrier frequencies unsupported"
+        g = math.gcd(fi, sample_rate)
+        return cls(frequency=frequency, deviation=deviation,
+                   level_int=int(round(INT16_MAX * level)), limiter=lim,
+                   num=fi // g, den=sample_rate // g,
+                   kd=2.0 * np.pi * deviation / (sample_rate * INT16_MAX))
+
+
+class AudioChain:
+    """Per-block audio computation for one video mode."""
+
+    def __init__(self, conf: VidConfig, sample_rate: int, width: int,
+                 source):
+        self.conf = conf
+        self.S = int(sample_rate)
+        self.A = AUDIO_RATE
+        self.W = width
+        self.source = source
+        self.volume_int = int(conf.volume * 256 + 0.5)
+
+        slevel = 1.0 if conf.modulation == Modulation.FM else conf.level
+
+        self.fm_mono = None
+        if conf.fm_mono_level > 0 and conf.fm_mono_carrier != 0:
+            self.fm_mono = FMCarrier.create(
+                conf.fm_mono_carrier, conf.fm_mono_deviation,
+                conf.fm_mono_level * slevel, conf.fm_mono_preemph, self.S)
+
+        self.nicam = None
+        if conf.nicam_level > 0 and conf.nicam_carrier != 0:
+            self.nicam = {
+                "timing": nicam_mod.SymbolTiming.create(self.S),
+                "taps": nicam_mod.mod_taps(self.S, conf.nicam_beta,
+                                           conf.nicam_level * slevel),
+                "num": 0, "den": 0,
+            }
+            fi = int(round(conf.nicam_carrier))
+            g = math.gcd(fi, self.S)
+            self.nicam["num"], self.nicam["den"] = fi // g, self.S // g
+            # differential-symbol anchor: (frame index, dsym entering it)
+            self._dsym_anchor: tuple[int, int] = (0, 0)
+
+        # Max segments a line can span: audio events in W samples + hold
+        self.nseg = _ceil_div(width * self.A, self.S) + 2
+
+        # deviation-phase anchor: (audio index, phase mod 2pi) — the
+        # cumulative FM deviation phase over all held samples fully before
+        # that audio index's hold period
+        self._dev_anchor = (0, 0.0)
+
+    # -- audio fetch ----------------------------------------------------
+    def _pcm(self, start: int, count: int) -> np.ndarray:
+        """Volume-scaled int16 stereo pairs [count, 2]; index -1 and below
+        are the pre-stream silence."""
+        out = np.zeros((count, 2), dtype=np.int64)
+        lo = max(start, 0)
+        if lo < start + count:
+            raw = self.source.read_audio(lo, start + count - lo)
+            v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
+            out[lo - start:] = np.clip(v, -32768, 32767)
+        return out
+
+    # -- timing helpers -------------------------------------------------
+    def held_index(self, n) -> np.ndarray:
+        """Audio pair index held at output sample n (-1 = initial
+        silence): floor((n+1)*A/S) - 1 (src/video.c:3273-3277)."""
+        n = np.asarray(n, dtype=np.int64)
+        return (n + 1) * self.A // self.S - 1
+
+    def hold_start(self, i) -> np.ndarray:
+        """First output sample at which audio pair i is held:
+        ceil(S*(i+1)/A) - 1."""
+        i = np.asarray(i, dtype=np.int64)
+        return _ceil_div_arr(self.S * (i + 1), self.A) - 1
+
+    # -- FM block -------------------------------------------------------
+    def fm_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
+        """Per-line segment arrays for lines [k0, k0+nlines) (absolute
+        stream lines; k<0 rows are produced but masked by the caller)."""
+        W, S, A = self.W, self.S, self.A
+        ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
+        n_line = ks * W
+
+        # events m (1-based consumption counts) starting in each line
+        m_first = n_line * A // S + 1
+        j = np.arange(self.nseg, dtype=np.int64)
+        # value index per (line, seg)
+        vidx = m_first[:, None] - 2 + j[None, :]
+        # segment start col (seg 0 starts at/before 0)
+        ev = _ceil_div_arr(S * (m_first[:, None] - 1 + j[None, :]), A) - 1
+        seg_col = ev - n_line[:, None]
+        seg_col[:, 0] = np.minimum(seg_col[:, 0], 0)
+
+        i_lo = int(vidx.min())
+        i_hi = int(vidx.max()) + 1
+
+        held = self._held_values(carrier, i_lo, i_hi)   # [i_hi-i_lo]
+        seg_val = held[np.clip(vidx - i_lo, 0, None)]
+
+        # deviation phase base at each segment start:
+        # Phi(seg) = kd * sum_{i' < vidx} s_{i'} * len_{i'}
+        base = self._dev_phase_bases(carrier, i_lo, i_hi, held)
+        seg_base = base[np.clip(vidx - i_lo, 0, None)]
+
+        # advance anchor so future blocks don't rescan
+        self._maybe_advance_anchor(carrier, i_lo, i_hi, held, base)
+
+        # carrier rotation per line: exact angle of 2pi*num*(k*W)/den
+        rot = (n_line % carrier.den) * carrier.num % carrier.den
+        ang = 2.0 * np.pi * rot / carrier.den
+        return dict(
+            seg_val=seg_val.astype(np.float32),
+            seg_base=(seg_base % (2.0 * np.pi)).astype(np.float32),
+            seg_col=seg_col.astype(np.int32),
+            c0=np.cos(ang).astype(np.float32),
+            s0=np.sin(ang).astype(np.float32),
+        )
+
+    def _held_values(self, carrier: FMCarrier, i_lo: int, i_hi: int
+                     ) -> np.ndarray:
+        """Post-limiter held FM sample for audio indices [i_lo, i_hi)
+        (index -1 and below = 0)."""
+        h0 = i_lo - _LIM_HIST
+        pcm = self._pcm(h0, i_hi - h0)
+        mono = np.trunc((pcm[:, 0] + pcm[:, 1]) / 2).astype(np.int64)
+        if carrier.limiter is not None:
+            mono = carrier.limiter.process(mono)
+        vals = mono[i_lo - h0: i_hi - h0].copy()
+        # indices < 0: initial fm.sample == 0 before the first fetch
+        if i_lo < 0:
+            vals[: -i_lo] = 0
+        return vals
+
+    def _dev_phase_bases(self, carrier: FMCarrier, i_lo: int, i_hi: int,
+                         held: np.ndarray) -> np.ndarray:
+        """Phi at the start of each hold period for indices [i_lo, i_hi):
+        cumulative kd * s * len over all earlier hold periods, measured
+        from the stream start (mod 2pi, anchored)."""
+        ai, aphi = self._dev_anchor
+        if ai > i_lo:
+            # recompute from stream start (seek backwards)
+            ai, aphi = -1, 0.0
+        # accumulate from anchor to i_lo
+        if ai < i_lo:
+            idx = np.arange(ai, i_lo, dtype=np.int64)
+            lens = (self.hold_start(idx + 1) - self.hold_start(idx))
+            vals = self._held_values(carrier, ai, i_lo)
+            aphi = (aphi + carrier.kd * float(np.sum(vals * lens))) \
+                % (2.0 * np.pi)
+        # bases within [i_lo, i_hi)
+        idx = np.arange(i_lo, i_hi, dtype=np.int64)
+        lens = self.hold_start(idx + 1) - self.hold_start(idx)
+        csum = np.concatenate([[0], np.cumsum(held * lens)[:-1]])
+        return aphi + carrier.kd * csum
+
+    def _maybe_advance_anchor(self, carrier, i_lo, i_hi, held, base):
+        # Anchor a little behind i_hi: consecutive blocks overlap by the
+        # halo lines (a handful of audio samples), so the next block's
+        # i_lo is always >= i_hi - 8.
+        last = max(i_lo, i_hi - 8)
+        self._dev_anchor = (last, float(base[last - i_lo] % (2.0 * np.pi)))
+
+    # -- NICAM block ----------------------------------------------------
+    def nicam_block(self, k0: int, nlines: int, st) -> dict:
+        """Per-line symbol amplitudes for lines [k0, k0+nlines).
+
+        `st` is the NicamStatics holding the per-class first-symbol table
+        (kf) and symbols-per-period; amps[b, s] is the I/Q sign of symbol
+        kf_abs(k0+b)+s whose static pulse lives in st.pulse."""
+        nt = self.nicam
+        P, S = st.period, st.nslot
+        ks = np.arange(k0, k0 + nlines, dtype=np.int64)
+        cls = ks % P
+        kf_abs = st.kf[cls] + (ks - cls) // P * st.syms_per_period
+
+        sym_lo = max(0, int(kf_abs.min()))
+        sym_hi = int(kf_abs.max()) + S
+        f0 = sym_lo // nicam_mod.NICAM_FRAME_SYMS
+        f1 = (sym_hi - 1) // nicam_mod.NICAM_FRAME_SYMS + 1
+        signs = self._block_signs(f0, f1)  # [nframes*364, 2]
+        base = f0 * nicam_mod.NICAM_FRAME_SYMS
+        # pad so out-of-range slots read zeros
+        pad = np.zeros((S, 2), dtype=np.float32)
+        signs = np.concatenate([signs, pad])
+
+        sym_abs = kf_abs[:, None] + np.arange(S)[None, :]
+        valid = sym_abs >= 0              # pre-stream symbols don't exist
+        idx = np.clip(sym_abs - base, 0, len(signs) - 1)
+        amps = signs[idx] * valid[..., None]   # [nlines, S, 2]
+
+        # carrier rotation per line
+        num, den = nt["num"], nt["den"]
+        n_line = ks * self.W
+        rot = (n_line % den) * num % den
+        ang = 2.0 * np.pi * rot / den
+        return dict(amps_i=np.ascontiguousarray(amps[..., 0]),
+                    amps_q=np.ascontiguousarray(amps[..., 1]),
+                    c0=np.cos(ang).astype(np.float32),
+                    s0=np.sin(ang).astype(np.float32))
+
+    def _block_signs(self, f0: int, f1: int) -> np.ndarray:
+        """Differential I/Q signs for the symbols of frames [f0, f1),
+        computed in one vectorised pass.  The differential state (dsym)
+        chains from frame to frame; an anchor (frame index, dsym-in) is
+        maintained for sequential block processing."""
+        fa, da = self._dsym_anchor
+        if fa > f0:
+            fa, da = 0, 0   # seek backwards: recompute from stream start
+        frames = self._encode_frame_range(fa, f1)
+        pairs = nicam_mod.frame_symbols(frames).reshape(-1)
+        signs, _ = nicam_mod.differential_encode(pairs, da)
+        # update anchor to the start of the last frame (blocks overlap by
+        # at most one frame via the halo lines)
+        last = f1 - 1
+        if last > fa:
+            nsym = nicam_mod.NICAM_FRAME_SYMS
+            steps = nicam_mod.STEP[pairs[: (last - fa) * nsym]]
+            self._dsym_anchor = (last, int((da + steps.sum()) & 3))
+        return signs[(f0 - fa) * nicam_mod.NICAM_FRAME_SYMS:]
+
+    def _encode_frame_range(self, f0: int, f1: int) -> np.ndarray:
+        """NICAM frames [f0, f1).  Frame f carries audio pairs
+        [32(f-1), 32f) — the buffer completed just before the frame's
+        first symbol; frame 0 is the modulator's initial silence."""
+        hist = nicam_mod.J17_NTAPS - 1
+        n = nicam_mod.NICAM_AUDIO_LEN
+        out = []
+        if f0 == 0:
+            pcm0 = np.zeros((n + hist, 2), dtype=np.int64)
+            out.append(nicam_mod.encode_frames(pcm0, 0))
+            f0 = 1
+        if f1 > f0:
+            # continuous pair stream for frames f0..f1-1, with history;
+            # pre-stream indices (and frame 0's input) are silence
+            start = 32 * (f0 - 1)
+            pcm = self._pcm(start - hist, (f1 - f0) * n + hist)
+            out.append(nicam_mod.encode_frames(pcm, f0))
+        return np.concatenate(out) if out else \
+            np.zeros((0, nicam_mod.NICAM_FRAME_BYTES), dtype=np.uint8)
+
+
+def _ceil_div_arr(a, b):
+    return -(-a // b)

@@ -1,0 +1,193 @@
+"""Device-side audio subcarrier synthesis.
+
+Batched replacements for the reference's per-sample modulators
+(src/video.c:3392-3443):
+
+  - FM carrier: phase = carrier term (static per-column angle table +
+    per-line rotation) + deviation term (piecewise-linear within the
+    zero-order-hold segments provided by AudioChain); two transcendentals
+    per sample, everything else FMA
+  - NICAM DQPSK (src/nicam728.c:342-411): the 364 kbaud symbol grid
+    repeats against the line grid with a small period P (e.g. 125 lines
+    for 16 MS/s PAL), so the pulse shapes of the <=32 symbols overlapping
+    each line form a static [P, NSLOT, W] tap tensor and synthesis is one
+    batched matmul over per-line symbol amplitudes — MXU work instead of
+    a scatter + megasample conv, which XLA cannot compile efficiently.
+
+All quantisation follows the reference's integer arithmetic: carrier
+values round to the int16 grid, products floor-divide by 2^15/2^16.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class FMStatics:
+    level_int: int
+    kd: float
+    cos_x: jnp.ndarray     # [W] carrier angle table at col+1
+    sin_x: jnp.ndarray
+    nseg: int
+
+
+def make_fm_statics(num: int, den: int, level_int: int, kd: float,
+                    width: int, nseg: int) -> FMStatics:
+    # theta_c(n) = 2*pi*num*(n+1)/den; per-column part for n = line*W + col
+    x = np.arange(1, width + 1, dtype=np.int64)
+    ang = 2.0 * np.pi * ((x * num) % den) / den
+    return FMStatics(level_int=level_int, kd=kd,
+                     cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
+                     sin_x=jnp.asarray(np.sin(ang).astype(np.float32)),
+                     nseg=nseg)
+
+
+def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
+           seg_val: jnp.ndarray,   # f32 [B, NSEG]
+           seg_base: jnp.ndarray,  # f32 [B, NSEG]
+           seg_col: jnp.ndarray,   # i32 [B, NSEG]
+           c0: jnp.ndarray,        # f32 [B]
+           s0: jnp.ndarray,        # f32 [B]
+           ):
+    """Add one FM carrier to the (I, Q) block [B, W].
+
+    The per-column phase is piecewise affine over the hold segments.  It
+    is evaluated as telescoped step functions with arithmetic masks —
+    `select` feeding transcendentals triggers a pathological (minutes)
+    Mosaic/XLA compile, mask-multiplies compile instantly.
+    """
+    B, W = out_i.shape
+    colsf = jnp.arange(W, dtype=jnp.float32)[None, :]
+    kd = np.float32(st.kd)
+
+    # affine pieces: phi_j(col) = A_j + B_j*col with
+    # A_j = base_j + kd*v_j*(1 - c_j), B_j = kd*v_j
+    segA = seg_base + kd * seg_val * (1.0 - seg_col.astype(jnp.float32))
+    segB = kd * seg_val
+
+    A = jnp.broadcast_to(segA[:, 0][:, None], (B, W))
+    Bc = jnp.broadcast_to(segB[:, 0][:, None], (B, W))
+    for j in range(1, st.nseg):
+        m = (colsf >= seg_col[:, j][:, None].astype(jnp.float32)
+             ).astype(jnp.float32)
+        A = A + m * (segA[:, j] - segA[:, j - 1])[:, None]
+        Bc = Bc + m * (segB[:, j] - segB[:, j - 1])[:, None]
+
+    phi = A + Bc * colsf
+    cphi = jnp.cos(phi)
+    sphi = jnp.sin(phi)
+
+    # carrier angle: theta_c = rot(line) + table(col); combine rotations
+    cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
+    cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
+
+    # cos/sin(theta_c + phi)
+    ci = cc * cphi - cs * sphi
+    cq = cs * cphi + cc * sphi
+
+    # reference: ((phase.i >> 16) * level) >> 15 — two truncating shifts
+    lvl = np.float32(st.level_int)
+    inv = np.float32(1.0 / 32768.0)
+    add_i = jnp.floor(jnp.floor(ci * 32768.0) * lvl * inv)
+    add_q = jnp.floor(jnp.floor(cq * 32768.0) * lvl * inv)
+    return out_i + add_i, out_q + add_q
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class NicamStatics:
+    pulse: jnp.ndarray      # [P, NSLOT, W] static per-class pulse matrices
+    cos_x: jnp.ndarray      # [W] carrier table
+    sin_x: jnp.ndarray
+    period: int             # P lines
+    nslot: int
+
+
+def make_nicam_statics(taps: np.ndarray, num: int, den: int, width: int,
+                       timing, ntaps_pad: int = 0) -> NicamStatics:
+    """Build the per-class pulse tensor.
+
+    `timing` is a nicam.SymbolTiming.  Class c represents absolute lines
+    k == c (mod P); slot s holds the pulse of symbol kf(c)+s where kf(c)
+    is the first symbol whose pulse reaches into the line.
+    """
+    ntaps = len(taps)
+    span = timing.sps * timing.decimation - timing.dsl
+    period = int(np.lcm(span, width) // width)
+    syms_per_period = period * width // span * timing.decimation
+    assert timing.start(syms_per_period) == period * width
+
+    # slots: max symbols whose pulse [S, S+ntaps) intersects a line
+    min_sp = timing.sps - 1
+    nslot = int(np.ceil((width + ntaps - 1) / min_sp)) + 2
+
+    # The pattern is computed one period in (line (c+P)*W) so that pulse
+    # tails from the previous period are included; kf[c] is stored
+    # relative to the first period and may be negative for the very first
+    # lines of the stream (masked by the caller).
+    pulse = np.zeros((period, nslot, width), dtype=np.float32)
+    kf = np.zeros(period, dtype=np.int64)
+    for c in range(period):
+        line_start = (c + period) * width
+        # first symbol with S_k + ntaps > line_start
+        k = max(0, (line_start - ntaps) // timing.sps - 2)
+        while int(timing.start(k)) + ntaps <= line_start:
+            k += 1
+        kf[c] = k - syms_per_period
+        for s in range(nslot):
+            off = int(timing.start(k + s)) - line_start
+            if off >= width:
+                break
+            lo = max(0, off)
+            hi = min(width, off + ntaps)
+            pulse[c, s, lo:hi] = taps[lo - off: hi - off]
+
+    x = np.arange(width, dtype=np.int64)
+    ang = 2.0 * np.pi * ((x * num) % den) / den
+    st = NicamStatics(
+        pulse=jnp.asarray(pulse),
+        cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
+        sin_x=jnp.asarray(np.sin(ang).astype(np.float32)),
+        period=period, nslot=nslot)
+    st.kf = kf           # host-side: first symbol per class
+    st.syms_per_period = syms_per_period
+    return st
+
+
+def nicam_add(st: NicamStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
+              amps_i: jnp.ndarray,   # f32 [B, NSLOT]
+              amps_q: jnp.ndarray,
+              c0: jnp.ndarray,       # f32 [B]
+              s0: jnp.ndarray,
+              k0_mod,                # first line's class offset
+              ):
+    """Add the NICAM DQPSK burst to the (I, Q) block [B, W]."""
+    B, W = out_i.shape
+    P, S = st.period, st.nslot
+    pulse = jnp.roll(st.pulse, -k0_mod, axis=0)
+
+    pad = (-B) % P
+    if pad:
+        amps_i = jnp.pad(amps_i, ((0, pad), (0, 0)))
+        amps_q = jnp.pad(amps_q, ((0, pad), (0, 0)))
+    G = (B + pad) // P
+
+    bb_i = jnp.einsum("gcs,csw->gcw", amps_i.reshape(G, P, S), pulse,
+                      preferred_element_type=jnp.float32).reshape(-1, W)[:B]
+    bb_q = jnp.einsum("gcs,csw->gcw", amps_q.reshape(G, P, S), pulse,
+                      preferred_element_type=jnp.float32).reshape(-1, W)[:B]
+
+    cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
+    cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
+    cc = jnp.round(cc * 32767.0)
+    cs = jnp.round(cs * 32767.0)
+
+    inv = np.float32(1.0 / 32768.0)
+    out_i = out_i + jnp.floor((bb_i * cc - bb_q * cs) * inv)
+    out_q = out_q + jnp.floor((bb_i * cs + bb_q * cc) * inv)
+    return out_i, out_q

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config.standards import VidConfig, get_mode
+from .config.standards import OutputType, VidConfig, get_mode
 from .video.params import VideoParams
 from .video import raster
 from .av.testcard import TestCardSource
@@ -50,9 +50,35 @@ class Encoder:
 
         self.statics = raster.make_statics(p, self.vframe_x, source.width)
 
+        self.complex_out = conf.output_type == OutputType.COMPLEX
+        self._init_audio()
+
         self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
+
+    def _init_audio(self):
+        """Audio subcarriers (FM mono, NICAM) — added after the video
+        filter, before any FM video modulation (src/video.c:4561)."""
+        from .audio.chain import AudioChain
+        from .audio import synth as audio_synth
+
+        p = self.params
+        self.audio = AudioChain(self.conf, p.sample_rate, p.width,
+                                self.source)
+        nlines = self.frames_per_block * p.lines
+        self.fm_statics = None
+        self.nicam_statics = None
+        if self.audio.fm_mono is not None:
+            c = self.audio.fm_mono
+            self.fm_statics = audio_synth.make_fm_statics(
+                c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg)
+        if self.audio.nicam is not None:
+            nt = self.audio.nicam
+            self.nicam_statics = audio_synth.make_nicam_statics(
+                nt["taps"], nt["num"], nt["den"], p.width, nt["timing"])
+        self.has_audio = (self.fm_statics is not None or
+                          self.nicam_statics is not None)
 
     # ------------------------------------------------------------------
     def _block_meta(self, block_no: int):
@@ -98,12 +124,15 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
-                   cos0, sin0, first_mask):
-        """Fused synthesis + output filter + int16 quantisation for one
-        block of frames (plus halo lines)."""
+                   cos0, sin0, first_mask, audio_args):
+        """Fused synthesis + output filter + audio + int16 quantisation
+        for one block of frames (plus halo lines)."""
+        from .audio import synth as audio_synth
+
         p = self.params
         W = p.width
-        n = self.frames_per_block * p.lines * W
+        nlines = self.frames_per_block * p.lines
+        n = nlines * W
 
         block = raster.synth_block(self.statics, rgb, base, nxt, burst,
                                    vswitch, vy, al, ar, cos0, sin0)
@@ -122,18 +151,56 @@ class Encoder:
         else:
             y = x[W: W + n]
 
-        return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+        if not self.has_audio and not self.complex_out:
+            return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+        out_i = y.reshape(nlines, W)
+        out_q = jnp.zeros_like(out_i)
+
+        if self.fm_statics is not None:
+            fm = audio_args["fm_mono"]
+            out_i, out_q = audio_synth.fm_add(
+                self.fm_statics, out_i, out_q, fm["seg_val"],
+                fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"])
+        if self.nicam_statics is not None:
+            nc = audio_args["nicam"]
+            out_i, out_q = audio_synth.nicam_add(
+                self.nicam_statics, out_i, out_q, nc["amps_i"],
+                nc["amps_q"], nc["c0"], nc["s0"], audio_args["nicam_k0mod"])
+
+        iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
+        return jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
 
     # ------------------------------------------------------------------
+    def _audio_args(self, block_no: int) -> dict:
+        """Host audio-rate computation -> device arrays for this block
+        (covering the real lines, no halo)."""
+        if not self.has_audio:
+            return {}
+        p = self.params
+        nlines = self.frames_per_block * p.lines
+        k0 = block_no * nlines
+        args = {}
+        if self.fm_statics is not None:
+            fm = self.audio.fm_block(self.audio.fm_mono, k0, nlines)
+            args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}
+        if self.nicam_statics is not None:
+            nc = self.audio.nicam_block(k0, nlines, self.nicam_statics)
+            args["nicam"] = {k: jnp.asarray(v) for k, v in nc.items()}
+            # static per trace; constant when nlines % period == 0
+            args["nicam_k0mod"] = k0 % self.nicam_statics.period
+        return args
+
     def encode_block_device(self, block_no: int):
         """Synthesise one block of frames_per_block frames; returns a
-        device int16 array of frames_per_block*frame_samples samples."""
+        device int16 array: [n] for real output modes, [n, 2] for complex."""
         rgb = self._device_rgb(block_no)
         m = self._block_meta(block_no)
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
+        audio_args = self._audio_args(block_no)
         return self._step(rgb, m["base"], m["nxt"], m["burst"],
                           m["vswitch"], m["vy"], m["al"], m["ar"],
-                          m["cos0"], m["sin0"], first)
+                          m["cos0"], m["sin0"], first, audio_args)
 
     def encode_frame(self, frame_no: int) -> np.ndarray:
         """Single-frame convenience API (frames_per_block must be 1)."""

@@ -74,3 +74,30 @@ def test_405_composite_snr():
     ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
     snr = _snr(ref, ours)
     assert snr >= 40.0, f"405-line SNR {snr:.2f} dB below 40 dB bound"
+
+
+def test_pal_i_full_chain_snr():
+    """Full PAL-I chain: raster + FM mono audio (limiter + 50us preemph)
+    + NICAM-728 stereo, complex IQ output."""
+    ref = _golden("pali_16M_2frames.c16").reshape(-1, 2)
+    enc = Encoder("i", 16_000_000)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 40.0, f"PAL-I SNR {snr:.2f} dB below 40 dB bound"
+
+    # Q channel carries only the audio subcarriers — NICAM + FM must be
+    # near-exact there
+    q_snr = 10 * np.log10((r[:, 1] ** 2).sum() / (e[:, 1] ** 2).sum())
+    assert q_snr >= 70.0, f"audio-carrier SNR {q_snr:.2f} dB"
+
+    # excluding the reference's OOB chroma tail: essentially exact
+    w = enc.params.width
+    nl = n // w * w
+    rc = r[:nl].reshape(-1, w, 2)[:, :w - 8]
+    ec = e[:nl].reshape(-1, w, 2)[:, :w - 8]
+    clean = 10 * np.log10((rc ** 2).sum() / (ec ** 2).sum())
+    assert clean >= 80.0, f"clean-region SNR {clean:.2f} dB"
