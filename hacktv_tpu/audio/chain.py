@@ -268,9 +268,10 @@ class AudioChain:
         frames = self._encode_frame_range(fa, f1)
         pairs = nicam_mod.frame_symbols(frames).reshape(-1)
         signs, _ = nicam_mod.differential_encode(pairs, da)
-        # update anchor to the start of the last frame (blocks overlap by
-        # at most one frame via the halo lines)
-        last = f1 - 1
+        # Advance the anchor, leaving a few frames of slack: the next
+        # block's first pulse reaches back across the boundary, so its f0
+        # can be slightly before this block's f1.
+        last = f1 - 3
         if last > fa:
             nsym = nicam_mod.NICAM_FRAME_SYMS
             steps = nicam_mod.STEP[pairs[: (last - fa) * nsym]]

@@ -32,7 +32,8 @@ _META_KEYS = ("base", "nxt", "burst", "vswitch", "vy", "al", "ar")
 class Encoder:
     def __init__(self, mode: str | VidConfig, sample_rate: int,
                  pixel_rate: int = 0, source=None,
-                 frames_per_block: int = 1):
+                 frames_per_block: int = 1, wss: str | None = None,
+                 teletext: str | None = None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         self.conf = conf
         self.params = VideoParams.create(conf, sample_rate, pixel_rate)
@@ -49,6 +50,16 @@ class Encoder:
         self.vframe_y = (conf.active_lines - source.height) // 2
 
         self.statics = raster.make_statics(p, self.vframe_x, source.width)
+
+        # VBI data services, in the reference's registration order
+        # (src/video.c:4215-4359)
+        self.services = []
+        if wss:
+            from .services.wss import WSS
+            self.services.append(WSS(p, wss))
+        if teletext:
+            from .services.teletext import Teletext
+            self.services.append(Teletext(p, teletext))
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self._init_audio()
@@ -136,6 +147,8 @@ class Encoder:
 
         block = raster.synth_block(self.statics, rgb, base, nxt, burst,
                                    vswitch, vy, al, ar, cos0, sin0)
+        for svc, arr in zip(self.services, audio_args.get("services", ())):
+            block = svc.apply(block, arr)
         block = block.at[0].multiply(first_mask)
         x = block.reshape(-1)
 
@@ -175,12 +188,17 @@ class Encoder:
     def _audio_args(self, block_no: int) -> dict:
         """Host audio-rate computation -> device arrays for this block
         (covering the real lines, no halo)."""
-        if not self.has_audio:
-            return {}
         p = self.params
         nlines = self.frames_per_block * p.lines
         k0 = block_no * nlines
         args = {}
+        if self.services:
+            args["services"] = tuple(
+                {k: jnp.asarray(v) for k, v in
+                 svc.block_arrays(k0 - 1, nlines + 2).items()}
+                for svc in self.services)
+        if not self.has_audio:
+            return args
         if self.fm_statics is not None:
             fm = self.audio.fm_block(self.audio.fm_mono, k0, nlines)
             args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}

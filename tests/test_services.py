@@ -1,0 +1,62 @@
+"""VBI service tests: WSS golden parity and teletext waveform decode."""
+import os
+
+import numpy as np
+import pytest
+
+from hacktv_tpu import Encoder
+
+GOLDEN = "/tmp/golden"
+DEMO_TTI = "/root/reference/src/demo.tti"
+
+
+def test_wss_golden():
+    path = os.path.join(GOLDEN, "pal_wss_2frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = Encoder("pal", 16_000_000, wss="auto")
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 40.0, f"WSS SNR {snr:.2f} dB"
+
+
+def test_teletext_decode_roundtrip():
+    if not os.path.exists(DEMO_TTI):
+        pytest.skip("reference demo.tti not available")
+    enc = Encoder("pal", 16_000_000, teletext=DEMO_TTI)
+    Y = enc.encode_frame(0).reshape(-1, enc.params.width)
+    p = enc.params
+    off = p.pixel_rate * (12e-6 - (64e-6 / 444 * 12))
+    bw = p.width / 444.0
+    centers = (off + np.arange(360) * bw).round().astype(int)
+    lvl = round((p.white_level - p.black_level) * 0.66)
+    pkts = []
+    for j in list(range(6, 22)) + list(range(319, 335)):
+        bits = (Y[j][centers] > lvl / 2).astype(np.uint8)
+        by = np.packbits(bits, bitorder="little")
+        if by[0] == 0x55 and by[1] == 0x55 and by[2] == 0x27:
+            pkts.append((j, by))
+    # 8/30 + header + (20ms gap) + page rows in the second field
+    assert len(pkts) >= 15
+    assert pkts[0][0] == 6          # line 7: 8/30 clock packet
+    assert pkts[0][1][3] == 0x15    # hamming84(mag 8 | pkt30 lsb)
+    assert pkts[0][1][4] == 0xEA    # hamming84(15)
+    # the 20ms header-to-row rule leaves lines 9..22 of field 1 empty
+    lines_used = {p_[0] for p_ in pkts}
+    assert 8 not in lines_used and 21 not in lines_used
+
+
+def test_teletext_crc_and_parity():
+    from hacktv_tpu.services.teletext import crc16, HAMMING84, _PARITY
+    # CRC over a known vector is stable and 16-bit
+    assert crc16(b"hello world") & 0xFFFF == crc16(b"hello world")
+    assert crc16(b"a") != crc16(b"b")
+    # parity table: odd parity over 8 bits
+    for v in range(0x80):
+        assert bin(int(_PARITY[v])).count("1") & 1 == 1
+    # hamming84 table values are distinct
+    assert len(set(int(h) for h in HAMMING84)) == 16
