@@ -85,6 +85,14 @@ class AudioChain:
                 conf.fm_mono_carrier, conf.fm_mono_deviation,
                 conf.fm_mono_level * slevel, conf.fm_mono_preemph, self.S)
 
+        self.am_mono = None
+        if conf.am_audio_level > 0 and conf.am_mono_carrier != 0:
+            # AM audio carrier (src/video.c:2343-2378, 3426-3429): no
+            # limiter/pre-emphasis, half-modulation by (s+32768)/2
+            self.am_mono = FMCarrier.create(
+                conf.am_mono_carrier, 0.0,
+                conf.am_audio_level * slevel, Preemph.NONE, self.S)
+
         self.nicam = None
         if conf.nicam_level > 0 and conf.nicam_carrier != 0:
             self.nicam = {
@@ -174,6 +182,34 @@ class AudioChain:
             c0=np.cos(ang).astype(np.float32),
             s0=np.sin(ang).astype(np.float32),
         )
+
+    def am_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
+        """Zero-order-hold AM gain segments: value (s+32768)/2 per held
+        sample (src/video.c:2359-2366), plus carrier rotation."""
+        W, S, A = self.W, self.S, self.A
+        ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
+        n_line = ks * W
+        m_first = n_line * A // S + 1
+        j = np.arange(self.nseg, dtype=np.int64)
+        vidx = m_first[:, None] - 2 + j[None, :]
+        ev = _ceil_div_arr(S * (m_first[:, None] - 1 + j[None, :]), A) - 1
+        seg_col = ev - n_line[:, None]
+        seg_col[:, 0] = np.minimum(seg_col[:, 0], 0)
+
+        i_lo, i_hi = int(vidx.min()), int(vidx.max()) + 1
+        pcm = self._pcm(i_lo, i_hi - i_lo)
+        mono = np.trunc((pcm[:, 0] + pcm[:, 1]) / 2).astype(np.int64)
+        if i_lo < 0:
+            mono[: -i_lo] = 0
+        s2 = (mono + 32768) // 2
+        seg_val = s2[np.clip(vidx - i_lo, 0, None)]
+
+        rot = (n_line % carrier.den) * carrier.num % carrier.den
+        ang = 2.0 * np.pi * rot / carrier.den
+        return dict(seg_val=seg_val.astype(np.float32),
+                    seg_col=seg_col.astype(np.int32),
+                    c0=np.cos(ang).astype(np.float32),
+                    s0=np.sin(ang).astype(np.float32))
 
     def _held_values(self, carrier: FMCarrier, i_lo: int, i_hi: int
                      ) -> np.ndarray:

@@ -98,6 +98,31 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
     return out_i + add_i, out_q + add_q
 
 
+def am_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
+           seg_val: jnp.ndarray,   # f32 [B, NSEG] gain (s+32768)/2
+           seg_col: jnp.ndarray,   # i32 [B, NSEG]
+           c0: jnp.ndarray, s0: jnp.ndarray):
+    """AM audio carrier (src/video.c:2359-2378): contribution
+    ((((phase>>16) * s2) >> 15) * level) >> 15, half-modulation."""
+    B, W = out_i.shape
+    colsf = jnp.arange(W, dtype=jnp.float32)[None, :]
+    val = jnp.broadcast_to(seg_val[:, 0][:, None], (B, W))
+    for j in range(1, st.nseg):
+        m = (colsf >= seg_col[:, j][:, None].astype(jnp.float32)
+             ).astype(jnp.float32)
+        val = val + m * (seg_val[:, j] - seg_val[:, j - 1])[:, None]
+
+    cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
+    cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
+    lvl = np.float32(st.level_int)
+    inv = np.float32(1.0 / 32768.0)
+    add_i = jnp.floor(jnp.floor(jnp.floor(cc * 32768.0) * val * inv)
+                      * lvl * inv)
+    add_q = jnp.floor(jnp.floor(jnp.floor(cs * 32768.0) * val * inv)
+                      * lvl * inv)
+    return out_i + add_i, out_q + add_q
+
+
 # ---------------------------------------------------------------------------
 @dataclass
 class NicamStatics:

@@ -33,8 +33,15 @@ class Encoder:
     def __init__(self, mode: str | VidConfig, sample_rate: int,
                  pixel_rate: int = 0, source=None,
                  frames_per_block: int = 1, wss: str | None = None,
-                 teletext: str | None = None):
+                 teletext: str | None = None, vfilter: bool = False,
+                 offset: int = 0, swap_iq: bool = False):
         conf = get_mode(mode) if isinstance(mode, str) else mode
+        if vfilter or offset or swap_iq:
+            from dataclasses import replace as _replace
+            conf = _replace(conf,
+                            vfilter=conf.vfilter or vfilter,
+                            offset=conf.offset or int(offset),
+                            swap_iq=conf.swap_iq or swap_iq)
         self.conf = conf
         self.params = VideoParams.create(conf, sample_rate, pixel_rate)
         self.frames_per_block = frames_per_block
@@ -64,6 +71,22 @@ class Encoder:
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self._init_audio()
 
+        # FM video modulation (src/video.c:4564-4585)
+        from .config.standards import Modulation
+        from .rf import ops as rf_ops
+        self.fm_video_statics = None
+        if conf.modulation == Modulation.FM:
+            self.fm_video_statics = rf_ops.make_fm_video_statics(
+                conf.fm_deviation, conf.fm_level * conf.level,
+                p.sample_rate, conf.lines)
+            self._fm_phi: dict[int, float] = {0: 0.0}
+
+        # complex frequency offset (src/video.c:4592-4605)
+        self.offset_statics = None
+        if conf.offset:
+            self.offset_statics = rf_ops.make_offset_statics(
+                conf.offset, p.sample_rate, p.width)
+
         self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
@@ -80,16 +103,22 @@ class Encoder:
         nlines = self.frames_per_block * p.lines
         self.fm_statics = None
         self.nicam_statics = None
+        self.am_statics = None
         if self.audio.fm_mono is not None:
             c = self.audio.fm_mono
             self.fm_statics = audio_synth.make_fm_statics(
                 c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg)
+        if self.audio.am_mono is not None:
+            c = self.audio.am_mono
+            self.am_statics = audio_synth.make_fm_statics(
+                c.num, c.den, c.level_int, 0.0, p.width, self.audio.nseg)
         if self.audio.nicam is not None:
             nt = self.audio.nicam
             self.nicam_statics = audio_synth.make_nicam_statics(
                 nt["taps"], nt["num"], nt["den"], p.width, nt["timing"])
         self.has_audio = (self.fm_statics is not None or
-                          self.nicam_statics is not None)
+                          self.nicam_statics is not None or
+                          self.am_statics is not None)
 
     # ------------------------------------------------------------------
     def _block_meta(self, block_no: int):
@@ -152,15 +181,23 @@ class Encoder:
         block = block.at[0].multiply(first_mask)
         x = block.reshape(-1)
 
-        if p.vfilter_taps is not None:
-            ntaps = p.vfilter_taps.shape[0]
+        def stream_conv(kern_np):
+            ntaps = kern_np.shape[0]
             half = ntaps // 2
             xs = x[W - half: W - half + n + ntaps - 1]
-            kern = jnp.asarray(p.vfilter_taps[::-1].copy())
-            y = jax.lax.conv_general_dilated(
+            kern = jnp.asarray(kern_np[::-1].copy())
+            return jax.lax.conv_general_dilated(
                 xs[None, None, :], kern[None, None, :],
                 window_strides=(1,), padding="VALID",
                 dimension_numbers=("NCH", "OIH", "NCH"))[0, 0]
+
+        yq = None
+        if p.vfilter_ctaps is not None:
+            # VSB: real -> complex filter (src/fir.c:529-615 "scomplex")
+            y = stream_conv(np.ascontiguousarray(p.vfilter_ctaps.real))
+            yq = stream_conv(np.ascontiguousarray(p.vfilter_ctaps.imag))
+        elif p.vfilter_taps is not None:
+            y = stream_conv(p.vfilter_taps)
         else:
             y = x[W: W + n]
 
@@ -168,21 +205,45 @@ class Encoder:
             return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
 
         out_i = y.reshape(nlines, W)
-        out_q = jnp.zeros_like(out_i)
+        out_q = (yq.reshape(nlines, W) if yq is not None
+                 else jnp.zeros_like(out_i))
 
         if self.fm_statics is not None:
             fm = audio_args["fm_mono"]
             out_i, out_q = audio_synth.fm_add(
                 self.fm_statics, out_i, out_q, fm["seg_val"],
                 fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"])
+        if self.am_statics is not None:
+            am = audio_args["am_mono"]
+            out_i, out_q = audio_synth.am_add(
+                self.am_statics, out_i, out_q, am["seg_val"],
+                am["seg_col"], am["c0"], am["s0"])
         if self.nicam_statics is not None:
             nc = audio_args["nicam"]
             out_i, out_q = audio_synth.nicam_add(
                 self.nicam_statics, out_i, out_q, nc["amps_i"],
                 nc["amps_q"], nc["c0"], nc["s0"], audio_args["nicam_k0mod"])
 
+        frame_tot = None
+        if self.fm_video_statics is not None:
+            from .rf import ops as rf_ops
+            out_i, out_q, frame_tot = rf_ops.fm_video_modulate(
+                self.fm_video_statics, out_i, audio_args["fm_phi0"])
+
+        if self.conf.swap_iq:
+            out_i, out_q = out_q, out_i
+
+        if self.offset_statics is not None:
+            from .rf import ops as rf_ops
+            out_i, out_q = rf_ops.offset_rotate(
+                self.offset_statics, out_i, out_q,
+                audio_args["off_c0"], audio_args["off_s0"])
+
         iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
-        return jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
+        iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
+        if frame_tot is not None:
+            return iq, frame_tot
+        return iq
 
     # ------------------------------------------------------------------
     def _audio_args(self, block_no: int) -> dict:
@@ -191,6 +252,11 @@ class Encoder:
         p = self.params
         nlines = self.frames_per_block * p.lines
         k0 = block_no * nlines
+        # With the video filter enabled the audio process consumes the
+        # filter's one-line-delayed stream, so the audio timeline runs one
+        # line ahead of the output line it lands on (see the reference's
+        # line-window layout, src/video.c:4675-4688).
+        a_k0 = k0 + (1 if self.conf.vfilter else 0)
         args = {}
         if self.services:
             args["services"] = tuple(
@@ -200,13 +266,29 @@ class Encoder:
         if not self.has_audio:
             return args
         if self.fm_statics is not None:
-            fm = self.audio.fm_block(self.audio.fm_mono, k0, nlines)
+            fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)
             args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}
+        if self.am_statics is not None:
+            am = self.audio.am_block(self.audio.am_mono, a_k0, nlines)
+            args["am_mono"] = {k: jnp.asarray(v) for k, v in am.items()}
         if self.nicam_statics is not None:
-            nc = self.audio.nicam_block(k0, nlines, self.nicam_statics)
+            nc = self.audio.nicam_block(a_k0, nlines, self.nicam_statics)
             args["nicam"] = {k: jnp.asarray(v) for k, v in nc.items()}
             # static per trace; constant when nlines % period == 0
-            args["nicam_k0mod"] = k0 % self.nicam_statics.period
+            args["nicam_k0mod"] = a_k0 % self.nicam_statics.period
+        if self.fm_video_statics is not None:
+            if block_no not in self._fm_phi:
+                raise RuntimeError(
+                    "FM-modulated blocks must be encoded sequentially "
+                    f"(no phase carry for block {block_no})")
+            args["fm_phi0"] = jnp.float32(self._fm_phi[block_no])
+        if self.offset_statics is not None:
+            from .rf import ops as rf_ops
+            c0, s0 = rf_ops.offset_rotation(
+                self.conf.offset, self.params.sample_rate, k0,
+                self.params.width, nlines)
+            args["off_c0"] = jnp.asarray(c0)
+            args["off_s0"] = jnp.asarray(s0)
         return args
 
     def encode_block_device(self, block_no: int):
@@ -216,9 +298,16 @@ class Encoder:
         m = self._block_meta(block_no)
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
         audio_args = self._audio_args(block_no)
-        return self._step(rgb, m["base"], m["nxt"], m["burst"],
-                          m["vswitch"], m["vy"], m["al"], m["ar"],
-                          m["cos0"], m["sin0"], first, audio_args)
+        out = self._step(rgb, m["base"], m["nxt"], m["burst"],
+                         m["vswitch"], m["vy"], m["al"], m["ar"],
+                         m["cos0"], m["sin0"], first, audio_args)
+        if self.fm_video_statics is not None:
+            out, frame_tot = out
+            phi = (self._fm_phi[block_no]
+                   + float(np.sum(np.asarray(frame_tot, dtype=np.float64)))
+                   ) % (2.0 * np.pi)
+            self._fm_phi[block_no + 1] = phi
+        return out
 
     def encode_frame(self, frame_no: int) -> np.ndarray:
         """Single-frame convenience API (frames_per_block must be 1)."""

@@ -15,7 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-from ..config.standards import (ColourMode, Modulation, OutputType, VidConfig)
+from ..config.standards import (ColourMode, Modulation, OutputType,
+                                RasterType, VidConfig)
 from ..ops import firdes
 from ..ops.shapes import IRT1090, rc_window
 from . import sequence
@@ -269,13 +270,17 @@ class VideoParams:
                 (np.round(ctaps.real * 32767) +
                  1j * np.round(ctaps.imag * 32767)) / 32768.0
             ).astype(np.complex64)
+        elif conf.modulation == Modulation.FM:
+            from ..rf.vpreemph import select_fm_taps
+            taps = select_fm_taps(conf.type == RasterType.MAC, conf.lines,
+                                  self.sample_rate)
+            self.vfilter_taps = firdes.quantise_taps(taps).astype(np.float32)
         elif conf.modulation in (Modulation.AM, Modulation.NONE):
             if conf.video_bw > 0:
                 taps = firdes.low_pass(51, self.sample_rate, conf.video_bw,
                                        0.75e6, 1.0)
                 self.vfilter_taps = firdes.quantise_taps(taps
                                                          ).astype(np.float32)
-        # FM pre-emphasis taps are handled by the FM modulation stage.
 
     # ------------------------------------------------------------------
     # Per-line metadata for a range of stream line indices.

@@ -143,8 +143,11 @@ def _chroma_filter(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     out = jax.lax.conv_general_dilated(
         xp[:, None, :], taps[None, None, ::-1],
         window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
-    return out[:, 0, :]
+        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+    # the reference's integer FIR truncates the >>15 accumulator and
+    # clamps to int16 (src/fir.c:347-348); FM modes integrate the
+    # baseband so even sub-LSB bias matters
+    return jnp.clip(jnp.floor(out), -32768, 32767)
 
 
 def synth_block(st: RasterStatics,

@@ -38,5 +38,14 @@ capture ntsc_135M_2frames.s16 1801800 -s 13500000 -m ntsc test
 capture pali_16M_2frames.c16 5120000 -s 16000000 -m i test
 # 2 frames 405-line composite
 capture 405_14M_2frames.s16 2240000 -s 14000000 -m 405 test
+# WSS on line 23
+capture pal_wss_2frames.s16 2560000 -m pal --wss auto test
+# video filter variants
+capture pal_filter_2frames.s16 2560000 -m pal --filter test
+capture pali_filter_2frames.c16 5120000 -m i --filter test
+# FM satellite + SECAM
+capture palfm_16M_2frames.c16 5120000 -m pal-fm test
+capture secaml_16M_2frames.c16 5120000 -m l test
+capture secam_16M_2frames.s16 2560000 -m secam test
 
 ls -la "$GOLDEN"
