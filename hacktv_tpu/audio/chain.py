@@ -49,6 +49,8 @@ class FMCarrier:
     num: int = 0
     den: int = 0
     kd: float = 0.0           # rad per (sample * unit)
+    eps: float = 0.0          # deterministic phase lag (see below)
+    lam: float = 0.0          # per-step int32 magnitude decay
 
     @classmethod
     def create(cls, frequency: float, deviation: float, level: float,
@@ -62,7 +64,49 @@ class FMCarrier:
         return cls(frequency=frequency, deviation=deviation,
                    level_int=int(round(INT16_MAX * level)), limiter=lim,
                    num=fi // g, den=sample_rate // g,
-                   kd=2.0 * np.pi * deviation / (sample_rate * INT16_MAX))
+                   kd=2.0 * np.pi * deviation / (sample_rate * INT16_MAX),
+                   eps=_phase_bias(frequency, deviation, sample_rate),
+                   lam=phase_decay_rate(frequency, sample_rate))
+
+
+def phase_decay_rate(frequency: float, sample_rate: int) -> float:
+    """Per-step magnitude decay of the reference's int32 phase iteration
+    (truncation loss, src/common.h cint32_mul).  The amplitude sawtooths
+    down by ~2e-5 between the 32767-sample renormalisations
+    (src/video.c:2266-2275) — about 0.7 LSB at the >>16 output level,
+    which biases its floor() results late in each cycle."""
+    d = 2.0 * np.pi / sample_rate * frequency
+    li = round(math.cos(d) * (2**31 - 1))
+    lq = round(math.sin(d) * (2**31 - 1))
+    pi_, pq = 2**31 - 1, 0
+    n = 8192
+    for _ in range(n):
+        pi_, pq = ((pi_ * li - pq * lq) >> 31,
+                   (pi_ * lq + pq * li) >> 31)
+    mag = math.hypot(pi_, pq) / (2**31 - 1)
+    return max(0.0, (1.0 - mag) / n)
+
+
+def _phase_bias(frequency: float, deviation: float,
+                sample_rate: int) -> float:
+    """The reference's int32 complex phase iteration (src/video.c:2259)
+    accumulates a tiny deterministic phase error whose SIGN decides the
+    floor() outcome at the exact zeros of the carrier — which recur every
+    few samples for rational carriers and integrate into visible FM phase
+    drift.  Simulate the iteration briefly to find the lag direction and
+    return a +-1e-6 rad offset that reproduces those tie-breaks."""
+    d = 2.0 * np.pi / sample_rate * frequency
+    li = round(math.cos(d) * (2**31 - 1))
+    lq = round(math.sin(d) * (2**31 - 1))
+    pi_, pq = 2**31 - 1, 0
+    n = 20000
+    for _ in range(n):
+        pi_, pq = ((pi_ * li - pq * lq) >> 31,
+                   (pi_ * lq + pq * li) >> 31)
+    err = (math.atan2(pq, pi_) - n * d) % (2.0 * np.pi)
+    if err > np.pi:
+        err -= 2.0 * np.pi
+    return 1e-6 if err >= 0 else -1e-6
 
 
 class AudioChain:
@@ -181,6 +225,7 @@ class AudioChain:
             seg_col=seg_col.astype(np.int32),
             c0=np.cos(ang).astype(np.float32),
             s0=np.sin(ang).astype(np.float32),
+            cyc0=(n_line % 32767).astype(np.float32),
         )
 
     def am_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
@@ -209,7 +254,8 @@ class AudioChain:
         return dict(seg_val=seg_val.astype(np.float32),
                     seg_col=seg_col.astype(np.int32),
                     c0=np.cos(ang).astype(np.float32),
-                    s0=np.sin(ang).astype(np.float32))
+                    s0=np.sin(ang).astype(np.float32),
+                    cyc0=(n_line % 32767).astype(np.float32))
 
     def _held_values(self, carrier: FMCarrier, i_lo: int, i_hi: int
                      ) -> np.ndarray:

@@ -34,17 +34,20 @@ class FMStatics:
     cos_x: jnp.ndarray     # [W] carrier angle table at col+1
     sin_x: jnp.ndarray
     nseg: int
+    eps: float = 0.0       # deterministic tie-break phase lag
+    lam: float = 0.0       # per-step int32 magnitude decay (sawtooth)
 
 
 def make_fm_statics(num: int, den: int, level_int: int, kd: float,
-                    width: int, nseg: int) -> FMStatics:
+                    width: int, nseg: int, eps: float = 0.0,
+                    lam: float = 0.0) -> FMStatics:
     # theta_c(n) = 2*pi*num*(n+1)/den; per-column part for n = line*W + col
     x = np.arange(1, width + 1, dtype=np.int64)
     ang = 2.0 * np.pi * ((x * num) % den) / den
     return FMStatics(level_int=level_int, kd=kd,
                      cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
                      sin_x=jnp.asarray(np.sin(ang).astype(np.float32)),
-                     nseg=nseg)
+                     nseg=nseg, eps=eps, lam=lam)
 
 
 def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
@@ -53,6 +56,7 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
            seg_col: jnp.ndarray,   # i32 [B, NSEG]
            c0: jnp.ndarray,        # f32 [B]
            s0: jnp.ndarray,        # f32 [B]
+           cyc0: jnp.ndarray,      # f32 [B] renorm-cycle position at col 0
            ):
     """Add one FM carrier to the (I, Q) block [B, W].
 
@@ -89,19 +93,33 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
     # cos/sin(theta_c + phi)
     ci = cc * cphi - cs * sphi
     cq = cs * cphi + cc * sphi
+    # tie-break rotation matching the reference's int-iteration phase lag
+    if st.eps:
+        e = np.float32(st.eps)
+        ci, cq = ci - e * cq, cq + e * ci
+    if st.lam:
+        # int32 magnitude sawtooth between renormalisations
+        cyc = cyc0[:, None] + colsf + 1.0
+        cyc = cyc - 32767.0 * (cyc >= 32767.0).astype(jnp.float32)
+        scale = 1.0 - np.float32(st.lam) * cyc
+        ci = ci * scale
+        cq = cq * scale
 
     # reference: ((phase.i >> 16) * level) >> 15 — two truncating shifts
     lvl = np.float32(st.level_int)
     inv = np.float32(1.0 / 32768.0)
-    add_i = jnp.floor(jnp.floor(ci * 32768.0) * lvl * inv)
-    add_q = jnp.floor(jnp.floor(cq * 32768.0) * lvl * inv)
+    # phase.i>>16 yields at most 32767 (int32 phase magnitude
+    # 2^31-1); floor(cos*32768) hits 32768 at the exact peaks, so clamp
+    add_i = jnp.floor(jnp.clip(jnp.floor(ci * 32768.0), -32768, 32767) * lvl * inv)
+    add_q = jnp.floor(jnp.clip(jnp.floor(cq * 32768.0), -32768, 32767) * lvl * inv)
     return out_i + add_i, out_q + add_q
 
 
 def am_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
            seg_val: jnp.ndarray,   # f32 [B, NSEG] gain (s+32768)/2
            seg_col: jnp.ndarray,   # i32 [B, NSEG]
-           c0: jnp.ndarray, s0: jnp.ndarray):
+           c0: jnp.ndarray, s0: jnp.ndarray,
+           cyc0: jnp.ndarray):
     """AM audio carrier (src/video.c:2359-2378): contribution
     ((((phase>>16) * s2) >> 15) * level) >> 15, half-modulation."""
     B, W = out_i.shape
@@ -114,11 +132,21 @@ def am_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
 
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
+    if st.eps:
+        e = np.float32(st.eps)
+        cc, cs = cc - e * cs, cs + e * cc
+    if st.lam:
+        cyc = cyc0[:, None] + colsf + 1.0
+        cyc = cyc - 32767.0 * (cyc >= 32767.0).astype(jnp.float32)
+        scale = 1.0 - np.float32(st.lam) * cyc
+        cc = cc * scale
+        cs = cs * scale
     lvl = np.float32(st.level_int)
     inv = np.float32(1.0 / 32768.0)
-    add_i = jnp.floor(jnp.floor(jnp.floor(cc * 32768.0) * val * inv)
+    
+    add_i = jnp.floor(jnp.floor(jnp.clip(jnp.floor(cc * 32768.0), -32768, 32767) * val * inv)
                       * lvl * inv)
-    add_q = jnp.floor(jnp.floor(jnp.floor(cs * 32768.0) * val * inv)
+    add_q = jnp.floor(jnp.floor(jnp.clip(jnp.floor(cs * 32768.0), -32768, 32767) * val * inv)
                       * lvl * inv)
     return out_i + add_i, out_q + add_q
 

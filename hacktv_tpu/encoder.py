@@ -87,6 +87,17 @@ class Encoder:
             self.offset_statics = rf_ops.make_offset_statics(
                 conf.offset, p.sample_rate, p.width)
 
+        # SECAM chroma (src/video.c:3068-3233)
+        from .config.standards import ColourMode
+        from .video import secam as secam_mod
+        self.secam_statics = None
+        if conf.colour_mode == ColourMode.SECAM:
+            self.secam_statics = secam_mod.make_statics(
+                p, self.vframe_x, self.source.width)
+            self._secam_tail = jnp.zeros(secam_mod._IIR_TAIL,
+                                         dtype=jnp.float32)
+            self._secam_meta_cache: dict = {}
+
         self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
@@ -107,11 +118,13 @@ class Encoder:
         if self.audio.fm_mono is not None:
             c = self.audio.fm_mono
             self.fm_statics = audio_synth.make_fm_statics(
-                c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg)
+                c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
+                c.eps)
         if self.audio.am_mono is not None:
             c = self.audio.am_mono
             self.am_statics = audio_synth.make_fm_statics(
-                c.num, c.den, c.level_int, 0.0, p.width, self.audio.nseg)
+                c.num, c.den, c.level_int, 0.0, p.width, self.audio.nseg,
+                c.eps)
         if self.audio.nicam is not None:
             nt = self.audio.nicam
             self.nicam_statics = audio_synth.make_nicam_statics(
@@ -141,6 +154,7 @@ class Encoder:
         dev = {k: jnp.asarray(meta[k]) for k in _META_KEYS}
         dev["cos0"] = jnp.asarray(meta["cos0"].astype(np.float32))
         dev["sin0"] = jnp.asarray(meta["sin0"].astype(np.float32))
+        dev["lut_row"] = jnp.asarray(meta["lut_row"])
         self._meta_cache[key] = dev
         return dev
 
@@ -153,18 +167,21 @@ class Encoder:
         return p.cl_num // g
 
     def _device_rgb(self, block_no: int):
-        """Upload the source frame once per distinct frame (the test card
-        is constant, so this is a one-time transfer)."""
+        """Bit-exact host YUV conversion (f64, matching the reference's
+        LUT build), uploaded once per distinct source frame."""
+        from .config.standards import ColourMode
         rgb = self.source.read_video(block_no)
         if self._rgb_cache is not None and self._rgb_cache[0] is rgb:
             return self._rgb_cache[1]
-        dev = jax.device_put(jnp.asarray(rgb))
+        secam = self.conf.colour_mode == ColourMode.SECAM
+        y, u, v = raster.rgb_to_yuv_host(self.params, rgb, secam)
+        dev = tuple(jax.device_put(jnp.asarray(a)) for a in (y, u, v))
         self._rgb_cache = (rgb, dev)
         return dev
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
-                   cos0, sin0, first_mask, audio_args):
+                   cos0, sin0, lut_row, first_mask, audio_args):
         """Fused synthesis + output filter + audio + int16 quantisation
         for one block of frames (plus halo lines)."""
         from .audio import synth as audio_synth
@@ -175,7 +192,13 @@ class Encoder:
         n = nlines * W
 
         block = raster.synth_block(self.statics, rgb, base, nxt, burst,
-                                   vswitch, vy, al, ar, cos0, sin0)
+                                   vswitch, vy, al, ar, cos0, sin0, lut_row)
+        secam_tail = None
+        if self.secam_statics is not None:
+            from .video import secam as secam_mod
+            block, secam_tail = secam_mod.render(
+                self.secam_statics, block, rgb[1], rgb[2],
+                audio_args["secam"], audio_args["secam_tail"])
         for svc, arr in zip(self.services, audio_args.get("services", ())):
             block = svc.apply(block, arr)
         block = block.at[0].multiply(first_mask)
@@ -202,7 +225,8 @@ class Encoder:
             y = x[W: W + n]
 
         if not self.has_audio and not self.complex_out:
-            return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+            yi = jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+            return (yi, secam_tail) if secam_tail is not None else yi
 
         out_i = y.reshape(nlines, W)
         out_q = (yq.reshape(nlines, W) if yq is not None
@@ -212,12 +236,13 @@ class Encoder:
             fm = audio_args["fm_mono"]
             out_i, out_q = audio_synth.fm_add(
                 self.fm_statics, out_i, out_q, fm["seg_val"],
-                fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"])
+                fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"],
+                fm["cyc0"])
         if self.am_statics is not None:
             am = audio_args["am_mono"]
             out_i, out_q = audio_synth.am_add(
                 self.am_statics, out_i, out_q, am["seg_val"],
-                am["seg_col"], am["c0"], am["s0"])
+                am["seg_col"], am["c0"], am["s0"], am["cyc0"])
         if self.nicam_statics is not None:
             nc = audio_args["nicam"]
             out_i, out_q = audio_synth.nicam_add(
@@ -241,9 +266,8 @@ class Encoder:
 
         iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
         iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
-        if frame_tot is not None:
-            return iq, frame_tot
-        return iq
+        aux = tuple(a for a in (frame_tot, secam_tail) if a is not None)
+        return (iq, *aux) if aux else iq
 
     # ------------------------------------------------------------------
     def _audio_args(self, block_no: int) -> dict:
@@ -263,8 +287,6 @@ class Encoder:
                 {k: jnp.asarray(v) for k, v in
                  svc.block_arrays(k0 - 1, nlines + 2).items()}
                 for svc in self.services)
-        if not self.has_audio:
-            return args
         if self.fm_statics is not None:
             fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)
             args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}
@@ -282,6 +304,19 @@ class Encoder:
                     "FM-modulated blocks must be encoded sequentially "
                     f"(no phase carry for block {block_no})")
             args["fm_phi0"] = jnp.float32(self._fm_phi[block_no])
+        if self.secam_statics is not None:
+            from .video import secam as secam_mod
+            key = k0
+            sm = self._secam_meta_cache.get(key)
+            if sm is None:
+                sm = secam_mod.line_meta(p, k0 - 1, nlines + 2,
+                                         self.vframe_y, self.source.height)
+                sm = {k: jnp.asarray(v) for k, v in sm.items()}
+                if len(self._secam_meta_cache) > 8:
+                    self._secam_meta_cache.clear()
+                self._secam_meta_cache[key] = sm
+            args["secam"] = sm
+            args["secam_tail"] = self._secam_tail
         if self.offset_statics is not None:
             from .rf import ops as rf_ops
             c0, s0 = rf_ops.offset_rotation(
@@ -300,14 +335,38 @@ class Encoder:
         audio_args = self._audio_args(block_no)
         out = self._step(rgb, m["base"], m["nxt"], m["burst"],
                          m["vswitch"], m["vy"], m["al"], m["ar"],
-                         m["cos0"], m["sin0"], first, audio_args)
-        if self.fm_video_statics is not None:
-            out, frame_tot = out
-            phi = (self._fm_phi[block_no]
-                   + float(np.sum(np.asarray(frame_tot, dtype=np.float64)))
-                   ) % (2.0 * np.pi)
-            self._fm_phi[block_no + 1] = phi
+                         m["cos0"], m["sin0"], m["lut_row"], first,
+                         audio_args)
+        if isinstance(out, tuple):
+            out, *aux = out
+            if self.fm_video_statics is not None:
+                frame_tot = aux.pop(0)
+                phi = (self._fm_phi[block_no]
+                       + float(np.sum(np.asarray(frame_tot,
+                                                 dtype=np.float64)))
+                       ) % (2.0 * np.pi)
+                self._fm_phi[block_no + 1] = phi
+            if self.secam_statics is not None:
+                self._secam_tail = aux.pop(0)
         return out
+
+    def _secam_uv(self, rgb):
+        """SECAM-scaled chroma lookups (src/video.c:3944-3953): u/v are
+        FM frequency offsets in deviation units."""
+        from .config.standards import (SECAM_CB_FREQ, SECAM_CR_FREQ,
+                                       SECAM_FM_DEV, SECAM_FM_FREQ)
+        st = self.statics
+        f = rgb.astype(jnp.float32) * (1.0 / 255.0)
+        if st.gamma != 1.0:
+            f = jnp.power(jnp.maximum(f, 1e-9), 1.0 / st.gamma)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = r * st.rw + g * st.gw + b * st.bw
+        u = (b - y) * st.eu
+        v = (r - y) * st.ev
+        u = (u + (SECAM_CB_FREQ - SECAM_FM_FREQ)) / SECAM_FM_DEV
+        v = (v + (SECAM_CR_FREQ - SECAM_FM_FREQ)) / SECAM_FM_DEV
+        q = lambda a: jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0)
+        return q(u), q(v)
 
     def encode_frame(self, frame_no: int) -> np.ndarray:
         """Single-frame convenience API (frames_per_block must be 1)."""

@@ -71,8 +71,9 @@ def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, phi0: jnp.ndarray):
     cq = jnp.sin(phi)
     lvl = np.float32(st.level_int)
     inv = np.float32(1.0 / 32768.0)
-    out_i = jnp.floor(jnp.floor(ci * 32768.0) * lvl * inv)
-    out_q = jnp.floor(jnp.floor(cq * 32768.0) * lvl * inv)
+    
+    out_i = jnp.floor(jnp.clip(jnp.floor(ci * 32768.0), -32768, 32767) * lvl * inv)
+    out_q = jnp.floor(jnp.clip(jnp.floor(cq * 32768.0), -32768, 32767) * lvl * inv)
     return out_i, out_q, frame_tot
 
 
@@ -109,8 +110,9 @@ def offset_rotate(st: OffsetStatics, out_i, out_q, c0, s0):
     quantisation: b = phase >> 16 (~cos*32768), (a*b) >> 15."""
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
-    bi = jnp.floor(cc * 32768.0)
-    bq = jnp.floor(cs * 32768.0)
+    
+    bi = jnp.clip(jnp.floor(cc * 32768.0), -32768, 32767)
+    bq = jnp.clip(jnp.floor(cs * 32768.0), -32768, 32767)
     inv = np.float32(1.0 / 32768.0)
     ri = jnp.floor((out_i * bi - out_q * bq) * inv)
     rq = jnp.floor((out_i * bq + out_q * bi) * inv)

@@ -160,7 +160,10 @@ class VideoParams:
         sample offset.
         """
         conf = self.conf
-        d = (conf.sync_level - conf.blanking_level) * level * INT16_MAX
+        # vbidata_update_step takes the level as an int — C truncation
+        # toward zero (src/vbidata.c:62, src/video.c:3884)
+        d = math.trunc((conf.sync_level - conf.blanking_level)
+                       * level * INT16_MAX)
         rise = conf.sync_rise * IRT1090 * self.pixel_rate
 
         # [offset, width] in samples for the 5 pulse slots of the reference
@@ -312,6 +315,7 @@ class VideoParams:
         ph0 = np.zeros(n, dtype=np.int64)
         cos0 = np.ones(n, dtype=np.float64)
         sin0 = np.zeros(n, dtype=np.float64)
+        lut_row = np.zeros(n, dtype=np.int32)
         frame_no = np.zeros(n, dtype=np.int64)
         line_no = np.zeros(n, dtype=np.int64)
 
@@ -340,6 +344,8 @@ class VideoParams:
                 ang = 2.0 * np.pi * ph0[j] / self.cl_num
                 cos0[j] = np.cos(ang)
                 sin0[j] = np.sin(ang)
+                if self.cl_num % self.width == 0:
+                    lut_row[j] = (k * self.width % self.cl_num) // self.width
 
             v = sequence.active_video_line(conf.type, line)
             if v >= 0 and conf.interlaced != 0 and \
@@ -359,4 +365,4 @@ class VideoParams:
 
         return dict(base=base, nxt=nxt, burst=burst, vswitch=vsw, vy=vy,
                     al=al, ar=ar, ph0=ph0, cos0=cos0, sin0=sin0,
-                    frame=frame_no, line=line_no)
+                    lut_row=lut_row, frame=frame_no, line=line_no)

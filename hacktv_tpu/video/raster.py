@@ -42,10 +42,13 @@ class RasterStatics:
     burst_u: jnp.ndarray | None
     burst_v: jnp.ndarray | None
     colour: bool
-    # Colour carrier: per-column cos/sin at the exact rational frequency.
-    # The per-line phase rotation (cos0/sin0) comes in via line metadata and
-    # the full carrier is reconstructed with the angle-addition identity —
-    # two FMAs per sample instead of a transcendental.
+    # Colour carrier.  When the carrier cycle is a whole number of lines
+    # (standard rates), the reference's int16 LUT (src/video.c:3961-3987)
+    # collapses to one row per line-phase class: carrier_rows[P, W, 2] and
+    # a per-line row index — bit-exact and one gather per line.  Otherwise
+    # fall back to the angle-addition evaluation (cos0/sin0 per line +
+    # per-column table).
+    carrier_rows: jnp.ndarray | None  # [P, width, 2] quantised carrier
     carrier_cos: jnp.ndarray | None   # [width]
     carrier_sin: jnp.ndarray | None   # [width]
     # YUV conversion
@@ -64,16 +67,25 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
                  frame_w: int | None = None) -> RasterStatics:
     conf = p.conf
     colour = conf.colour_mode in (ColourMode.PAL, ColourMode.NTSC)
+    ccos = csin = rows = None
     if colour and p.cl_num:
-        # angle(x) = 2*pi * ((x * cl_den) mod cl_num) / cl_num, exact in
-        # integer arithmetic then evaluated in float64 on the host.
-        x = np.arange(p.width, dtype=np.int64)
-        v = (x * p.cl_den) % p.cl_num
-        ang = 2.0 * np.pi * v / p.cl_num
-        ccos = jnp.asarray(np.cos(ang).astype(np.float32))
-        csin = jnp.asarray(np.sin(ang).astype(np.float32))
-    else:
-        ccos = csin = None
+        if p.cl_num % p.width == 0:
+            # exact LUT rows: row r covers lut indices [r*W, (r+1)*W)
+            P = p.cl_num // p.width
+            c = np.arange(p.cl_num, dtype=np.int64)
+            ang = 2.0 * np.pi * (p.cl_den / p.cl_num) * c
+            tab = np.stack([np.round(np.cos(ang) * 32767.0),
+                            np.round(np.sin(ang) * 32767.0)],
+                           axis=-1).astype(np.float32)
+            rows = jnp.asarray(tab.reshape(P, p.width, 2))
+        else:
+            # angle(x) = 2*pi*((x*cl_den) mod cl_num)/cl_num, exact ints
+            # evaluated in float64 on the host.
+            x = np.arange(p.width, dtype=np.int64)
+            v = (x * p.cl_den) % p.cl_num
+            ang = 2.0 * np.pi * v / p.cl_num
+            ccos = jnp.asarray(np.cos(ang).astype(np.float32))
+            csin = jnp.asarray(np.sin(ang).astype(np.float32))
     return RasterStatics(
         width=p.width,
         margin=p.syncs.margin,
@@ -89,6 +101,7 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
         burst_u=jnp.asarray(p.burst_u) if p.burst_u is not None else None,
         burst_v=jnp.asarray(p.burst_v) if p.burst_v is not None else None,
         colour=colour,
+        carrier_rows=rows,
         carrier_cos=ccos,
         carrier_sin=csin,
         gamma=p.gamma,
@@ -108,25 +121,36 @@ def _black_y_level(p: VideoParams) -> int:
     return int(round(y * 32767))
 
 
-def rgb_to_yuv(st: RasterStatics, rgb: jnp.ndarray):
+def rgb_to_yuv_host(p, rgb: np.ndarray, secam: bool = False):
     """RGB u8 [H, W, 3] -> quantised (Y, U, V) int16-valued f32 [H, W].
 
-    Matches the reference's 16M-entry LUT build (src/video.c:3897-3959):
-    gamma per channel, weighted sum, colour-difference scaling, level
-    mapping, round to int16.  Gamma is computed arithmetically — a 256-LUT
-    gather of u8 indices is pathologically slow on TPU.
+    Matches the reference's 16M-entry LUT build (src/video.c:3897-3959)
+    bit-exactly: the conversion runs in float64 on the host (boundary
+    rounding in f32 would systematically shift whole colour regions,
+    which FM modes integrate into phase drift).  Cached per source frame
+    by the encoder.
     """
-    f = rgb.astype(jnp.float32) * (1.0 / 255.0)
-    if st.gamma != 1.0:
-        f = jnp.power(jnp.maximum(f, 1e-9), 1.0 / st.gamma)
-    r, gg, b = f[..., 0], f[..., 1], f[..., 2]
-    y = r * st.rw + gg * st.gw + b * st.bw
-    u = (b - y) * st.eu
-    v = (r - y) * st.ev
-    yl = (st.y_offset + y * st.y_scale)
-    ul = u * st.uv_scale
-    vl = v * st.uv_scale
-    q = lambda a: jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0)
+    from ..config.standards import (SECAM_CB_FREQ, SECAM_CR_FREQ,
+                                    SECAM_FM_DEV, SECAM_FM_FREQ)
+    conf = p.conf
+    glut = np.power(np.arange(256) / 255.0, 1.0 / p.gamma)
+    r = glut[rgb[..., 0]]
+    g = glut[rgb[..., 1]]
+    b = glut[rgb[..., 2]]
+    y = r * p.rw_co + g * p.gw_co + b * p.bw_co
+    u = (b - y) * conf.eu_co
+    v = (r - y) * conf.ev_co
+    yl = (conf.black_level + y * (conf.white_level - conf.black_level)) \
+        * p.level
+    if not secam:
+        scale = (conf.white_level - conf.black_level) * p.level
+        ul = u * scale
+        vl = v * scale
+    else:
+        ul = (u + (SECAM_CB_FREQ - SECAM_FM_FREQ)) / SECAM_FM_DEV
+        vl = (v + (SECAM_CR_FREQ - SECAM_FM_FREQ)) / SECAM_FM_DEV
+    q = lambda a: np.round(np.clip(a, -1.0, 1.0) * 32767.0
+                           ).astype(np.float32)
     return q(yl), q(ul), q(vl)
 
 
@@ -151,7 +175,7 @@ def _chroma_filter(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def synth_block(st: RasterStatics,
-                rgb: jnp.ndarray,       # u8 [H, W, 3]
+                yuv,                    # (Y, U, V) f32 [H, frame_w] each
                 base: jnp.ndarray,      # i32 [B]
                 nxt: jnp.ndarray,       # i32 [B]
                 burst: jnp.ndarray,     # f32 [B] 0/1
@@ -161,6 +185,7 @@ def synth_block(st: RasterStatics,
                 ar: jnp.ndarray,        # i32 [B]
                 cos0: jnp.ndarray,      # f32 [B] carrier phase at line start
                 sin0: jnp.ndarray,      # f32 [B]
+                lut_row: jnp.ndarray = None,   # i32 [B] carrier LUT row
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
@@ -168,7 +193,7 @@ def synth_block(st: RasterStatics,
     B = base.shape[0]
     W = st.width
 
-    y_img, u_img, v_img = rgb_to_yuv(st, rgb)
+    y_img, u_img, v_img = yuv
     H = y_img.shape[0]
 
     # Row gather with black fallback
@@ -212,13 +237,17 @@ def synth_block(st: RasterStatics,
             bn = st.burst_u.shape[0]
             uc = uc.at[:, bl:bl + bn].set(st.burst_u[None, :])
             vc = vc.at[:, bl:bl + bn].set(st.burst_v[None, :])
-        # Colour subcarrier: angle addition against the static per-column
-        # table — cos(a+b) = cos a cos b - sin a sin b.  Quantised to the
-        # int16 grid like the reference LUT, then /32768.
-        cos_t = jnp.round((cos0[:, None] * st.carrier_cos
-                           - sin0[:, None] * st.carrier_sin) * 32767.0)
-        sin_t = jnp.round((sin0[:, None] * st.carrier_cos
-                           + cos0[:, None] * st.carrier_sin) * 32767.0)
+        # Colour subcarrier: exact LUT row per line when available,
+        # otherwise angle addition against the static per-column table.
+        if st.carrier_rows is not None:
+            lut = st.carrier_rows[lut_row]
+            cos_t = lut[..., 0]
+            sin_t = lut[..., 1]
+        else:
+            cos_t = jnp.round((cos0[:, None] * st.carrier_cos
+                               - sin0[:, None] * st.carrier_sin) * 32767.0)
+            sin_t = jnp.round((sin0[:, None] * st.carrier_cos
+                               + cos0[:, None] * st.carrier_sin) * 32767.0)
         sub = (cos_t * vc * vswitch[:, None] + sin_t * uc) * (1.0 / 32768.0)
         # The reference truncates (>>15); floor instead of round
         out = out + jnp.where(burst[:, None] > 0, jnp.floor(sub), 0.0)

@@ -72,4 +72,47 @@ def test_fm_video_pal_fm():
     e = (o - r)[:, :W - 12]
     rr = r[:, :W - 12]
     snr = 10 * np.log10((np.abs(rr) ** 2).sum() / (np.abs(e) ** 2).sum())
-    assert snr >= 40.0, f"FM conditional SNR {snr:.2f} dB"
+    assert snr >= 55.0, f"FM conditional SNR {snr:.2f} dB"
+
+
+def test_secam_composite():
+    path = os.path.join(GOLDEN, "secam_16M_2frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = Encoder("secam", 16_000_000)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 40.0, f"SECAM SNR {snr:.2f} dB"
+
+
+def test_secam_l_full_chain():
+    """SECAM-L: AM video polarity + AM audio carrier at 6.5 MHz."""
+    ref = _golden_iq("secaml_16M_2frames.c16")
+    enc = Encoder("l", 16_000_000)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 40.0, f"SECAM-L SNR {snr:.2f} dB"
+
+
+def test_fm_absolute_phase_tracks():
+    """With the deterministic reference build, our FM absolute phase must
+    track the golden within a fraction of a radian for at least a frame
+    (raw SNR > 25 dB over 2 frames)."""
+    ref = _golden_iq("palfm_16M_2frames.c16")
+    enc = Encoder("pal-fm", 16_000_000)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 25.0, f"FM raw SNR {snr:.2f} dB"

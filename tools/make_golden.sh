@@ -15,6 +15,15 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     sed -i 's|#include <libavdevice/avdevice.h>|/* avdevice stubbed */|;
             s|avdevice_register_all();|/* stubbed */|' av_ffmpeg.c
     sed -i 's/ libavdevice//' Makefile
+    # The reference's per-line chroma FIR reads a few samples past the
+    # chrominance buffer (src/fir.c block prefill feeds `samples` more
+    # inputs than remain), so unpatched output contains uninitialised
+    # heap values in the last samples of every chroma line — and, for
+    # FM/SECAM modes, an unreproducible phase walk.  Zero-allocate the
+    # buffer with a margin so those reads return 0, making the golden
+    # captures deterministic (this matches the batch encoder's
+    # zero-padding semantics).
+    sed -i 's/s->chrominance_buffer = malloc(sizeof(int16_t) \* 2 \* s->width);/s->chrominance_buffer = calloc(2 * (s->width + 64), sizeof(int16_t));/' video.c
     make -j"$(nproc)" >/dev/null
 fi
 
