@@ -34,7 +34,9 @@ class Encoder:
                  pixel_rate: int = 0, source=None,
                  frames_per_block: int = 1, wss: str | None = None,
                  teletext: str | None = None, vfilter: bool = False,
-                 offset: int = 0, swap_iq: bool = False):
+                 offset: int = 0, swap_iq: bool = False,
+                 vits: bool = False, vitc: bool = False,
+                 cc608: bool = False, acp: bool = False):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -59,11 +61,25 @@ class Encoder:
         self.statics = raster.make_statics(p, self.vframe_x, source.width)
 
         # VBI data services, in the reference's registration order
-        # (src/video.c:4215-4359)
+        # (src/video.c:4215-4359): vits, wss, [scramblers], acp, vitc,
+        # cc608, sis, teletext
+        from .config.standards import ColourMode as _CM
         self.services = []
+        if vits:
+            from .services.vits import VITS as _VITS
+            self.services.append(_VITS(p, conf.colour_mode == _CM.PAL))
         if wss:
             from .services.wss import WSS
             self.services.append(WSS(p, wss))
+        if acp:
+            from .services.acp import ACP as _ACP
+            self.services.append(_ACP(p))
+        if vitc:
+            from .services.vitc import VITC as _VITC
+            self.services.append(_VITC(p))
+        if cc608:
+            from .services.cc608 import CC608 as _CC
+            self.services.append(_CC(p))
         if teletext:
             from .services.teletext import Teletext
             self.services.append(Teletext(p, teletext))
@@ -199,8 +215,12 @@ class Encoder:
             block, secam_tail = secam_mod.render(
                 self.secam_statics, block, rgb[1], rgb[2],
                 audio_args["secam"], audio_args["secam_tail"])
-        for svc, arr in zip(self.services, audio_args.get("services", ())):
-            block = svc.apply(block, arr)
+        if self.services:
+            lut = (self.statics.carrier_rows[lut_row]
+                   if self.statics.carrier_rows is not None else None)
+            for svc, arr in zip(self.services,
+                                audio_args.get("services", ())):
+                block = svc.apply(block, arr, lut)
         block = block.at[0].multiply(first_mask)
         x = block.reshape(-1)
 
@@ -283,9 +303,10 @@ class Encoder:
         a_k0 = k0 + (1 if self.conf.vfilter else 0)
         args = {}
         if self.services:
+            claimed = np.zeros(nlines + 2, dtype=bool)
             args["services"] = tuple(
                 {k: jnp.asarray(v) for k, v in
-                 svc.block_arrays(k0 - 1, nlines + 2).items()}
+                 svc.block_arrays(k0 - 1, nlines + 2, claimed).items()}
                 for svc in self.services)
         if self.fm_statics is not None:
             fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)

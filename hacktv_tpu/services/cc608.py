@@ -1,0 +1,92 @@
+"""CEA/EIA-608 closed captions on line 21/22 (src/cc608.c):
+7-cycle clock run-in + start bit + two odd-parity characters."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..ops.shapes import IRT1090
+from . import vbidata
+
+
+def encode_chars(c1: int, c2: int) -> bytes:
+    """Start bit + odd-parity char pair -> 17 bits (src/cc608.c:172-188)."""
+    def parity(c):
+        c = (c & 0x7F) | 0x80
+        for i in range(1, 8):
+            c ^= (c << i) & 0x80
+        return c
+    c1 = parity(c1)
+    c2 = parity(c2)
+    data = bytes([((c1 << 1) | 0x01) & 0xFF,
+                  ((c2 << 1) | (c1 >> 7)) & 0xFF,
+                  (c2 >> 7) & 0xFF])
+    return data
+
+
+class CC608:
+    def __init__(self, params):
+        p = params
+        from ..config.standards import RasterType
+        if p.conf.type == RasterType.RASTER_525:
+            self.line = 21
+            offset = 27.382e-6
+        elif p.conf.type == RasterType.RASTER_625:
+            self.line = 22
+            offset = 27.5e-6
+        else:
+            raise ValueError("cc608: unsupported TV mode")
+        level = round((p.white_level - p.black_level) * 0.5)
+        self.basis = vbidata.basis_step(
+            32, p.width, level, p.width / 32,
+            p.pixel_rate * 240e-9 * IRT1090, p.pixel_rate * offset)
+        # clock run-in: 7 cycles raised-sine (src/cc608.c:141-154)
+        w = p.width * 7 / 32
+        x = p.pixel_rate * offset - (p.width * 8.75 / 32)
+        self.cri_x = int(x)
+        cri_len = math.ceil(w)
+        i = np.arange(cri_len)
+        # int16 assignment truncates toward zero in C
+        self.cri = np.trunc(
+            (0.5 - np.cos((i - (x - self.cri_x)) * (2 * np.pi / w * 7)) * 0.5)
+            * level).astype(np.float32)
+        self.lines_total = p.conf.lines
+        self.width = p.width
+        self.fifo: list[tuple[int, int]] = []
+
+    def write_pair(self, c1: int, c2: int):
+        if (c1 | c2) & 0x7F:
+            self.fifo.append((c1, c2))
+
+    def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
+        bits = np.zeros((nlines, 32), dtype=np.float32)
+        active = np.zeros(nlines, dtype=np.float32)
+        for b in range(nlines):
+            k = k0 + b
+            if k < 0:
+                continue
+            line = k % self.lines_total + 1
+            if line != self.line:
+                continue
+            pair = self.fifo.pop(0) if self.fifo else (0, 0)
+            data = encode_chars(*pair)
+            bits[b, :17] = vbidata.bytes_to_bits(data, 17, lsb_first=True)
+            active[b] = 1.0
+            if claimed is not None:
+                claimed[b] = True
+        return {"bits": bits, "active": active}
+
+    def apply(self, out, arrays, lut=None):
+        import jax.numpy as jnp
+        wave = arrays["bits"] @ jnp.asarray(self.basis)
+        cri = jnp.zeros(self.width, dtype=jnp.float32)
+        cri = jax_dynamic_update(cri, jnp.asarray(self.cri), self.cri_x)
+        wave = wave + arrays["active"][:, None] * cri[None, :]
+        return out + wave
+
+
+def jax_dynamic_update(arr, vals, start):
+    import jax
+    return jax.lax.dynamic_update_slice(arr, vals, (start,))

@@ -464,17 +464,19 @@ class Teletext:
             del self._row_cache[old]
         return row
 
-    def block_arrays(self, k0: int, nlines: int) -> dict:
+    def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         bits = np.zeros((nlines, 360), dtype=np.float32)
         for b in range(nlines):
             k = k0 + b
             if k < 0:
                 continue
+            if claimed is not None and claimed[b]:
+                continue    # line already allocated (src/teletext.c:1219)
             row = self._row_bits(k)
             if row is not None:
                 bits[b] = row
         return {"bits": bits}
 
-    def apply(self, out, arrays):
+    def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
         return out + arrays["bits"] @ jnp.asarray(self.basis)

@@ -84,7 +84,7 @@ class WSS:
                 wss_vbi_bytes(0x07 if widescreen else 0x08), 137,
                 lsb_first=False)
 
-    def block_arrays(self, k0: int, nlines: int) -> dict:
+    def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         """bits [B, 137] with nonzero rows only on line 23 of each frame,
         plus the per-line blanking mask flag."""
         ks = np.arange(k0, k0 + nlines, dtype=np.int64)
@@ -92,9 +92,11 @@ class WSS:
         active = (line == self.line)
         bits = np.zeros((nlines, self.nbits), dtype=np.float32)
         bits[active] = self.bits
+        if claimed is not None:
+            claimed |= active
         return {"bits": bits, "active": active.astype(np.float32)}
 
-    def apply(self, out, arrays):
+    def apply(self, out, arrays, lut=None):
         """Device: blank [half_width, blank_width) to black on active
         lines, then add bits @ basis."""
         import jax.numpy as jnp

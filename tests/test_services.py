@@ -60,3 +60,34 @@ def test_teletext_crc_and_parity():
         assert bin(int(_PARITY[v])).count("1") & 1 == 1
     # hamming84 table values are distinct
     assert len(set(int(h) for h in HAMMING84)) == 16
+
+
+def _svc_golden(name, mode, rate, nb=2, **kw):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = Encoder(mode, rate, **kw)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(nb)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    return 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+
+
+def test_vits_vitc_golden():
+    snr = _svc_golden("pal_vits_vitc_2frames.s16", "pal", 16_000_000,
+                      vits=True, vitc=True)
+    assert snr >= 40.0, f"VITS+VITC SNR {snr:.2f} dB"
+
+
+def test_acp_golden():
+    snr = _svc_golden("pal_acp_2frames.s16", "pal", 16_000_000, acp=True)
+    assert snr >= 40.0, f"ACP SNR {snr:.2f} dB"
+
+
+def test_cc608_golden():
+    snr = _svc_golden("ntsc_cc608_2frames.s16", "ntsc", 14318181,
+                      cc608=True)
+    assert snr >= 40.0, f"CC608 SNR {snr:.2f} dB"

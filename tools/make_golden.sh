@@ -58,3 +58,7 @@ capture secaml_16M_2frames.c16 5120000 -m l test
 capture secam_16M_2frames.s16 2560000 -m secam test
 
 ls -la "$GOLDEN"
+# VBI service variants
+capture pal_vits_vitc_2frames.s16 2560000 -m pal --vits --vitc test
+capture pal_acp_2frames.s16 2560000 -m pal --acp test
+capture ntsc_cc608_2frames.s16 1911600 -s 14318181 -m ntsc --cc608 test
