@@ -36,7 +36,9 @@ class Encoder:
                  teletext: str | None = None, vfilter: bool = False,
                  offset: int = 0, swap_iq: bool = False,
                  vits: bool = False, vitc: bool = False,
-                 cc608: bool = False, acp: bool = False):
+                 cc608: bool = False, acp: bool = False,
+                 videocrypt: str | None = None,
+                 videocrypt2: str | None = None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -71,6 +73,9 @@ class Encoder:
         if wss:
             from .services.wss import WSS
             self.services.append(WSS(p, wss))
+        if videocrypt or videocrypt2:
+            from .services.videocrypt import Videocrypt as _VC
+            self.services.append(_VC(p, videocrypt, videocrypt2))
         if acp:
             from .services.acp import ACP as _ACP
             self.services.append(_ACP(p))

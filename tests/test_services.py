@@ -91,3 +91,21 @@ def test_cc608_golden():
     snr = _svc_golden("ntsc_cc608_2frames.s16", "ntsc", 14318181,
                       cc608=True)
     assert snr >= 40.0, f"CC608 SNR {snr:.2f} dB"
+
+
+def test_videocrypt1_golden():
+    snr = _svc_golden("pal_vc1_4frames.s16", "pal", 16_000_000, nb=4,
+                      videocrypt="free")
+    assert snr >= 40.0, f"Videocrypt I SNR {snr:.2f} dB"
+
+
+def test_videocrypt1_conditional_golden():
+    snr = _svc_golden("pal_vc1c_4frames.s16", "pal", 16_000_000, nb=4,
+                      videocrypt="conditional")
+    assert snr >= 40.0, f"Videocrypt I CA SNR {snr:.2f} dB"
+
+
+def test_videocrypt2_golden():
+    snr = _svc_golden("pal_vc2_4frames.s16", "pal", 16_000_000, nb=4,
+                      videocrypt2="free")
+    assert snr >= 40.0, f"Videocrypt II SNR {snr:.2f} dB"

@@ -62,3 +62,11 @@ ls -la "$GOLDEN"
 capture pal_vits_vitc_2frames.s16 2560000 -m pal --vits --vitc test
 capture pal_acp_2frames.s16 2560000 -m pal --acp test
 capture ntsc_cc608_2frames.s16 1911600 -s 14318181 -m ntsc --cc608 test
+# Scramblers
+capture pal_vc1_4frames.s16 5120000 -m pal --videocrypt free test
+capture pal_vc2_4frames.s16 5120000 -m pal --videocrypt2 free test
+capture pal_vc1c_4frames.s16 5120000 -m pal --videocrypt conditional test
+capture pal_syster_4frames.s16 5120000 -m pal --syster test
+capture pal_d11_4frames.s16 5120000 -m pal --d11 test
+capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr test
+capture pal_vcs_8frames.s16 10240000 -m pal --videocrypts free test
