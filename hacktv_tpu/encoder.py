@@ -38,7 +38,11 @@ class Encoder:
                  vits: bool = False, vitc: bool = False,
                  cc608: bool = False, acp: bool = False,
                  videocrypt: str | None = None,
-                 videocrypt2: str | None = None):
+                 videocrypt2: str | None = None,
+                 videocrypts: str | None = None,
+                 syster: str | None = None,
+                 systercnr: str | None = None,
+                 d11: str | None = None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -76,6 +80,18 @@ class Encoder:
         if videocrypt or videocrypt2:
             from .services.videocrypt import Videocrypt as _VC
             self.services.append(_VC(p, videocrypt, videocrypt2))
+        if videocrypts:
+            from .services.videocrypts import VideocryptS as _VCS
+            self.services.append(_VCS(p, videocrypts))
+        if syster:
+            from .services.syster import Syster as _NG
+            self.services.append(_NG(p, syster, cnr=bool(systercnr)))
+        elif systercnr:
+            from .services.syster import SysterCNR as _SCNR
+            self.services.append(_SCNR(p, systercnr))
+        if d11:
+            from .services.syster import D11 as _D11
+            self.services.append(_D11(p, d11))
         if acp:
             from .services.acp import ACP as _ACP
             self.services.append(_ACP(p))
@@ -88,6 +104,11 @@ class Encoder:
         if teletext:
             from .services.teletext import Teletext
             self.services.append(Teletext(p, teletext))
+
+        # Scramblers that read lines ahead (syster shuffle: up to 344)
+        # extend the bottom halo of each synthesised block.
+        self.halo_after = max([1] + [getattr(s, "lookahead", 1)
+                                     for s in self.services])
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self._init_audio()
@@ -167,7 +188,7 @@ class Encoder:
         hit = self._meta_cache.get(key)
         if hit is not None:
             return hit
-        meta = p.line_meta(k0 - 1, nlines + 2,
+        meta = p.line_meta(k0 - 1, nlines + 1 + self.halo_after,
                            vframe_interlaced=self.source.interlaced,
                            vframe_x=self.vframe_x, vframe_y=self.vframe_y,
                            vframe_w=self.source.width,
@@ -308,10 +329,11 @@ class Encoder:
         a_k0 = k0 + (1 if self.conf.vfilter else 0)
         args = {}
         if self.services:
-            claimed = np.zeros(nlines + 2, dtype=bool)
+            claimed = np.zeros(nlines + 1 + self.halo_after, dtype=bool)
             args["services"] = tuple(
                 {k: jnp.asarray(v) for k, v in
-                 svc.block_arrays(k0 - 1, nlines + 2, claimed).items()}
+                 svc.block_arrays(k0 - 1, nlines + 1 + self.halo_after,
+                                  claimed).items()}
                 for svc in self.services)
         if self.fm_statics is not None:
             fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)
@@ -335,7 +357,8 @@ class Encoder:
             key = k0
             sm = self._secam_meta_cache.get(key)
             if sm is None:
-                sm = secam_mod.line_meta(p, k0 - 1, nlines + 2,
+                sm = secam_mod.line_meta(p, k0 - 1,
+                                         nlines + 1 + self.halo_after,
                                          self.vframe_y, self.source.height)
                 sm = {k: jnp.asarray(v) for k, v in sm.items()}
                 if len(self._secam_meta_cache) > 8:

@@ -245,6 +245,7 @@ class _VCState:
                 if line != 23:          # WSS hack (videocrypt.c:483)
                     cuts[line] = x
         self._frames[fr] = (self.vbi, self.vbi2, cuts)
+        self._frames.pop(fr - 8, None)
         self._next_frame += 1
 
     def frame(self, fr: int):

@@ -109,3 +109,50 @@ def test_videocrypt2_golden():
     snr = _svc_golden("pal_vc2_4frames.s16", "pal", 16_000_000, nb=4,
                       videocrypt2="free")
     assert snr >= 40.0, f"Videocrypt II SNR {snr:.2f} dB"
+
+
+def test_videocrypts_golden():
+    snr = _svc_golden("pal_vcs_8frames.s16", "pal", 16_000_000, nb=8,
+                      videocrypts="free")
+    assert snr >= 40.0, f"Videocrypt S SNR {snr:.2f} dB"
+
+
+def test_syster_shuffle_golden():
+    snr = _svc_golden("pal_syster_4frames.s16", "pal", 16_000_000, nb=4,
+                      syster="premiere-fa")
+    assert snr >= 40.0, f"Syster SNR {snr:.2f} dB"
+
+
+def test_systercnr_golden():
+    snr = _svc_golden("pal_systercnr_4frames.s16", "pal", 16_000_000, nb=4,
+                      systercnr="premiere-fa")
+    assert snr >= 40.0, f"Syster CNR SNR {snr:.2f} dB"
+
+
+def test_syster_combined_golden():
+    snr = _svc_golden("pal_systerfull_4frames.s16", "pal", 16_000_000,
+                      nb=4, syster="premiere-fa", systercnr="premiere-fa")
+    assert snr >= 40.0, f"Syster shuffle+CNR SNR {snr:.2f} dB"
+
+
+def test_d11_golden():
+    snr = _svc_golden("pal_d11_6frames.s16", "pal", 16_000_000, nb=6,
+                      d11="premiere-fa")
+    assert snr >= 40.0, f"Discret 11 SNR {snr:.2f} dB"
+
+
+def test_syster_ca_cipher():
+    """encrypt_syster_cw vs vectors from the reference syster-ca.c."""
+    from hacktv_tpu.services.syster_ca import encrypt_syster_cw
+    data = [0xFF, 0x01, 0x11, 0x00, 0x21, 0x92, 0x21, 0x92]
+    key = [0xC4, 0xA5, 0xA8, 0x18, 0x74, 0x93, 0xC7, 0x65]
+    ecm = [(i if (i < 4 or i > 11) else data[i - 4]) for i in range(16)]
+    cw = encrypt_syster_cw(ecm, key)
+    assert cw == 0x060402000F0E0D0C
+    assert bytes(ecm).hex() == "03b3e56debb4e4e3b53a2973dfbfb031"
+    key2 = [0x00, 0xAE, 0x52, 0x90, 0x49, 0xF1, 0xF1, 0xBB]
+    ecm = [((i * 7 + 1) & 0xFF if (i < 4 or i > 11) else data[i - 4])
+           for i in range(16)]
+    cw = encrypt_syster_cw(ecm, key2)
+    assert cw == 0x0C1E10026A635C55
+    assert bytes(ecm).hex() == "38e7661dc880e1c1751672e857a5f87c"

@@ -24,6 +24,10 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # captures deterministic (this matches the batch encoder's
     # zero-padding semantics).
     sed -i 's/s->chrominance_buffer = malloc(sizeof(int16_t) \* 2 \* s->width);/s->chrominance_buffer = calloc(2 * (s->width + 64), sizeof(int16_t));/' video.c
+    # Pin the Syster ECM table to the deterministic STATIC_ECM path
+    # (plain --syster uses rand() seeded from time(), syster.c:452,527,
+    # which would make the golden capture unreproducible).
+    sed -i 's/vid->conf.systercnr ? STATIC_ECM : RANDOM_ECM/STATIC_ECM/' syster.c
     make -j"$(nproc)" >/dev/null
 fi
 
@@ -66,7 +70,8 @@ capture ntsc_cc608_2frames.s16 1911600 -s 14318181 -m ntsc --cc608 test
 capture pal_vc1_4frames.s16 5120000 -m pal --videocrypt free test
 capture pal_vc2_4frames.s16 5120000 -m pal --videocrypt2 free test
 capture pal_vc1c_4frames.s16 5120000 -m pal --videocrypt conditional test
-capture pal_syster_4frames.s16 5120000 -m pal --syster test
-capture pal_d11_4frames.s16 5120000 -m pal --d11 test
-capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr test
+capture pal_syster_4frames.s16 5120000 -m pal --syster premiere-fa test
+capture pal_d11_6frames.s16 7680000 -m pal --d11 premiere-fa test
+capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr premiere-fa test
+capture pal_systerfull_4frames.s16 5120000 -m pal --syster premiere-fa --systercnr premiere-fa test
 capture pal_vcs_8frames.s16 10240000 -m pal --videocrypts free test
