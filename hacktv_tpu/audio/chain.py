@@ -113,13 +113,19 @@ class AudioChain:
     """Per-block audio computation for one video mode."""
 
     def __init__(self, conf: VidConfig, sample_rate: int, width: int,
-                 source):
+                 source, systeraudio: bool = False):
         self.conf = conf
         self.S = int(sample_rate)
         self.A = AUDIO_RATE
         self.W = width
         self.source = source
         self.volume_int = int(conf.volume * 256 + 0.5)
+        # Syster audio spectrum inversion runs on the raw source audio
+        # before volume scaling (src/video.c:3280-3295)
+        self.inverter = None
+        if systeraudio:
+            from ..services.syster import SysterAudioInverter
+            self.inverter = SysterAudioInverter()
 
         slevel = 1.0 if conf.modulation == Modulation.FM else conf.level
 
@@ -166,7 +172,11 @@ class AudioChain:
         out = np.zeros((count, 2), dtype=np.int64)
         lo = max(start, 0)
         if lo < start + count:
-            raw = self.source.read_audio(lo, start + count - lo)
+            if self.inverter is not None:
+                raw = self.inverter.process(self.source.read_audio, lo,
+                                            start + count - lo)
+            else:
+                raw = self.source.read_audio(lo, start + count - lo)
             v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
             out[lo - start:] = np.clip(v, -32768, 32767)
         return out

@@ -42,7 +42,8 @@ class Encoder:
                  videocrypts: str | None = None,
                  syster: str | None = None,
                  systercnr: str | None = None,
-                 d11: str | None = None):
+                 d11: str | None = None,
+                 systeraudio: bool = False):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -111,7 +112,7 @@ class Encoder:
                                      for s in self.services])
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
-        self._init_audio()
+        self._init_audio(systeraudio=systeraudio)
 
         # FM video modulation (src/video.c:4564-4585)
         from .config.standards import Modulation
@@ -144,7 +145,7 @@ class Encoder:
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
 
-    def _init_audio(self):
+    def _init_audio(self, systeraudio: bool = False):
         """Audio subcarriers (FM mono, NICAM) — added after the video
         filter, before any FM video modulation (src/video.c:4561)."""
         from .audio.chain import AudioChain
@@ -152,7 +153,7 @@ class Encoder:
 
         p = self.params
         self.audio = AudioChain(self.conf, p.sample_rate, p.width,
-                                self.source)
+                                self.source, systeraudio=systeraudio)
         nlines = self.frames_per_block * p.lines
         self.fm_statics = None
         self.nicam_statics = None

@@ -529,6 +529,52 @@ class SysterCNR(SysterBase):
         return out + arrays["bits"] @ jnp.asarray(self.basis)
 
 
+class SysterAudioInverter:
+    """Audio spectrum inversion below 12.8 kHz (src/syster.c:582-639):
+    complex mix with a period-5 12.8 kHz carrier LUT, 771-tap one-sideband
+    FIR, real part out — reproduced bit-exactly including the reference's
+    int16 wraparounds at each store."""
+
+    NTAPS = 771
+
+    def __init__(self):
+        z = np.load(_SEQ_FILE)
+        self.firi = z["ng_firi"].astype(np.int64)
+        self.firq = z["ng_firq"].astype(np.int64)
+        self.mixi = z["ng_mixi"].astype(np.int64)
+        self.mixq = z["ng_mixq"].astype(np.int64)
+
+    @staticmethod
+    def _wrap16(a: np.ndarray) -> np.ndarray:
+        return ((a + 32768) & 0xFFFF) - 32768
+
+    @staticmethod
+    def _wrap32(a: np.ndarray) -> np.ndarray:
+        return ((a + 2**31) & 0xFFFFFFFF) - 2**31
+
+    def process(self, read_audio, start: int, count: int) -> np.ndarray:
+        """Inverted stereo pairs for absolute audio indices
+        [start, start+count); indices < 0 read as silence."""
+        nt = self.NTAPS
+        h0 = start - (nt - 1)
+        raw = np.zeros((count + nt - 1, 2), dtype=np.int64)
+        lo = max(h0, 0)
+        if lo < start + count:
+            raw[lo - h0:] = read_audio(lo, start + count - lo)
+        phase = np.arange(h0, start + count, dtype=np.int64) % 5
+        mi = self.mixi[phase][:, None]
+        mq = self.mixq[phase][:, None]
+        xi = self._wrap16((raw * (mi - mq)) >> 15)
+        xq = self._wrap16((raw * (mq + mi)) >> 15)
+        out = np.empty((count, 2), dtype=np.int64)
+        ri, rq = self.firi[::-1], self.firq[::-1]
+        for ch in range(2):
+            acc = (np.convolve(xi[:, ch], ri, mode="valid")
+                   - np.convolve(xq[:, ch], rq, mode="valid"))
+            out[:, ch] = self._wrap16(self._wrap32(acc) >> 15)
+        return out
+
+
 def _d11_delay_table() -> np.ndarray:
     """Per-line delay indices over the 6-field D11 cycle
     (src/syster.c:781-819)."""

@@ -141,6 +141,24 @@ def test_d11_golden():
     assert snr >= 40.0, f"Discret 11 SNR {snr:.2f} dB"
 
 
+def test_syster_audio_inversion_golden():
+    """PAL-I with Syster video scrambling + audio spectrum inversion."""
+    path = os.path.join(GOLDEN, "pali_systeraudio_2frames.c16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16).reshape(-1, 2)
+    enc = Encoder("i", 16_000_000, syster="premiere-fa", systeraudio=True)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+    assert snr >= 40.0, f"systeraudio SNR {snr:.2f} dB"
+    q = 10 * np.log10((r[:, 1] ** 2).sum() / (e[:, 1] ** 2).sum())
+    assert q >= 60.0, f"audio-carrier SNR {q:.2f} dB"
+
+
 def test_syster_ca_cipher():
     """encrypt_syster_cw vs vectors from the reference syster-ca.c."""
     from hacktv_tpu.services.syster_ca import encrypt_syster_cw

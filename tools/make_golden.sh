@@ -75,3 +75,4 @@ capture pal_d11_6frames.s16 7680000 -m pal --d11 premiere-fa test
 capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr premiere-fa test
 capture pal_systerfull_4frames.s16 5120000 -m pal --syster premiere-fa --systercnr premiere-fa test
 capture pal_vcs_8frames.s16 10240000 -m pal --videocrypts free test
+capture pali_systeraudio_2frames.c16 5120000 -m i --syster premiere-fa --systeraudio test
