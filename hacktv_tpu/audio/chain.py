@@ -51,22 +51,26 @@ class FMCarrier:
     kd: float = 0.0           # rad per (sample * unit)
     eps: float = 0.0          # deterministic phase lag (see below)
     lam: float = 0.0          # per-step int32 magnitude decay
+    channel: str = "mono"     # audio source: mono | left | right
+    a2_scale: bool = False    # 0.95 post-limiter scale (A2 modes)
+    limiter2: Limiter | None = None   # mono-channel limiter (A2 System M)
 
     @classmethod
     def create(cls, frequency: float, deviation: float, level: float,
-               preemph: Preemph, sample_rate: int) -> "FMCarrier":
+               preemph: Preemph, sample_rate: int, channel: str = "mono",
+               a2_scale: bool = False) -> "FMCarrier":
+        from fractions import Fraction
         lim = None
         if preemph != Preemph.NONE:
             lim = Limiter(INT16_MAX, 21, taps_for(preemph), FLAT_TAPS)
-        fi = int(round(frequency))
-        assert fi == frequency, "fractional carrier frequencies unsupported"
-        g = math.gcd(fi, sample_rate)
+        fr = Fraction(frequency).limit_denominator(1 << 20) / sample_rate
         return cls(frequency=frequency, deviation=deviation,
                    level_int=int(round(INT16_MAX * level)), limiter=lim,
-                   num=fi // g, den=sample_rate // g,
+                   num=fr.numerator, den=fr.denominator,
                    kd=2.0 * np.pi * deviation / (sample_rate * INT16_MAX),
                    eps=_phase_bias(frequency, deviation, sample_rate),
-                   lam=phase_decay_rate(frequency, sample_rate))
+                   lam=phase_decay_rate(frequency, sample_rate),
+                   channel=channel, a2_scale=a2_scale)
 
 
 def phase_decay_rate(frequency: float, sample_rate: int) -> float:
@@ -113,7 +117,8 @@ class AudioChain:
     """Per-block audio computation for one video mode."""
 
     def __init__(self, conf: VidConfig, sample_rate: int, width: int,
-                 source, systeraudio: bool = False):
+                 source, systeraudio: bool = False,
+                 a2stereo: bool = False):
         self.conf = conf
         self.S = int(sample_rate)
         self.A = AUDIO_RATE
@@ -133,7 +138,35 @@ class AudioChain:
         if conf.fm_mono_level > 0 and conf.fm_mono_carrier != 0:
             self.fm_mono = FMCarrier.create(
                 conf.fm_mono_carrier, conf.fm_mono_deviation,
-                conf.fm_mono_level * slevel, conf.fm_mono_preemph, self.S)
+                conf.fm_mono_level * slevel, conf.fm_mono_preemph, self.S,
+                a2_scale=a2stereo)
+
+        # Zweikanalton / A2 second carrier + pilot (src/video.c:4375-4401)
+        self.fm_right = None
+        self.a2_pilot = None
+        if a2stereo and self.fm_mono is not None:
+            system_m = conf.fm_mono_carrier == 4_500_000
+            self.fm_right = FMCarrier.create(
+                conf.fm_mono_carrier + (224_213 if system_m else 242_187.5),
+                conf.fm_mono_deviation,
+                conf.fm_mono_level * 0.446684 * slevel,   # -7 dB
+                conf.fm_mono_preemph, self.S,
+                channel="a2m" if system_m else "right", a2_scale=True)
+            if system_m:
+                self.fm_right.limiter2 = Limiter(
+                    INT16_MAX, 21, taps_for(conf.fm_mono_preemph),
+                    FLAT_TAPS)
+            from fractions import Fraction
+            f_sig = 149.9 if system_m else 117.5
+            f_pil = 55.06993e3 if system_m else 54.6875e3
+            r_sig = Fraction(f_sig).limit_denominator(1 << 20) / self.S
+            r_pil = Fraction(f_pil).limit_denominator(1 << 20) / self.S
+            self.a2_pilot = {
+                "num1": r_sig.numerator, "den1": r_sig.denominator,
+                "num2": r_pil.numerator, "den2": r_pil.denominator,
+                "level2": round(INT16_MAX * 0.05),
+            }
+            self._pilot_anchor = (0, 0.0)   # (sample index, cum sum)
 
         self.am_mono = None
         if conf.am_audio_level > 0 and conf.am_mono_carrier != 0:
@@ -144,7 +177,8 @@ class AudioChain:
                 conf.am_audio_level * slevel, Preemph.NONE, self.S)
 
         self.nicam = None
-        if conf.nicam_level > 0 and conf.nicam_carrier != 0:
+        # A2 disables NICAM (src/video.c:4399-4401)
+        if conf.nicam_level > 0 and conf.nicam_carrier != 0 and not a2stereo:
             self.nicam = {
                 "timing": nicam_mod.SymbolTiming.create(self.S),
                 "taps": nicam_mod.mod_taps(self.S, conf.nicam_beta,
@@ -160,10 +194,10 @@ class AudioChain:
         # Max segments a line can span: audio events in W samples + hold
         self.nseg = _ceil_div(width * self.A, self.S) + 2
 
-        # deviation-phase anchor: (audio index, phase mod 2pi) — the
-        # cumulative FM deviation phase over all held samples fully before
-        # that audio index's hold period
-        self._dev_anchor = (0, 0.0)
+        # per-carrier deviation-phase anchors: (audio index, phase mod
+        # 2pi) — the cumulative FM deviation phase over all held samples
+        # fully before that audio index's hold period
+        self._dev_anchor = {}
 
     # -- audio fetch ----------------------------------------------------
     def _pcm(self, start: int, count: int) -> np.ndarray:
@@ -267,16 +301,79 @@ class AudioChain:
                     s0=np.sin(ang).astype(np.float32),
                     cyc0=(n_line % 32767).astype(np.float32))
 
+    def pilot_s2(self, n0: int, count: int) -> np.ndarray:
+        """A2 pilot/mode-signal contribution s2 for absolute output
+        samples [n0, n0+count): the 117.5/149.9 Hz mode tone AM-modulating
+        the ~54.7 kHz pilot, mirroring the reference's integer chain
+        (src/video.c:2359-2378, 3404-3421)."""
+        ap = self.a2_pilot
+        n = np.arange(n0 + 1, n0 + 1 + count, dtype=np.int64)
+        th1 = 2 * np.pi * ((n * ap["num1"]) % ap["den1"]) / ap["den1"]
+        th2 = 2 * np.pi * ((n * ap["num2"]) % ap["den2"]) / ap["den2"]
+        p1 = np.clip(np.floor(np.cos(th1) * 32768.0), -32768, 32767)
+        s1 = np.floor(np.floor(p1 / 2) * 32767.0 / 32768.0)
+        u = np.floor((s1 + 32768.0) / 2)
+        p2 = np.clip(np.floor(np.cos(th2) * 32768.0), -32768, 32767)
+        return np.floor(np.floor(p2 * u / 32768.0) * ap["level2"]
+                        / 32768.0)
+
+    def pilot_block(self, k0: int, nlines: int) -> dict:
+        """Per-line pilot-sum phase bases + pilot carrier rotations for
+        lines [k0, k0+nlines)."""
+        ap = self.a2_pilot
+        W = self.W
+        n_start = max(k0, 0) * W
+        n_end = (max(k0, 0) + nlines) * W
+        na, cum = self._pilot_anchor
+        if na > n_start:
+            na, cum = 0, 0.0
+        s2 = self.pilot_s2(na, n_end - na)
+        csum = np.concatenate([[0.0], np.cumsum(s2)]) + cum
+        line_n = n_start + np.arange(nlines, dtype=np.int64) * W
+        bases = csum[line_n - na]
+        self._pilot_anchor = (n_end, float(csum[-1]))
+
+        kd = self.fm_right.kd
+        out = {"base_phase": ((kd * bases) % (2.0 * np.pi)
+                              ).astype(np.float32)}
+        for tag, num, den in (("1", ap["num1"], ap["den1"]),
+                              ("2", ap["num2"], ap["den2"])):
+            rot = (line_n % den) * num % den
+            ang = 2.0 * np.pi * rot / den
+            out["c" + tag] = np.cos(ang).astype(np.float32)
+            out["s" + tag] = np.sin(ang).astype(np.float32)
+        return out
+
     def _held_values(self, carrier: FMCarrier, i_lo: int, i_hi: int
                      ) -> np.ndarray:
         """Post-limiter held FM sample for audio indices [i_lo, i_hi)
         (index -1 and below = 0)."""
         h0 = i_lo - _LIM_HIST
         pcm = self._pcm(h0, i_hi - h0)
-        mono = np.trunc((pcm[:, 0] + pcm[:, 1]) / 2).astype(np.int64)
-        if carrier.limiter is not None:
-            mono = carrier.limiter.process(mono)
-        vals = mono[i_lo - h0: i_hi - h0].copy()
+
+        def channel_vals(ch: str, limiter) -> np.ndarray:
+            if ch == "mono":
+                v = np.trunc((pcm[:, 0] + pcm[:, 1]) / 2).astype(np.int64)
+            elif ch == "left":
+                v = pcm[:, 0].copy()
+            else:
+                v = pcm[:, 1].copy()
+            if limiter is not None:
+                v = limiter.process(v)
+            if carrier.a2_scale:
+                # src/video.c:3328,3350: int16 = sample * 0.95 truncates
+                # toward zero
+                v = np.trunc(v * 0.95).astype(np.int64)
+            return v
+
+        if carrier.channel == "a2m":
+            # System M A2 second carrier carries L-R as mono-right
+            # (src/video.c:3410-3414)
+            vals = (channel_vals("mono", carrier.limiter2)
+                    - channel_vals("right", carrier.limiter))
+        else:
+            vals = channel_vals(carrier.channel, carrier.limiter)
+        vals = vals[i_lo - h0: i_hi - h0].copy()
         # indices < 0: initial fm.sample == 0 before the first fetch
         if i_lo < 0:
             vals[: -i_lo] = 0
@@ -287,7 +384,7 @@ class AudioChain:
         """Phi at the start of each hold period for indices [i_lo, i_hi):
         cumulative kd * s * len over all earlier hold periods, measured
         from the stream start (mod 2pi, anchored)."""
-        ai, aphi = self._dev_anchor
+        ai, aphi = self._dev_anchor.get(id(carrier), (0, 0.0))
         if ai > i_lo:
             # recompute from stream start (seek backwards)
             ai, aphi = -1, 0.0
@@ -309,7 +406,8 @@ class AudioChain:
         # halo lines (a handful of audio samples), so the next block's
         # i_lo is always >= i_hi - 8.
         last = max(i_lo, i_hi - 8)
-        self._dev_anchor = (last, float(base[last - i_lo] % (2.0 * np.pi)))
+        self._dev_anchor[id(carrier)] = (
+            last, float(base[last - i_lo] % (2.0 * np.pi)))
 
     # -- NICAM block ----------------------------------------------------
     def nicam_block(self, k0: int, nlines: int, st) -> dict:

@@ -57,6 +57,7 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
            c0: jnp.ndarray,        # f32 [B]
            s0: jnp.ndarray,        # f32 [B]
            cyc0: jnp.ndarray,      # f32 [B] renorm-cycle position at col 0
+           phi_extra=None,         # f32 [B, W] extra deviation phase
            ):
     """Add one FM carrier to the (I, Q) block [B, W].
 
@@ -83,6 +84,8 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
         Bc = Bc + m * (segB[:, j] - segB[:, j - 1])[:, None]
 
     phi = A + Bc * colsf
+    if phi_extra is not None:
+        phi = phi + phi_extra
     cphi = jnp.cos(phi)
     sphi = jnp.sin(phi)
 
@@ -113,6 +116,46 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
     add_i = jnp.floor(jnp.clip(jnp.floor(ci * 32768.0), -32768, 32767) * lvl * inv)
     add_q = jnp.floor(jnp.clip(jnp.floor(cq * 32768.0), -32768, 32767) * lvl * inv)
     return out_i + add_i, out_q + add_q
+
+
+@dataclass
+class A2Statics:
+    """Static column tables for the A2 pilot chain (the ~54.7 kHz pilot
+    AM-modulated by the 117.5/149.9 Hz mode tone, src/video.c:3404-3421)."""
+    cos1_x: jnp.ndarray
+    sin1_x: jnp.ndarray
+    cos2_x: jnp.ndarray
+    sin2_x: jnp.ndarray
+    level2: int
+    kd: float
+
+
+def make_a2_statics(pilot: dict, kd: float, width: int) -> A2Statics:
+    x = np.arange(1, width + 1, dtype=np.int64)
+    a1 = 2.0 * np.pi * ((x * pilot["num1"]) % pilot["den1"]) / pilot["den1"]
+    a2 = 2.0 * np.pi * ((x * pilot["num2"]) % pilot["den2"]) / pilot["den2"]
+    return A2Statics(
+        cos1_x=jnp.asarray(np.cos(a1).astype(np.float32)),
+        sin1_x=jnp.asarray(np.sin(a1).astype(np.float32)),
+        cos2_x=jnp.asarray(np.cos(a2).astype(np.float32)),
+        sin2_x=jnp.asarray(np.sin(a2).astype(np.float32)),
+        level2=pilot["level2"], kd=kd)
+
+
+def a2_pilot_phase(st: A2Statics, c1, s1, c2, s2, base_phase):
+    """Deviation-phase contribution of the A2 pilot: kd * running sum of
+    the per-sample pilot value, with the cross-line carry in
+    `base_phase`."""
+    C1 = c1[:, None] * st.cos1_x[None, :] - s1[:, None] * st.sin1_x[None, :]
+    C2 = c2[:, None] * st.cos2_x[None, :] - s2[:, None] * st.sin2_x[None, :]
+    p1 = jnp.clip(jnp.floor(C1 * 32768.0), -32768, 32767)
+    s1v = jnp.floor(jnp.floor(p1 * 0.5) * (32767.0 / 32768.0))
+    u = jnp.floor((s1v + 32768.0) * 0.5)
+    p2 = jnp.clip(jnp.floor(C2 * 32768.0), -32768, 32767)
+    # u/2^15 is exact in f32, keeping the product below mantissa loss
+    val = jnp.floor(jnp.floor(p2 * (u * (1.0 / 32768.0)))
+                    * (st.level2 / 32768.0))
+    return base_phase[:, None] + np.float32(st.kd) * jnp.cumsum(val, axis=1)
 
 
 def am_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,

@@ -43,7 +43,8 @@ class Encoder:
                  syster: str | None = None,
                  systercnr: str | None = None,
                  d11: str | None = None,
-                 systeraudio: bool = False):
+                 systeraudio: bool = False,
+                 a2stereo: bool = False):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -112,7 +113,7 @@ class Encoder:
                                      for s in self.services])
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
-        self._init_audio(systeraudio=systeraudio)
+        self._init_audio(systeraudio=systeraudio, a2stereo=a2stereo)
 
         # FM video modulation (src/video.c:4564-4585)
         from .config.standards import Modulation
@@ -145,7 +146,8 @@ class Encoder:
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
 
-    def _init_audio(self, systeraudio: bool = False):
+    def _init_audio(self, systeraudio: bool = False,
+                    a2stereo: bool = False):
         """Audio subcarriers (FM mono, NICAM) — added after the video
         filter, before any FM video modulation (src/video.c:4561)."""
         from .audio.chain import AudioChain
@@ -153,7 +155,8 @@ class Encoder:
 
         p = self.params
         self.audio = AudioChain(self.conf, p.sample_rate, p.width,
-                                self.source, systeraudio=systeraudio)
+                                self.source, systeraudio=systeraudio,
+                                a2stereo=a2stereo)
         nlines = self.frames_per_block * p.lines
         self.fm_statics = None
         self.nicam_statics = None
@@ -172,9 +175,19 @@ class Encoder:
             nt = self.audio.nicam
             self.nicam_statics = audio_synth.make_nicam_statics(
                 nt["taps"], nt["num"], nt["den"], p.width, nt["timing"])
+        self.fm_right_statics = None
+        self.a2_statics = None
+        if self.audio.fm_right is not None:
+            c = self.audio.fm_right
+            self.fm_right_statics = audio_synth.make_fm_statics(
+                c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
+                c.eps)
+            self.a2_statics = audio_synth.make_a2_statics(
+                self.audio.a2_pilot, c.kd, p.width)
         self.has_audio = (self.fm_statics is not None or
                           self.nicam_statics is not None or
-                          self.am_statics is not None)
+                          self.am_statics is not None or
+                          self.fm_right_statics is not None)
 
     # ------------------------------------------------------------------
     def _block_meta(self, block_no: int):
@@ -285,6 +298,16 @@ class Encoder:
                 self.fm_statics, out_i, out_q, fm["seg_val"],
                 fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"],
                 fm["cyc0"])
+        if self.fm_right_statics is not None:
+            fr = audio_args["fm_right"]
+            pp = audio_args["a2_pilot"]
+            phi_extra = audio_synth.a2_pilot_phase(
+                self.a2_statics, pp["c1"], pp["s1"], pp["c2"], pp["s2"],
+                pp["base_phase"])
+            out_i, out_q = audio_synth.fm_add(
+                self.fm_right_statics, out_i, out_q, fr["seg_val"],
+                fr["seg_base"], fr["seg_col"], fr["c0"], fr["s0"],
+                fr["cyc0"], phi_extra)
         if self.am_statics is not None:
             am = audio_args["am_mono"]
             out_i, out_q = audio_synth.am_add(
@@ -339,6 +362,11 @@ class Encoder:
         if self.fm_statics is not None:
             fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)
             args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}
+        if self.fm_right_statics is not None:
+            fr = self.audio.fm_block(self.audio.fm_right, a_k0, nlines)
+            args["fm_right"] = {k: jnp.asarray(v) for k, v in fr.items()}
+            pp = self.audio.pilot_block(a_k0, nlines)
+            args["a2_pilot"] = {k: jnp.asarray(v) for k, v in pp.items()}
         if self.am_statics is not None:
             am = self.audio.am_block(self.audio.am_mono, a_k0, nlines)
             args["am_mono"] = {k: jnp.asarray(v) for k, v in am.items()}

@@ -174,3 +174,32 @@ def test_syster_ca_cipher():
     cw = encrypt_syster_cw(ecm, key2)
     assert cw == 0x0C1E10026A635C55
     assert bytes(ecm).hex() == "38e7661dc880e1c1751672e857a5f87c"
+
+
+def _snr_c16(name, mode, rate, nb=2, **kw):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16).reshape(-1, 2)
+    enc = Encoder(mode, rate, **kw)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(nb)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    return 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
+
+
+def test_pal_bg_golden():
+    snr = _snr_c16("palg_16M_2frames.c16", "g", 16_000_000)
+    assert snr >= 40.0, f"PAL B/G SNR {snr:.2f} dB"
+
+
+def test_a2stereo_bg_golden():
+    snr = _snr_c16("palg_a2_2frames.c16", "g", 16_000_000, a2stereo=True)
+    assert snr >= 40.0, f"A2 B/G SNR {snr:.2f} dB"
+
+
+def test_a2stereo_m_golden():
+    snr = _snr_c16("ntscm_a2_2frames.c16", "m", 13_513_500, a2stereo=True)
+    assert snr >= 40.0, f"A2 System M SNR {snr:.2f} dB"
