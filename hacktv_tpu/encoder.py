@@ -44,7 +44,8 @@ class Encoder:
                  systercnr: str | None = None,
                  d11: str | None = None,
                  systeraudio: bool = False,
-                 a2stereo: bool = False):
+                 a2stereo: bool = False,
+                 sis: str | None = None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -103,6 +104,20 @@ class Encoder:
         if cc608:
             from .services.cc608 import CC608 as _CC
             self.services.append(_CC(p))
+        if sis:
+            from .audio.chain import AudioChain as _AC
+            from .services.sis import SiS as _SIS
+            # The sis process consumes audio through a chain of its own:
+            # the audio lineprocess trails it by 1 line plus the threaded
+            # vfilter window (src/video.c:4675-4688).
+            lag = 1
+            nt = (len(p.vfilter_ctaps) if p.vfilter_ctaps is not None else
+                  len(p.vfilter_taps) if p.vfilter_taps is not None else 0)
+            if nt:
+                lag += 1 + (nt // 2 + p.width - 1) // p.width
+            sis_chain = _AC(self.conf, p.sample_rate, p.width, self.source,
+                            systeraudio=systeraudio)
+            self.services.append(_SIS(p, sis, sis_chain, lag))
         if teletext:
             from .services.teletext import Teletext
             self.services.append(Teletext(p, teletext))

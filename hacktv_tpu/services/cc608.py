@@ -80,7 +80,7 @@ class CC608:
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
-        wave = arrays["bits"] @ jnp.asarray(self.basis)
+        wave = vbidata.render(arrays["bits"], self.basis)
         cri = jnp.zeros(self.width, dtype=jnp.float32)
         cri = jax_dynamic_update(cri, jnp.asarray(self.cri), self.cri_x)
         wave = wave + arrays["active"][:, None] * cri[None, :]

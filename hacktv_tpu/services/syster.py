@@ -469,7 +469,7 @@ class Syster(SysterBase):
         mask = ((cols >= al).astype(out.dtype)
                 * (arrays["src"] > 0)[:, None].astype(out.dtype))
         out = out * (1.0 - mask) + gathered * mask
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)
 
 
 def _apply_rotate(src_block, arrays, cols_tab, L, R, dst_block):
@@ -526,7 +526,7 @@ class SysterCNR(SysterBase):
         nxt = jnp.concatenate([out[1:], out[-1:]], axis=0)
         out = _apply_rotate(nxt, arrays, jnp.asarray(self.cols),
                             self.rot_l, self.rot_r, out)
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)
 
 
 class SysterAudioInverter:
@@ -650,4 +650,4 @@ class D11(SysterBase):
         smask = (((cols >= al) & (cols < al + aw)).astype(out.dtype)
                  * arrays["sync_on"][:, None])
         out = out * (1.0 - smask) + arrays["sync"][:, None] * smask
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)

@@ -479,4 +479,4 @@ class Teletext:
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)

@@ -55,3 +55,13 @@ def bytes_to_bits(data: bytes | np.ndarray, nbits: int,
         if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.uint8)
     bits = np.unpackbits(arr, bitorder="little" if lsb_first else "big")
     return bits[:nbits].astype(np.float32)
+
+
+def render(bits, basis):
+    """bits [B, n] @ basis [n, W] at full f32 precision.  TPU matmuls
+    default to bfloat16 inputs, which rounds the integer-valued pulse
+    sums by up to ~2^6 — force the HIGHEST precision path."""
+    import jax
+    import jax.numpy as jnp
+    return jnp.matmul(bits, jnp.asarray(basis),
+                      precision=jax.lax.Precision.HIGHEST)

@@ -363,4 +363,4 @@ class Videocrypt:
         mask = ((cols >= self.col_a) & (cols < self.col_e)
                 ).astype(out.dtype) * arrays["active"][:, None]
         out = out * (1.0 - mask) + rot * mask
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)

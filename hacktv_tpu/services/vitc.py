@@ -112,4 +112,4 @@ class VITC:
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
-        return out + arrays["bits"] @ jnp.asarray(self.basis)
+        return out + vbidata.render(arrays["bits"], self.basis)

@@ -106,5 +106,5 @@ class WSS:
         blank = ((cols >= self.half_width) & (cols < self.blank_width)
                  ).astype(out.dtype) * act
         out = out * (1.0 - blank) + blank * self.black_level
-        wave = arrays["bits"] @ jnp.asarray(self.basis)
+        wave = vbidata.render(arrays["bits"], self.basis)
         return out + wave

@@ -76,6 +76,7 @@ capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr premiere-fa test
 capture pal_systerfull_4frames.s16 5120000 -m pal --syster premiere-fa --systercnr premiere-fa test
 capture pal_vcs_8frames.s16 10240000 -m pal --videocrypts free test
 capture pali_systeraudio_2frames.c16 5120000 -m i --syster premiere-fa --systeraudio test
+capture pali_sis_4frames.c16 10240000 -m i --sis dcsis test
 # A2 / Zweikanalton stereo
 capture palg_16M_2frames.c16 5120000 -m g test
 capture palg_a2_2frames.c16 5120000 -m g --a2stereo test
