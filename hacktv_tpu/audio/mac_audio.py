@@ -1,0 +1,331 @@
+"""D/D2-MAC packetised audio encoder (host side).
+
+Bit-exact port of the reference's `mac_audioenc_*` (src/mac.c:1064-1361):
+J.17 pre-emphasis in int16 Q15 arithmetic, near-instantaneous companding
+with per-27-sample scale-factor signalling, first/second-level
+protection, and streaming of 90/120-byte sound coding blocks into
+91-byte packet payloads.  Runs on the host at 32 kHz — the serial bit
+domain of SURVEY.md §7.1(4) — feeding the batched waveform synthesis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.mac_bits import HAMMING, bits_lsb, bits_to_bytes_lsb, parity, \
+    rbits_msb
+
+MAC_PAYLOAD_BYTES = 91
+
+# J.17 filter taps (src/mac.c:81-132)
+J17_HQ_TAPS = [
+    -4.0638183114837725e-05, -6.0025586949698855e-05,
+    -5.564043110245245e-05, -7.947984626961884e-05, -7.647905950877803e-05,
+    -0.00010634219837159823, -0.00010573530630851049,
+    -0.0001439262656801037, -0.0001473418005545947, -0.00019733025737867933,
+    -0.00020744600452448253, -0.00027462470991584573,
+    -0.0002959626579938912, -0.00038903864897297304,
+    -0.00042951430210921436, -0.0005632229082537514, -0.0006373725671138244,
+    -0.0008381833027058537, -0.0009744643521200177, -0.0012937307193290994,
+    -0.001552751532064818, -0.0021004781086707324, -0.002625860940471562,
+    -0.003668275121553212, -0.004845513644185225, -0.007121819711885047,
+    -0.010127737762890622, -0.01599147906480894, -0.024853521327126284,
+    -0.04278009416709207, -0.07239348501988721, -0.13738444727018054,
+    0.7809561590505447, -0.1373844472702732, -0.07239348501983206,
+    -0.04278009416712298, -0.02485352132710135, -0.01599147906482651,
+    -0.010127737762873385, -0.007121819711900977, -0.0048455136441711835,
+    -0.0036682751215641306, -0.0026258609404633286, -0.0021004781086770207,
+    -0.0015527515320562413, -0.0012937307193406264, -0.0009744643521089602,
+    -0.0008381833027124772, -0.0006373725671163757, -0.000563222908240734,
+    -0.00042951430212660697, -0.00038903864895887066,
+    -0.0002959626579998339, -0.0002746247099202026, -0.00020744600451413447,
+    -0.00019733025738687381, -0.00014734180055051493,
+    -0.0001439262656806838, -0.0001057353063093944, -0.00010634219837524443,
+    -7.647905950078356e-05, -7.947984627567915e-05, -5.564043109916536e-05,
+    -6.0025586949491874e-05, -4.063818311961655e-05,
+]
+
+J17_MQ_TAPS = [
+    -0.0023983764740491817, 0.0005372369031780615, 0.0029088459406962433,
+    -0.0006808310346680438, -0.0038400522316643093, 0.0003905164235471325,
+    0.004598081791062745, -0.0003030199522471644, -0.005996593890780044,
+    -0.0006099393949867584, 0.006900939227982249, 0.0011126454561315397,
+    -0.008845190642068847, -0.0031512342941305426, 0.009594941549957162,
+    0.0042182070235715335, -0.012261809244109948, -0.008289287373445343,
+    0.012146295526980532, 0.009903710389951048, -0.016223088515771884,
+    -0.018241246604564477, 0.013268559591784575, 0.019670208896615235,
+    -0.02196471821546391, -0.040897915745289205, 0.007376815392497354,
+    0.03632945551391454, -0.04261000237464269, -0.13505868867468723,
+    -0.05987965058731034, 0.164415182169897, 0.29045946882740054,
+    0.16441518216987408, -0.059879650587328914, -0.13505868867468418,
+    -0.04261000237463042, 0.03632945551391707, 0.007376815392491072,
+    -0.04089791574529129, -0.02196471821545942, 0.019670208896617532,
+    0.013268559591781671, -0.01824124660456619, -0.016223088515769372,
+    0.009903710389952778, 0.01214629552697836, -0.00828928737344731,
+    -0.01226180924410831, 0.004218207023573651, 0.009594941549956208,
+    -0.003151234294132517, -0.008845190642068512, 0.0011126454561330129,
+    0.006900939227982167, -0.0006099393949875143, -0.005996593890779387,
+    -0.00030301995224640626, 0.004598081791061394, 0.0003905164235454991,
+    -0.0038400522316629185, -0.0006808310346651593, 0.002908845940695833,
+    0.0005372369031742542, -0.0023983764740508006,
+]
+
+# scale factors: index -> (factor, shift, coding_range, protection_range)
+# (src/mac.c:135-151)
+_SCALE_FACTORS = [
+    (0, 2, 5, 7), (1, 2, 5, 7), (2, 2, 5, 6), (4, 2, 5, 5),
+    (3, 3, 4, 4), (5, 4, 3, 3), (6, 5, 2, 2), (7, 6, 1, 1),
+]
+
+
+def _lround(x):
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+                    ).astype(np.int64)
+
+
+class _FirInt16:
+    """Streaming int16 FIR matching fir_int16_* (src/fir.c:263-390):
+    int16 Q15 taps, int32 accumulate, arithmetic >>15, clip."""
+
+    def __init__(self, taps, decimation: int = 1):
+        self.taps = _lround(np.asarray(taps, dtype=np.float64) * 32767.0)
+        self.dec = decimation
+        self.hist = np.zeros(len(self.taps) - 1, dtype=np.int64)
+        # decimation phase: the reference's `d` starts at interpolation
+        # (=1) so the first input sample always produces an output
+        self.phase = 0
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.int64)
+        buf = np.concatenate([self.hist, x])
+        n = len(x)
+        # y[t] = sum_j taps[j] * in[t-j] for t over the new samples
+        acc = np.zeros(n, dtype=np.int64)
+        nt = len(self.taps)
+        for j in range(nt):
+            acc += self.taps[j] * buf[nt - 1 - j:nt - 1 - j + n]
+        y = np.clip(acc >> 15, -32768, 32767)
+        self.hist = buf[-(nt - 1):]
+        if self.dec > 1:
+            sel = (np.arange(n) + self.phase) % self.dec == 0
+            self.phase = (self.phase + n) % self.dec
+            y = y[sel]
+        return y
+
+
+def _l2_hamming(b: np.ndarray) -> np.ndarray:
+    """(src/mac.c:1187-1198)."""
+    b = b.astype(np.int64)
+    g = lambda *ks: np.bitwise_xor.reduce([(b >> k) & 1 for k in ks])
+    p = g(0, 3, 4, 6, 7, 8, 10)
+    p |= g(0, 1, 3, 5, 6, 8, 9) << 1
+    p |= g(0, 1, 2, 4, 6, 7, 9) << 2
+    p |= g(1, 2, 4, 5, 6, 8, 10) << 3
+    p |= g(2, 3, 5, 6, 7, 9, 10) << 4
+    return p
+
+
+def _parity_bits(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64).copy()
+    p = np.zeros_like(v)
+    for _ in range(20):
+        p ^= v & 1
+        v >>= 1
+    return p
+
+
+def calculate_audio_address(stereo, quality, protection, linear, index=0):
+    """(src/mac.c:855-880)."""
+    return (1 << 7) | (int(stereo) << 6) | (int(quality) << 5) | \
+        (int(protection) << 4) | (int(linear) << 3) | (index & 7)
+
+
+class MacAudioEnc:
+    """Streaming MAC audio encoder; `write()` takes int16 stereo pairs,
+    `read_packets()` drains complete 91-byte packet payloads."""
+
+    def __init__(self, high_quality=True, stereo=True, protection=False,
+                 linear=False, scramble=False, conditional=False):
+        self.high_quality = bool(high_quality)
+        self.stereo = bool(stereo)
+        self.linear = bool(linear)
+        self.protection = bool(protection)
+        self.scramble = bool(scramble)
+        self.conditional = bool(conditional) and self.scramble
+        self.address = calculate_audio_address(
+            self.stereo, self.high_quality, self.protection, self.linear)
+        self.continuity = 0
+
+        taps = J17_HQ_TAPS if self.high_quality else J17_MQ_TAPS
+        dec = 1 if self.high_quality else 2
+        self.fir = [_FirInt16(taps, dec), _FirInt16(taps, dec)]
+
+        self.samples_per_block = 36 if self.linear and self.protection \
+            else 64
+        self.src_samples_per_block = self.samples_per_block * \
+            (1 if self.high_quality else 2)
+        spb = self.samples_per_block
+        self.ch_len = spb // 2
+        self.ch_offset = [0, 1 if self.stereo else self.ch_len]
+        self.ch_sf_len = 18 if self.linear and self.protection else 27
+        self.ch_sf_offset = [0, 1 if self.stereo else self.ch_sf_len]
+        self.bits_per_sample = (14 if self.linear else 10) + \
+            (5 if self.protection else 1)
+        self.block_len = 120 if self.linear ^ self.protection else 90
+
+        # streaming state
+        self.j17 = np.zeros(self.src_samples_per_block, dtype=np.int64)
+        self.j17x = 0
+        self.pkt = bytearray(MAC_PAYLOAD_BYTES)
+        self.pkt[0] = 0xC7       # BC1 sound coding block
+        self.pktx = 1
+        self.block = b""
+        self.x = self.block_len
+        self.si_timer = 0
+        self.si_pkt = self._si_packet()
+        self._pending = np.zeros(0, dtype=np.int64)  # int16 sample queue
+
+    # ------------------------------------------------------------------
+    def _si_packet(self) -> bytes:
+        """Sound Interpretation packet (src/mac.c:1064-1102)."""
+        pkt = bytearray(MAC_PAYLOAD_BYTES)
+        pkt[0] = 0x00
+        pkt[1] = HAMMING[0]
+        pkt[2] = HAMMING[1]
+        pkt[3] = HAMMING[0]
+        pkt[4] = HAMMING[12]
+        pkt[5] = HAMMING[1]
+        pkt[6] = HAMMING[10]
+        b = (1 << 11)
+        b |= (1 if self.protection else 0) << 7
+        b |= (0 if self.linear else 1) << 6
+        b |= int(self.conditional) << 5
+        b |= int(self.scramble) << 4
+        b |= (1 if self.stereo else 0) << 2
+        b |= (0 if self.high_quality else 1) << 1
+        b |= parity(b) << 8
+        for x in range(5):
+            pkt[7 + x * 2] = (b >> 8) & 0xFF
+            pkt[8 + x * 2] = b & 0xFF
+        return bytes(pkt)
+
+    # ------------------------------------------------------------------
+    def _scale_factor(self, pcm: np.ndarray) -> tuple:
+        """(src/mac.c:990-1014): smallest range covering the block."""
+        s = np.where(pcm < 0, ~pcm, pcm)
+        b = 1
+        for v in s:
+            while b < 7 and (int(v) >> (b + 8)):
+                b += 1
+            if b >= 7:
+                break
+        return _SCALE_FACTORS[b]
+
+    def _encode_block(self, samples: np.ndarray) -> bytes:
+        """One sound coding block from src_samples_per_block int16
+        samples (interleaved stereo or sequential mono halves)."""
+        step = 2 if self.stereo else 1
+        spb = self.samples_per_block
+        j17 = samples.astype(np.int64).copy()
+        sfc = 0
+        out_buf = np.zeros(spb, dtype=np.int64)
+        for b in range(2):
+            # channel source: offset + step slicing
+            src_off = self.ch_offset[b] if self.stereo else \
+                (0 if b == 0 else self.ch_len * (1 if self.high_quality
+                                                 else 2))
+            src_len = self.ch_len * (1 if self.high_quality else 2)
+            xs = j17[src_off::step][:src_len]
+            ys = self.fir[b if self.stereo else 0].process(xs)
+            sf = self._scale_factor(ys)
+            factor, shift = sf[0], sf[1]
+            sfc = ((sfc << 9) | (factor << 6) | (factor << 3) | factor) \
+                & 0x3FFFF
+            if self.linear:
+                enc = (ys >> 2) & 0x3FFF
+            else:
+                enc = (ys >> shift) & 0x3FF
+            if self.protection:
+                h = _l2_hamming(enc >> 3 if self.linear
+                                else (enc << 1) & 0x7E0)
+                enc = enc | (h << (self.bits_per_sample - 5))
+            else:
+                p = _parity_bits(enc >> (3 if self.linear else 4))
+                enc = enc | (p << (self.bits_per_sample - 1))
+            # scale-factor signalling XOR on the protection bit
+            sfl = self.ch_sf_len
+            sfb = (factor >> (2 - np.arange(sfl) % 3)) & 1
+            enc[:sfl] ^= sfb << (self.bits_per_sample - 1)
+            out_buf[self.ch_offset[b]::step][:self.ch_len] = enc
+        # pack
+        bits = []
+        if not self.linear and not self.protection:
+            bits.append(np.zeros(16, dtype=np.uint8))
+        if self.linear and self.protection:
+            bits.append(np.zeros(18, dtype=np.uint8))
+            bits.append(rbits_msb(sfc, 18))
+        for i in range(spb):
+            bits.append(bits_lsb(int(out_buf[i]), self.bits_per_sample))
+        return bits_to_bytes_lsb(np.concatenate(bits))
+
+    # ------------------------------------------------------------------
+    def write_audio(self, pairs: np.ndarray) -> list:
+        """`mac_write_audio` (src/mac.c:1041-1062): returns the packets
+        pushed, each (address, continuity, payload91, scramble)."""
+        out = []
+        if self.si_timer <= 0:
+            out.append((self.address, (self.continuity - 2) & 3,
+                        self.si_pkt, False))
+            self.si_timer = (32000 if self.high_quality else 16000) // 3
+
+        # queue source samples (int16 units, stereo interleaved)
+        if self.stereo:
+            samples = pairs.reshape(-1)
+        else:
+            t = pairs[:, 0].astype(np.int64) + pairs[:, 1].astype(np.int64)
+            # C integer division truncates toward zero
+            samples = np.where(t < 0, -((-t) // 2), t // 2)
+        self._pending = np.concatenate([self._pending,
+                                        samples.astype(np.int64)])
+
+        while True:
+            pkt = self._read()
+            if pkt is None:
+                break
+            out.append((self.address, self.continuity & 3, pkt,
+                        self.scramble))
+            self.continuity += 1
+        return out
+
+    def _read(self):
+        """`mac_audioenc_read` (src/mac.c:1200-1354)."""
+        # top up the packet from block leftovers
+        take = min(MAC_PAYLOAD_BYTES - self.pktx, self.block_len - self.x)
+        if take > 0:
+            self.pkt[self.pktx:self.pktx + take] = \
+                self.block[self.x:self.x + take]
+            self.pktx += take
+            self.x += take
+        if self.pktx == MAC_PAYLOAD_BYTES:
+            self.pktx = 1
+            return bytes(self.pkt)
+        # fill the J.17 buffer
+        need = self.src_samples_per_block - self.j17x
+        got = min(need, len(self._pending))
+        if got:
+            self.j17[self.j17x:self.j17x + got] = self._pending[:got]
+            self._pending = self._pending[got:]
+            self.j17x += got
+        if self.j17x != self.src_samples_per_block:
+            return None
+        self.j17x = 0
+        self.block = self._encode_block(self.j17)
+        self.x = 0
+        self.si_timer -= self.samples_per_block if self.stereo \
+            else self.samples_per_block // 2
+        take = min(MAC_PAYLOAD_BYTES - self.pktx, self.block_len)
+        self.pkt[self.pktx:self.pktx + take] = self.block[:take]
+        self.pktx += take
+        self.x = take
+        self.pktx = 1
+        return bytes(self.pkt)

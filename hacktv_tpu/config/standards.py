@@ -181,7 +181,7 @@ class VidConfig:
     chid: int = 0
     mac_audio_stereo: bool = True
     mac_audio_quality: bool = True
-    mac_audio_protection: bool = True
+    mac_audio_protection: bool = False   # False = first level (src/hacktv.c:592)
     mac_audio_companded: bool = True
     scramble_video: int = 0
     scramble_audio: int = 0

@@ -1,0 +1,101 @@
+"""D/D2-MAC parity tests vs the reference golden captures.
+
+Bit-domain oracle: tools/make_golden.sh dumps the reference's per-line
+duobinary bit buffer (162 bytes/line); the MacMux must reproduce it
+byte-exactly — this covers the packet multiplex, audio encoder, SI
+packets, frame sync and PRBS whitening in one shot.
+
+Waveform oracle: SNR vs the int16 file-sink captures.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = "/tmp/golden"
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing; run tools/make_golden.sh")
+    return path
+
+
+def _mux(mode, **kw):
+    from hacktv_tpu.av.testcard import TestCardSource
+    from hacktv_tpu.config.standards import get_mode
+    from hacktv_tpu.video.mac import MacMux
+    conf = get_mode(mode)
+    src = TestCardSource(702, 576)
+    return MacMux(conf, 1296, 20_250_000, src,
+                  vsam=kw.pop("vsam", 1), timestamp=1_200_000_000,
+                  aspect_43=1, **kw)
+
+
+@pytest.mark.parametrize("mode", ["d2mac", "dmac"])
+def test_mac_bits_exact(mode):
+    path = _golden(f"{mode}_bits_50f.bin")
+    golden = np.fromfile(path, dtype=np.uint8).reshape(-1, 162)
+    gbits = np.unpackbits(golden, axis=1, bitorder="little")
+    mux = _mux(mode)
+    n = 10 * 625
+    mux.ensure(n)
+    for k in range(n):
+        mine = mux.line_bits[k]
+        assert np.array_equal(mine, gbits[k, :len(mine)]), \
+            f"line k={k} bits differ"
+
+
+def _wave_snr(mode, golden_name, nframes=None, **kw):
+    from hacktv_tpu.video.mac import MacEncoder
+    path = _golden(golden_name)
+    enc = MacEncoder(mode, 20_250_000, **kw)
+    cplx = golden_name.endswith(".c16")
+    ref = np.fromfile(path, dtype=np.int16)
+    fs = enc.frame_samples * (2 if cplx else 1)
+    nf = min(len(ref) // fs, nframes or 99)
+    mine = np.concatenate([
+        np.asarray(enc.encode_block_device(b)).reshape(-1)
+        for b in range(nf)]).astype(np.float64)
+    ref = ref.astype(np.float64)[:len(mine)]
+    err = mine - ref
+    return 10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-12))
+
+
+def test_d2mac_waveform():
+    assert _wave_snr("d2mac", "d2mac_4frames.s16") > 60.0
+
+
+def test_dmac_waveform():
+    assert _wave_snr("dmac", "dmac_4frames.s16") > 60.0
+
+
+def test_d2mac_double_cut():
+    assert _wave_snr("d2mac", "d2mac_dcut_4frames.s16",
+                     scramble_video=2) > 60.0
+
+
+def test_d2mac_single_cut():
+    assert _wave_snr("d2mac", "d2mac_scut_4frames.s16",
+                     scramble_video=1) > 60.0
+
+
+def test_dmac_fm():
+    assert _wave_snr("dmac-fm", "dmacfm_2frames.c16", nframes=2) > 40.0
+
+
+def test_d2mac_medium_quality_audio():
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    conf = replace(get_mode("d2mac"), mac_audio_quality=False)
+    assert _wave_snr(conf, "d2mac_mq_4frames.s16") > 60.0
+
+
+def test_d2mac_linear_audio():
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    conf = replace(get_mode("d2mac"), mac_audio_companded=False,
+                   mac_audio_protection=True)
+    assert _wave_snr(conf, "d2mac_lin_4frames.s16") > 60.0

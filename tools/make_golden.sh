@@ -28,6 +28,35 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # (plain --syster uses rand() seeded from time(), syster.c:452,527,
     # which would make the golden capture unreproducible).
     sed -i 's/vid->conf.systercnr ? STATIC_ECM : RANDOM_ECM/STATIC_ECM/' syster.c
+    # --- D/D2-MAC determinism patches (golden-capture only) ---
+    # 1. Pin the UDT date/time (mac.c calls time(NULL) at init and every
+    #    25 frames, which would make golden captures unreproducible).
+    sed -i 's/_update_udt(s->mac.udt, time(NULL));/_update_udt(s->mac.udt, (time_t) 1200000000);/' mac.c
+    # 2. Run the audio lineprocess synchronously for MAC modes: the
+    #    reference's audio thread pushes packets into the MAC packet queue
+    #    concurrently with the macraster thread draining it (video.c
+    #    barrier pipeline), so packet timing is scheduler-dependent.
+    #    Making the process non-threaded for MAC serialises it directly
+    #    after macraster, giving a deterministic queue order.
+    sed -i 's/_add_lineprocess(s, "audio", 1, 1, NULL, _vid_audio_process, NULL);/_add_lineprocess(s, "audio", 1, s->conf.type == VID_MAC ? 0 : 1, NULL, _vid_audio_process, NULL);/' video.c
+    # 3. Optional per-line duobinary bit dump for byte-exact bit-domain
+    #    tests (enabled by MAC_BITS_DUMP=<path>).
+    python3 - <<'PYEOF'
+import re
+src = open('mac.c').read()
+hook = '''	{
+		const char *_bd = getenv("MAC_BITS_DUMP");
+		if(_bd)
+		{
+			static FILE *_bf = NULL;
+			if(!_bf) _bf = fopen(_bd, "wb");
+			if(_bf) fwrite(data, 1, MAC_LINE_BYTES, _bf);
+		}
+	}
+	/* Render the duobinary into the line */'''
+src = src.replace('\t/* Render the duobinary into the line */', hook, 1)
+open('mac.c', 'w').write(src)
+PYEOF
     make -j"$(nproc)" >/dev/null
 fi
 
@@ -81,3 +110,26 @@ capture pali_sis_4frames.c16 10240000 -m i --sis dcsis test
 capture palg_16M_2frames.c16 5120000 -m g test
 capture palg_a2_2frames.c16 5120000 -m g --a2stereo test
 capture ntscm_a2_2frames.c16 4324320 -s 13513500 -m m --a2stereo test
+# D/D2-MAC (TZ pinned; UDT time pinned in the build patch above).
+# 4 frames @ 20.25 MS/s real s16 = 810000 samples/frame * 2 bytes.
+export TZ=UTC0
+capture d2mac_4frames.s16 6480000 -s 20250000 -m d2mac test
+capture dmac_4frames.s16 6480000 -s 20250000 -m dmac test
+capture d2mac_dcut_4frames.s16 6480000 -s 20250000 -m d2mac --double-cut test
+capture d2mac_scut_4frames.s16 6480000 -s 20250000 -m d2mac --single-cut test
+capture dmacfm_2frames.c16 6480000 -s 20250000 -m dmac-fm test
+capture d2mac_mq_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-medium-quality test
+capture d2mac_lin_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-linear --mac-audio-l2-protection test
+# 50-frame duobinary bit-stream dumps (162 bytes/line, byte-exact oracle)
+if [ ! -s "$GOLDEN/d2mac_bits_50f.bin" ]; then
+    echo "golden: d2mac_bits_50f.bin"
+    MAC_BITS_DUMP="$GOLDEN/d2mac_bits_50f.bin.tmp" timeout 120 "$HACKTV" -o - -s 20250000 -m d2mac test 2>/dev/null | head -c 81000000 > /dev/null
+    head -c $((50 * 625 * 162)) "$GOLDEN/d2mac_bits_50f.bin.tmp" > "$GOLDEN/d2mac_bits_50f.bin"
+    rm -f "$GOLDEN/d2mac_bits_50f.bin.tmp"
+fi
+if [ ! -s "$GOLDEN/dmac_bits_50f.bin" ]; then
+    echo "golden: dmac_bits_50f.bin"
+    MAC_BITS_DUMP="$GOLDEN/dmac_bits_50f.bin.tmp" timeout 120 "$HACKTV" -o - -s 20250000 -m dmac test 2>/dev/null | head -c 81000000 > /dev/null
+    head -c $((50 * 625 * 162)) "$GOLDEN/dmac_bits_50f.bin.tmp" > "$GOLDEN/dmac_bits_50f.bin"
+    rm -f "$GOLDEN/dmac_bits_50f.bin.tmp"
+fi
