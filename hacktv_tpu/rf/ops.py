@@ -56,7 +56,11 @@ def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, phi0: jnp.ndarray):
     F = B // st.lines_per_frame
     kd = np.float32(st.kd)
 
-    d = kd * x
+    # The reference modulates the int16-quantised composite
+    # (src/video.c:3452-3464 feeds line->output); modulating the float
+    # canvas instead leaves a sub-LSB mean offset that integrates into
+    # an unbounded phase drift.  Quantise first.
+    d = kd * jnp.round(jnp.clip(x, -32768, 32767))
     col_cum = jnp.cumsum(d, axis=1)                       # inclusive
     line_tot = _fmod2pi(col_cum[:, -1])
     lt = line_tot.reshape(F, st.lines_per_frame)

@@ -428,7 +428,10 @@ class MacEncoder:
         self.vframe_x = (self.active_width - source.width) // 2
         self.vframe_y = (conf.active_lines - source.height) // 2
 
-        # VSAM (src/mac.c:889-918)
+        # VSAM (src/mac.c:889-918); Eurocrypt without an explicit cut
+        # mode defaults to single-cut (src/hacktv.c:1332-1336)
+        if eurocrypt is not None and scramble_video == 0:
+            scramble_video = 1
         vsam = 4 if eurocrypt is not None else 0
         vsam |= {0: 1, 1: 2, 2: 0}[scramble_video]
         self.vsam = vsam

@@ -28,6 +28,10 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # (plain --syster uses rand() seeded from time(), syster.c:452,527,
     # which would make the golden capture unreproducible).
     sed -i 's/vid->conf.systercnr ? STATIC_ECM : RANDOM_ECM/STATIC_ECM/' syster.c
+    # Pin the libc PRNG seed (video.c seeds it from time(NULL); Eurocrypt
+    # CW generation consumes rand(), so golden captures need a fixed,
+    # replicable sequence — hacktv_tpu.services.eurocrypt.GlibcRand).
+    sed -i 's/srand(time(NULL));/srand(1);/' video.c
     # --- D/D2-MAC determinism patches (golden-capture only) ---
     # 1. Pin the UDT date/time (mac.c calls time(NULL) at init and every
     #    25 frames, which would make golden captures unreproducible).
@@ -133,3 +137,27 @@ if [ ! -s "$GOLDEN/dmac_bits_50f.bin" ]; then
     head -c $((50 * 625 * 162)) "$GOLDEN/dmac_bits_50f.bin.tmp" > "$GOLDEN/dmac_bits_50f.bin"
     rm -f "$GOLDEN/dmac_bits_50f.bin.tmp"
 fi
+
+# --- Eurocrypt golden captures ---------------------------------------
+# Bit-domain dumps long enough to cover a CW rotation (frame 257), ECM
+# repeats (frames 1/65/129/193/257) and one EMM round (frame 127/383).
+# srand(1) is pinned in the build patch above; fixed-date providers keep
+# the packets time-independent (ctv=EC-M+EMMG, tv2=S2/EC-M+EMMU,
+# cplus=3DES+EMMU, eros/tvs=S2 ECM-only).
+ec_bits() { # ec_bits <name> <frames> <args...>
+    local name=$1 frames=$2; shift 2
+    if [ ! -s "$GOLDEN/$name" ]; then
+        echo "golden: $name"
+        MAC_BITS_DUMP="$GOLDEN/$name.tmp" timeout 300 "$HACKTV" -o - -s 20250000 "$@" 2>/dev/null | head -c $(( (frames + 2) * 810000 * 2 )) > /dev/null
+        head -c $((frames * 625 * 162)) "$GOLDEN/$name.tmp" > "$GOLDEN/$name"
+        rm -f "$GOLDEN/$name.tmp"
+    fi
+}
+
+ec_bits d2mac_ec_ctv_bits_130f.bin 130 -m d2mac --eurocrypt ctv test
+ec_bits d2mac_ec_tv2_bits_130f.bin 130 -m d2mac --eurocrypt tv2 test
+ec_bits d2mac_ec_cplus_bits_130f.bin 130 -m d2mac --eurocrypt cplus --double-cut test
+ec_bits d2mac_ec_eros_bits_130f.bin 130 -m d2mac --eurocrypt eros test
+ec_bits dmac_ec_teletv_bits_130f.bin 130 -m dmac --eurocrypt teletv test
+# CW-keyed scrambling waveform (first 4 frames, initial CW from srand(1))
+capture d2mac_ec_dcut_4frames.s16 6480000 -s 20250000 -m d2mac --eurocrypt ctv --double-cut test
