@@ -191,6 +191,24 @@ class AudioChain:
             # differential-symbol anchor: (frame index, dsym entering it)
             self._dsym_anchor: tuple[int, int] = (0, 0)
 
+        self.dance = None
+        if conf.dance_level > 0 and conf.dance_carrier != 0:
+            from . import dance as dance_mod
+            self.dance = {
+                "timing": nicam_mod.SymbolTiming.create(
+                    self.S, dance_mod.DANCE_SYMBOL_RATE),
+                "taps": nicam_mod.mod_taps(
+                    self.S, conf.dance_beta, conf.dance_level * slevel,
+                    dance_mod.DANCE_SYMBOL_RATE),
+                "num": 0, "den": 0,
+            }
+            # dance_mod_init takes the carrier as unsigned int -> the
+            # 63e6/11 Hz BS carrier truncates (src/video.c:4538,964)
+            fi = int(conf.dance_carrier)
+            g = math.gcd(fi, self.S)
+            self.dance["num"], self.dance["den"] = fi // g, self.S // g
+            self._dance_dsym_anchor: tuple[int, int] = (0, 0)
+
         # Max segments a line can span: audio events in W samples + hold
         self.nseg = _ceil_div(width * self.A, self.S) + 2
 
@@ -487,6 +505,98 @@ class AudioChain:
             out.append(nicam_mod.encode_frames(pcm, f0))
         return np.concatenate(out) if out else \
             np.zeros((0, nicam_mod.NICAM_FRAME_BYTES), dtype=np.uint8)
+
+
+    # -- DANCE block ----------------------------------------------------
+    def dance_block(self, k0: int, nlines: int, st) -> dict:
+        """Per-line DQPSK symbol amplitudes for the DANCE subcarrier,
+        same pulse-matrix scheme as nicam_block."""
+        from . import dance as dance_mod
+        dt = self.dance
+        P, S = st.period, st.nslot
+        ks = np.arange(k0, k0 + nlines, dtype=np.int64)
+        cls = ks % P
+        kf_abs = st.kf[cls] + (ks - cls) // P * st.syms_per_period
+
+        sym_lo = max(0, int(kf_abs.min()))
+        sym_hi = int(kf_abs.max()) + S
+        f0 = sym_lo // dance_mod.DANCE_FRAME_SYMS
+        f1 = (sym_hi - 1) // dance_mod.DANCE_FRAME_SYMS + 1
+        signs = self._dance_signs(f0, f1)
+        base = f0 * dance_mod.DANCE_FRAME_SYMS
+        pad = np.zeros((S, 2), dtype=np.float32)
+        signs = np.concatenate([signs, pad])
+
+        sym_abs = kf_abs[:, None] + np.arange(S)[None, :]
+        valid = sym_abs >= 0
+        idx = np.clip(sym_abs - base, 0, len(signs) - 1)
+        amps = signs[idx] * valid[..., None]
+
+        num, den = dt["num"], dt["den"]
+        n_line = ks * self.W
+        rot = (n_line % den) * num % den
+        ang = 2.0 * np.pi * rot / den
+        return dict(amps_i=np.ascontiguousarray(amps[..., 0]),
+                    amps_q=np.ascontiguousarray(amps[..., 1]),
+                    c0=np.cos(ang).astype(np.float32),
+                    s0=np.sin(ang).astype(np.float32))
+
+    def _dance_signs(self, f0: int, f1: int) -> np.ndarray:
+        from . import dance as dance_mod
+        fa, da = self._dance_dsym_anchor
+        if fa > f0:
+            fa, da = 0, 0
+        frames = self._dance_frames(fa, f1)
+        pairs = dance_mod.frame_symbols(frames).reshape(-1)
+        signs, _ = nicam_mod.differential_encode(pairs, da)
+        last = f1 - 3
+        if last > fa:
+            nsym = dance_mod.DANCE_FRAME_SYMS
+            steps = nicam_mod.STEP[pairs[: (last - fa) * nsym]]
+            self._dance_dsym_anchor = (last, int((da + steps.sum()) & 3))
+        return signs[(f0 - fa) * dance_mod.DANCE_FRAME_SYMS:]
+
+    def _dance_audio_block(self, f: int) -> int:
+        """Audio 32-pair block held in the modulator when frame f is
+        encoded: the frame encode fires at output sample
+        timing.start(1024 f) inside dance_mod_output for that line,
+        AFTER the whole line's audio-rate events ran
+        (src/video.c:3261-3443 order); the newest complete block wins.
+        Returns the block index (pairs [32j, 32(j+1))), or -1 for the
+        initial silence."""
+        from . import dance as dance_mod
+        n_f = int(self.dance["timing"].start(f * dance_mod.DANCE_FRAME_SYMS))
+        line_end = (n_f // self.W + 1) * self.W
+        pairs_read = int(self.held_index(line_end - 1)) + 1
+        return pairs_read // dance_mod.DANCE_A_AUDIO_LEN - 1
+
+    def _dance_frames(self, f0: int, f1: int) -> np.ndarray:
+        """DANCE frames [f0, f1).  Frame f's range codes come from the
+        audio block visible at its own encode; its sample payload from
+        the block of frame f-1's encode (double buffering,
+        src/dance.c:229-231,257-261).  The pre-emphasis FIR runs over
+        the concatenated per-call input blocks in call order."""
+        from . import dance as dance_mod
+        if f1 <= f0:
+            return np.zeros((0, dance_mod.DANCE_FRAME_BYTES), dtype=np.uint8)
+        n = dance_mod.DANCE_A_AUDIO_LEN
+        hist = dance_mod.PRE_A_NTAPS - 1
+        # calls needed: [f0-1, f1) for the frames, plus 3 earlier calls
+        # (hist = 76 < 3*32 samples) to rebuild the FIR ring state —
+        # block indices are computable for any call, so no rescan from
+        # the stream start is ever needed
+        c_lo = f0 - 4
+        ncalls = f1 - c_lo
+        pcm_calls = np.zeros((ncalls * n, 2), dtype=np.int64)
+        for ci in range(ncalls):
+            c = c_lo + ci
+            j = self._dance_audio_block(c) if c >= 0 else -1
+            if j >= 0:
+                pcm_calls[ci * n: (ci + 1) * n] = self._pcm(j * n, n)
+        pre = np.stack([dance_mod.pre_emphasis(pcm_calls[:, 0]),
+                        dance_mod.pre_emphasis(pcm_calls[:, 1])],
+                       axis=-1)[3 * n:]
+        return dance_mod.encode_frames(pre, f0)
 
 
 def _ceil_div_arr(a, b):

@@ -261,11 +261,13 @@ def differential_encode(pairs: np.ndarray, dsym_in: int) -> tuple[np.ndarray, in
     return np.stack([i_sign, q_sign], axis=-1).astype(np.float32), int(dsym[-1]) if len(dsym) else dsym_in
 
 
-def mod_taps(sample_rate: int, beta: float, level: float) -> np.ndarray:
+def mod_taps(sample_rate: int, beta: float, level: float,
+             symbol_rate: int = NICAM_SYMBOL_RATE) -> np.ndarray:
     """RRC x Hamming pulse-shaping taps, int16-quantised
-    (src/nicam728.c:257-288)."""
+    (src/nicam728.c:257-288; identical construction for DANCE,
+    src/dance.c:359-390)."""
     from ..ops.shapes import rrc
-    sps = sample_rate / 364000.0
+    sps = sample_rate / float(symbol_rate)
     ntaps = (int(sps * 5) + 1) | 1
     n = ntaps // 2
     x = np.arange(-n, n + 1, dtype=np.float64)

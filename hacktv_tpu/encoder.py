@@ -190,6 +190,11 @@ class Encoder:
             nt = self.audio.nicam
             self.nicam_statics = audio_synth.make_nicam_statics(
                 nt["taps"], nt["num"], nt["den"], p.width, nt["timing"])
+        self.dance_statics = None
+        if self.audio.dance is not None:
+            dt = self.audio.dance
+            self.dance_statics = audio_synth.make_nicam_statics(
+                dt["taps"], dt["num"], dt["den"], p.width, dt["timing"])
         self.fm_right_statics = None
         self.a2_statics = None
         if self.audio.fm_right is not None:
@@ -201,6 +206,7 @@ class Encoder:
                 self.audio.a2_pilot, c.kd, p.width)
         self.has_audio = (self.fm_statics is not None or
                           self.nicam_statics is not None or
+                          self.dance_statics is not None or
                           self.am_statics is not None or
                           self.fm_right_statics is not None)
 
@@ -333,6 +339,11 @@ class Encoder:
             out_i, out_q = audio_synth.nicam_add(
                 self.nicam_statics, out_i, out_q, nc["amps_i"],
                 nc["amps_q"], nc["c0"], nc["s0"], audio_args["nicam_k0mod"])
+        if self.dance_statics is not None:
+            dc = audio_args["dance"]
+            out_i, out_q = audio_synth.nicam_add(
+                self.dance_statics, out_i, out_q, dc["amps_i"],
+                dc["amps_q"], dc["c0"], dc["s0"], audio_args["dance_k0mod"])
 
         frame_tot = None
         if self.fm_video_statics is not None:
@@ -390,6 +401,10 @@ class Encoder:
             args["nicam"] = {k: jnp.asarray(v) for k, v in nc.items()}
             # static per trace; constant when nlines % period == 0
             args["nicam_k0mod"] = a_k0 % self.nicam_statics.period
+        if self.dance_statics is not None:
+            dc = self.audio.dance_block(a_k0, nlines, self.dance_statics)
+            args["dance"] = {k: jnp.asarray(v) for k, v in dc.items()}
+            args["dance_k0mod"] = a_k0 % self.dance_statics.period
         if self.fm_video_statics is not None:
             if block_no not in self._fm_phi:
                 raise RuntimeError(

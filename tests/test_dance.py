@@ -1,0 +1,68 @@
+"""DANCE / BS digital audio parity tests (mode ntsc-bs).
+
+Bit-domain oracle: tools/make_golden.sh patches the reference to dump
+each encoded 256-byte DANCE frame; our encoder must match byte-exactly.
+Waveform oracle: conditional SNR vs the ntsc-bs FM capture (per-line
+derotation as in test_rf_chain — the reference's FM phase carries an
+uninitialised-memory random walk, see that module's docstring).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = "/tmp/golden"
+
+
+def _golden(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} missing; run tools/make_golden.sh")
+    return path
+
+
+def test_dance_frames_bit_exact():
+    path = _golden("dance_bits_100f.bin")
+    golden = np.fromfile(path, dtype=np.uint8).reshape(-1, 256)
+    from hacktv_tpu import Encoder
+    enc = Encoder("ntsc-bs", 16_000_000)
+    mine = enc.audio._dance_frames(0, len(golden))
+    for f in range(len(golden)):
+        assert np.array_equal(mine[f], golden[f]), f"frame {f} differs"
+
+
+def test_dance_prn_interleave_ranges():
+    """Structural self-checks on the DANCE tables."""
+    from hacktv_tpu.audio import dance
+    # the interleave is a bijection over the 2016 block bits
+    assert len(np.unique(dance._ILEAVE)) == 2016
+    # silence keeps range 7 (pattern 0xE8, shift 2: src/dance.c:114-130)
+    assert dance.range_indices(np.zeros((1, 32), dtype=np.int64))[0] == 7
+    assert dance.range_indices(np.full((1, 32), 32767))[0] == 0
+    assert dance.range_indices(np.full((1, 32), -32768))[0] == 0
+    assert dance.range_indices(np.full((1, 32), 255))[0] == 7
+    assert dance.range_indices(np.full((1, 32), 256))[0] == 6
+
+
+def test_ntsc_bs_waveform():
+    from hacktv_tpu import Encoder
+    ref = np.fromfile(_golden("ntscbs_16M_2frames.c16"),
+                      dtype=np.int16).reshape(-1, 2)
+    enc = Encoder("ntsc-bs", 16_000_000)
+    ours = np.concatenate(
+        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+    W = enc.params.width
+    n = (min(len(ref), len(ours)) // W) * W
+    r = (ref[:n, 0] + 1j * ref[:n, 1]).astype(np.complex128).reshape(-1, W)
+    o = (ours[:n, 0] + 1j * ours[:n, 1]).astype(np.complex128).reshape(-1, W)
+
+    d0 = np.angle((o[0, :W - 12] * np.conj(r[0, :W - 12])).sum())
+    assert abs(d0) < 0.05, f"initial FM phase differs by {d0:.3f} rad"
+
+    drift = np.angle((o[:, :W - 12] * np.conj(r[:, :W - 12])).sum(axis=1))
+    o = o * np.exp(-1j * drift)[:, None]
+    e = (o - r)[:, :W - 12]
+    rr = r[:, :W - 12]
+    snr = 10 * np.log10((np.abs(rr) ** 2).sum() / (np.abs(e) ** 2).sum())
+    assert snr >= 40.0, f"ntsc-bs conditional SNR {snr:.2f} dB"

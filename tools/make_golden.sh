@@ -45,6 +45,22 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     sed -i 's/_add_lineprocess(s, "audio", 1, 1, NULL, _vid_audio_process, NULL);/_add_lineprocess(s, "audio", 1, s->conf.type == VID_MAC ? 0 : 1, NULL, _vid_audio_process, NULL);/' video.c
     # 3. Optional per-line duobinary bit dump for byte-exact bit-domain
     #    tests (enabled by MAC_BITS_DUMP=<path>).
+    # 4. Optional DANCE frame-byte dump (enabled by DANCE_BITS_DUMP=<path>)
+    python3 - <<'PYEOF'
+src = open('dance.c').read()
+hook = '''			s->frame_bit = 0;
+			{
+				const char *_bd = getenv("DANCE_BITS_DUMP");
+				if(_bd)
+				{
+					static FILE *_bf = NULL;
+					if(!_bf) _bf = fopen(_bd, "wb");
+					if(_bf) fwrite(s->frame, 1, DANCE_FRAME_BYTES, _bf);
+				}
+			}'''
+src = src.replace('\t\t\ts->frame_bit = 0;', hook, 1)
+open('dance.c', 'w').write(src)
+PYEOF
     python3 - <<'PYEOF'
 import re
 src = open('mac.c').read()
@@ -110,6 +126,14 @@ capture pal_systerfull_4frames.s16 5120000 -m pal --syster premiere-fa --systerc
 capture pal_vcs_8frames.s16 10240000 -m pal --videocrypts free test
 capture pali_systeraudio_2frames.c16 5120000 -m i --syster premiere-fa --systeraudio test
 capture pali_sis_4frames.c16 10240000 -m i --sis dcsis test
+# DANCE / BS digital audio (ntsc-bs: FM + DANCE at 63e6/11 Hz)
+capture ntscbs_16M_2frames.c16 4271400 -s 16000000 -m ntsc-bs test
+if [ ! -s "$GOLDEN/dance_bits_100f.bin" ]; then
+    echo "golden: dance_bits_100f.bin"
+    DANCE_BITS_DUMP="$GOLDEN/dance_bits_100f.bin.tmp" timeout 120 "$HACKTV" -o - -s 16000000 -m ntsc-bs test 2>/dev/null | head -c 16000000 > /dev/null
+    head -c $((100 * 256)) "$GOLDEN/dance_bits_100f.bin.tmp" > "$GOLDEN/dance_bits_100f.bin"
+    rm -f "$GOLDEN/dance_bits_100f.bin.tmp"
+fi
 # A2 / Zweikanalton stereo
 capture palg_16M_2frames.c16 5120000 -m g test
 capture palg_a2_2frames.c16 5120000 -m g --a2stereo test
