@@ -138,7 +138,7 @@ class Encoder:
             self.fm_video_statics = rf_ops.make_fm_video_statics(
                 conf.fm_deviation, conf.fm_level * conf.level,
                 p.sample_rate, conf.lines)
-            self._fm_phi: dict[int, float] = {0: 0.0}
+            self._fm_r: dict[int, int] = {0: 0}
 
         # complex frequency offset (src/video.c:4592-4605)
         self.offset_statics = None
@@ -345,11 +345,11 @@ class Encoder:
                 self.dance_statics, out_i, out_q, dc["amps_i"],
                 dc["amps_q"], dc["c0"], dc["s0"], audio_args["dance_k0mod"])
 
-        frame_tot = None
+        fm_carry = None
         if self.fm_video_statics is not None:
             from .rf import ops as rf_ops
-            out_i, out_q, frame_tot = rf_ops.fm_video_modulate(
-                self.fm_video_statics, out_i, audio_args["fm_phi0"])
+            out_i, out_q, fm_carry = rf_ops.fm_video_modulate(
+                self.fm_video_statics, out_i, audio_args["fm_r0"])
 
         if self.conf.swap_iq:
             out_i, out_q = out_q, out_i
@@ -362,7 +362,7 @@ class Encoder:
 
         iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
         iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
-        aux = tuple(a for a in (frame_tot, secam_tail) if a is not None)
+        aux = tuple(a for a in (fm_carry, secam_tail) if a is not None)
         return (iq, *aux) if aux else iq
 
     # ------------------------------------------------------------------
@@ -406,11 +406,11 @@ class Encoder:
             args["dance"] = {k: jnp.asarray(v) for k, v in dc.items()}
             args["dance_k0mod"] = a_k0 % self.dance_statics.period
         if self.fm_video_statics is not None:
-            if block_no not in self._fm_phi:
+            if block_no not in self._fm_r:
                 raise RuntimeError(
                     "FM-modulated blocks must be encoded sequentially "
                     f"(no phase carry for block {block_no})")
-            args["fm_phi0"] = jnp.float32(self._fm_phi[block_no])
+            args["fm_r0"] = jnp.int32(self._fm_r[block_no])
         if self.secam_statics is not None:
             from .video import secam as secam_mod
             key = k0
@@ -448,12 +448,7 @@ class Encoder:
         if isinstance(out, tuple):
             out, *aux = out
             if self.fm_video_statics is not None:
-                frame_tot = aux.pop(0)
-                phi = (self._fm_phi[block_no]
-                       + float(np.sum(np.asarray(frame_tot,
-                                                 dtype=np.float64)))
-                       ) % (2.0 * np.pi)
-                self._fm_phi[block_no + 1] = phi
+                self._fm_r[block_no + 1] = int(aux.pop(0))
             if self.secam_statics is not None:
                 self._secam_tail = aux.pop(0)
         return out

@@ -34,51 +34,93 @@ class FMVideoStatics:
     kd: float            # rad per unit sample: 2*pi*deviation/(fs*32767)
     level_int: int       # round(32767 * fm_level * level)
     lines_per_frame: int
+    num: int = 0         # deviation/(fs*32767) as a reduced fraction:
+    den: int = 1         # phase/2pi advances by num/den per unit sample
 
 
 def make_fm_video_statics(deviation: float, level: float, sample_rate: int,
                           lines_per_frame: int) -> FMVideoStatics:
+    from fractions import Fraction
+    fr = Fraction(deviation).limit_denominator(1 << 20) \
+        / (sample_rate * 32767)
+    if not (0 < fr.denominator < 2**31):
+        raise ValueError("FM deviation/sample-rate ratio too irrational "
+                         "for exact phase accumulation")
     return FMVideoStatics(
         kd=2.0 * np.pi * deviation / (sample_rate * 32767.0),
         level_int=int(round(32767 * level)),
-        lines_per_frame=lines_per_frame)
+        lines_per_frame=lines_per_frame,
+        num=fr.numerator, den=fr.denominator)
 
 
-def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, phi0: jnp.ndarray):
+def _addmod(a, b, den):
+    """(a + b) mod den on uint32 lanes; a, b in [0, den), den < 2^31."""
+    s = a + b
+    return s - jnp.uint32(den) * (s >= jnp.uint32(den)).astype(jnp.uint32)
+
+
+def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, r0: jnp.ndarray):
     """FM-modulate the baseband block.
 
     x: [nlines, W] f32 (int16-scaled composite incl. audio subcarriers).
-    phi0: f32 scalar, phase at block start (mod 2pi).
-    Returns (out_i, out_q, frame_totals) where frame_totals [F] are each
-    frame's phase increment mod 2pi for the host-side carry.
+    r0: int32 scalar carry — the cumulative sum of all previous blocks'
+    quantised samples, mod `den`.
+
+    The phase integral of the int16 composite is computed EXACTLY: a
+    line's sample sum fits int32, and the cross-line accumulation runs
+    as a modular prefix scan (phase advances num/den turns per unit
+    sample, so only the sum mod den matters).  An f32 cumsum here is
+    not an option: its per-line rounding error is deterministic in the
+    line content, so the near-identical lines of a field accumulate a
+    coherent phase drift (~2.5e-4 rad/line for D-MAC) that the
+    reference's int32 phase iteration does not have.  Within a line,
+    f32 kd*cumsum is fine — the error resets at every line start.
+
+    Returns (out_i, out_q, r_next).
     """
     B, W = x.shape
-    F = B // st.lines_per_frame
     kd = np.float32(st.kd)
+    den = st.den
 
     # The reference modulates the int16-quantised composite
     # (src/video.c:3452-3464 feeds line->output); modulating the float
     # canvas instead leaves a sub-LSB mean offset that integrates into
     # an unbounded phase drift.  Quantise first.
-    d = kd * jnp.round(jnp.clip(x, -32768, 32767))
-    col_cum = jnp.cumsum(d, axis=1)                       # inclusive
-    line_tot = _fmod2pi(col_cum[:, -1])
-    lt = line_tot.reshape(F, st.lines_per_frame)
-    line_base = jnp.cumsum(lt, axis=1) - lt               # exclusive
-    frame_tot = _fmod2pi(line_base[:, -1] + lt[:, -1])
-    frame_base = _fmod2pi(jnp.cumsum(frame_tot) - frame_tot)
+    xq = jnp.round(jnp.clip(x, -32768, 32767)).astype(jnp.int32)
+    col_cum = jnp.cumsum(xq, axis=1)                      # exact, inclusive
+    T = col_cum[:, -1]                                    # line totals
+    Tm = jnp.mod(T, den).astype(jnp.uint32)               # in [0, den)
 
-    phi = (phi0 + frame_base[:, None].repeat(st.lines_per_frame, 1)
-           .reshape(B, 1)
-           + line_base.reshape(B, 1) + col_cum)
+    incl = jax.lax.associative_scan(lambda a, b: _addmod(a, b, den), Tm)
+    r0u = jnp.mod(r0, den).astype(jnp.uint32)
+    s_incl = _addmod(incl, r0u, den)
+    # exclusive prefix: subtract the line's own total (mod den)
+    s_excl = _addmod(s_incl, jnp.uint32(den) - Tm, den)
+
+    # base angle = 2pi * ((num * S) mod den) / den, exact via static
+    # double-and-add modular multiplication (all lanes < den < 2^31)
+    acc = jnp.zeros_like(s_excl)
+    a = s_excl
+    n = st.num % den
+    while n:
+        if n & 1:
+            acc = _addmod(acc, a, den)
+        n >>= 1
+        if n:
+            a = _addmod(a, a, den)
+    base = acc.astype(jnp.float32) * np.float32(2.0 * np.pi / den)
+
+    # within-line deviation phase: exclusive cumsum in f32 (the sample's
+    # own phase step applies before output, src/video.c:2320)
+    phi = base[:, None] + kd * col_cum.astype(jnp.float32)
     ci = jnp.cos(phi)
     cq = jnp.sin(phi)
     lvl = np.float32(st.level_int)
     inv = np.float32(1.0 / 32768.0)
-    
+
     out_i = jnp.floor(jnp.clip(jnp.floor(ci * 32768.0), -32768, 32767) * lvl * inv)
     out_q = jnp.floor(jnp.clip(jnp.floor(cq * 32768.0), -32768, 32767) * lvl * inv)
-    return out_i, out_q, frame_tot
+    return out_i, out_q, s_incl[-1].astype(jnp.int32)
 
 
 @dataclass

@@ -475,7 +475,7 @@ class MacEncoder:
             self.fm_video_statics = rf_ops.make_fm_video_statics(
                 conf.fm_deviation, conf.fm_level * conf.level,
                 self.S, conf.lines)
-            self._fm_phi = {0: 0.0}
+            self._fm_r = {0: 0}
 
         self._meta = None
         self._step = jax.jit(self._step_impl)
@@ -530,7 +530,7 @@ class MacEncoder:
         return meta
 
     # ------------------------------------------------------------------
-    def _step_impl(self, sym, meta, scr_apply, xc1, xc2, fm_phi0):
+    def _step_impl(self, sym, meta, scr_apply, xc1, xc2, fm_r0):
         n = self.frames_per_block * mb.MAC_LINES
         W = self.width
         # duobinary laid down before this line's overwrites: own bits +
@@ -607,12 +607,12 @@ class MacEncoder:
         flat = canvas.reshape(-1)
         if self.fm_video_statics is not None:
             from ..rf import ops as rf_ops
-            out_i, out_q, frame_tot = rf_ops.fm_video_modulate(
-                self.fm_video_statics, canvas, fm_phi0)
+            out_i, out_q, fm_carry = rf_ops.fm_video_modulate(
+                self.fm_video_statics, canvas, fm_r0)
             iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)],
                            axis=-1)
             iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
-            return iq, frame_tot
+            return iq, fm_carry
         if self.complex_out:
             iq = jnp.stack([flat, jnp.zeros_like(flat)], axis=-1)
             return jnp.clip(jnp.round(iq), -32768, 32767
@@ -643,17 +643,14 @@ class MacEncoder:
         self.mux.prune(k0 + n - 1)
 
         meta = self._line_meta()
-        fm_phi0 = jnp.float32(self._fm_phi[block_no]
-                              if self.fm_video_statics is not None else 0.0)
+        fm_r0 = jnp.int32(self._fm_r[block_no]
+                          if self.fm_video_statics is not None else 0)
         out = self._step(jnp.asarray(sym), meta,
                          jnp.asarray(scr_apply), jnp.asarray(xc1),
-                         jnp.asarray(xc2), fm_phi0)
+                         jnp.asarray(xc2), fm_r0)
         if self.fm_video_statics is not None:
-            out, frame_tot = out
-            phi = (self._fm_phi[block_no]
-                   + float(np.sum(np.asarray(frame_tot, dtype=np.float64)))
-                   ) % (2.0 * np.pi)
-            self._fm_phi[block_no + 1] = phi
+            out, fm_carry = out
+            self._fm_r[block_no + 1] = int(fm_carry)
         return out
 
     @property
