@@ -1,0 +1,302 @@
+"""Command-line interface mirroring the reference hacktv binary.
+
+Option set and semantics follow src/hacktv.c:455-535 (long-option table)
+and the validation/dispatch logic at src/hacktv.c:1107-1608.  Output
+goes to the file sink (`file:path`, a bare path, or `-` for stdout);
+hardware sinks (hackrf/soapysdr/fl2k) need the native bridge and give a
+clear error when unavailable.
+
+Extensions over the reference (it streams until SIGINT): `--frames N`
+and `--seconds S` bound the capture length for scripted use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+from dataclasses import replace
+
+import numpy as np
+
+from .config.standards import (ColourMode, MacMode, Modulation, OutputType,
+                               REGISTRY, get_mode, list_modes)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hacktv_tpu",
+        description="TPU-native analogue TV signal generator "
+                    "(hacktv-compatible)")
+    a = p.add_argument
+    a("input", nargs="*", default=["test"],
+      help="input: 'test' (test card), 'raw:<file>' (RGB32+PCM), "
+           "'ffmpeg:<path>' (needs ffmpeg binary)")
+    a("-o", "--output", default="-",
+      help="output: file:<path>, -, or a bare path (default: stdout)")
+    a("-m", "--mode", default="i", help="TV mode id (see --list-modes)")
+    a("--list-modes", action="store_true")
+    a("--json", action="store_true")
+    a("-s", "--samplerate", type=float, default=16e6)
+    a("--pixelrate", type=float, default=0)
+    a("-l", "--level", type=float, default=None)
+    a("-D", "--deviation", type=float, default=None)
+    a("-G", "--gamma", type=float, default=None)
+    a("-i", "--interlace", action="store_true")
+    a("--fit", choices=["stretch", "fill", "fit", "none"], default=None)
+    a("--min-aspect", default=None)
+    a("--max-aspect", default=None)
+    a("--letterbox", action="store_true")
+    a("--pillarbox", action="store_true")
+    a("-r", "--repeat", action="store_true")
+    a("--shuffle", action="store_true")
+    a("-v", "--verbose", action="store_true")
+    a("--teletext", default=None, metavar="PATH")
+    a("--wss", default=None, metavar="MODE")
+    a("--videocrypt", default=None, metavar="MODE")
+    a("--videocrypt2", default=None, metavar="MODE")
+    a("--videocrypts", default=None, metavar="MODE")
+    a("--syster", default=None, metavar="MODE")
+    a("--key-table-1", action="store_true")
+    a("--key-table-2", action="store_true")
+    a("--d11", default=None, metavar="MODE")
+    a("--systercnr", default=None, metavar="MODE")
+    a("--systeraudio", action="store_true")
+    a("--acp", action="store_true")
+    a("--vits", action="store_true")
+    a("--vitc", action="store_true")
+    a("--cc608", action="store_true")
+    a("--filter", action="store_true", dest="vfilter")
+    a("--nodate", action="store_true")
+    a("--nocolour", "--nocolor", action="store_true", dest="nocolour")
+    a("--s-video", action="store_true", dest="s_video")
+    a("--volume", type=float, default=None)
+    a("--noaudio", action="store_true")
+    a("--nonicam", action="store_true")
+    a("--a2stereo", action="store_true")
+    a("--single-cut", action="store_true")
+    a("--double-cut", action="store_true")
+    a("--eurocrypt", default=None, metavar="MODE")
+    a("--ec-mat-rating", type=int, default=0)
+    a("--ec-ppv", default=None, nargs="?", const="0,0")
+    a("--scramble-audio", action="store_true")
+    a("--chid", type=lambda x: int(x, 0), default=None)
+    a("--mac-audio-stereo", action="store_true")
+    a("--mac-audio-mono", action="store_true")
+    a("--mac-audio-high-quality", action="store_true")
+    a("--mac-audio-medium-quality", action="store_true")
+    a("--mac-audio-companded", action="store_true")
+    a("--mac-audio-linear", action="store_true")
+    a("--mac-audio-l1-protection", action="store_true")
+    a("--mac-audio-l2-protection", action="store_true")
+    a("--sis", default=None, metavar="MODE")
+    a("--swap-iq", action="store_true")
+    a("--offset", type=float, default=0)
+    a("--passthru", default=None, metavar="FILE")
+    a("--invert-video", action="store_true")
+    a("--raw-bb-file", default=None, metavar="FILE")
+    a("--raw-bb-blanking", type=int, default=0)
+    a("--raw-bb-white", type=int, default=0x300)
+    a("--secam-field-id", action="store_true")
+    a("--secam-field-id-lines", type=int, default=None)
+    a("-t", "--type", default="int16",
+      choices=["uint8", "int8", "uint16", "int16", "int32", "float"])
+    a("--frames", type=int, default=0,
+      help="stop after N frames (0 = until interrupted)")
+    a("--seconds", type=float, default=0,
+      help="stop after S seconds of signal")
+    a("--threads", action="store_true", help="accepted for compatibility")
+    a("--version", action="store_true")
+    return p
+
+
+def _print_modes(as_json: bool) -> None:
+    if as_json:
+        out = {"modes": [{"id": k, "description": d}
+                         for k, d in list_modes()]}
+        print(json.dumps(out, indent=2))
+    else:
+        for k, d in list_modes():
+            print(f"  {k:<14} = {d}")
+
+
+def _apply_overrides(conf, args):
+    kw = {}
+    if args.level is not None:
+        kw["level"] = args.level
+    if args.deviation is not None:
+        kw["fm_deviation"] = args.deviation
+    if args.gamma is not None:
+        kw["gamma"] = args.gamma
+    if args.interlace:
+        kw["interlace"] = 1
+    if args.volume is not None:
+        kw["volume"] = args.volume
+    if args.nocolour:
+        kw["colour_mode"] = ColourMode.MONOCHROME
+    if args.s_video:
+        kw["s_video"] = True
+    if args.noaudio:
+        kw.update(fm_mono_level=0.0, fm_left_level=0.0, fm_right_level=0.0,
+                  am_audio_level=0.0, nicam_level=0.0, dance_level=0.0)
+    if args.nonicam:
+        kw["nicam_level"] = 0.0
+    if args.invert_video:
+        kw["invert_video"] = True
+    if args.secam_field_id:
+        kw["secam_field_id"] = True
+    if args.secam_field_id_lines is not None:
+        kw["secam_field_id_lines"] = args.secam_field_id_lines
+    if args.chid is not None:
+        kw["chid"] = args.chid
+    if args.mac_audio_mono:
+        kw["mac_audio_stereo"] = False
+    if args.mac_audio_stereo:
+        kw["mac_audio_stereo"] = True
+    if args.mac_audio_medium_quality:
+        kw["mac_audio_quality"] = False
+    if args.mac_audio_high_quality:
+        kw["mac_audio_quality"] = True
+    if args.mac_audio_linear:
+        kw["mac_audio_companded"] = False
+    if args.mac_audio_companded:
+        kw["mac_audio_companded"] = True
+    if args.mac_audio_l2_protection:
+        kw["mac_audio_protection"] = True
+    if args.mac_audio_l1_protection:
+        kw["mac_audio_protection"] = False
+    return replace(conf, **kw) if kw else conf
+
+
+def _open_sink(args, complex_out: bool):
+    from .rf.file import FileSink
+    target = args.output
+    for hw in ("hackrf", "soapysdr", "fl2k"):
+        if target == hw or target.startswith(hw + ":"):
+            raise SystemExit(
+                f"{hw} output requires the native SDR bridge, which is "
+                "not available in this build; use file:<path> or -")
+    if target.startswith("file:"):
+        target = target[5:]
+    return FileSink(target, args.type, complex_out)
+
+
+def _make_source(spec: str, active_width: int, active_lines: int):
+    from .av.testcard import TestCardSource
+    if spec == "test":
+        return TestCardSource(active_width, active_lines)
+    if spec.startswith("raw:"):
+        from .av.rawfile import RawFileSource
+        return RawFileSource(spec[4:], active_width, active_lines)
+    if spec.startswith("ffmpeg:") or not spec.startswith(("test",)):
+        from .av.ffmpeg import FFmpegSource
+        path = spec.split(":", 1)[1] if ":" in spec else spec
+        return FFmpegSource(path, active_width, active_lines)
+    raise SystemExit(f"unknown input '{spec}'")
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.version:
+        print("hacktv_tpu 1.0 (TPU-native hacktv)")
+        return 0
+    if args.list_modes:
+        _print_modes(args.json)
+        return 0
+
+    try:
+        conf = get_mode(args.mode)
+    except KeyError as e:
+        raise SystemExit(str(e))
+    conf = _apply_overrides(conf, args)
+
+    sample_rate = int(args.samplerate)
+    pixel_rate = int(args.pixelrate)
+
+    # ---- validation (src/hacktv.c:1184-1437) -------------------------
+    if (args.videocrypt or args.videocrypt2) and \
+            conf.colour_mode not in (ColourMode.PAL, ColourMode.MONOCHROME):
+        raise SystemExit("videocrypt requires a PAL mode")
+    if args.single_cut or args.double_cut:
+        if conf.mac_mode is None:
+            raise SystemExit("single/double cut requires a MAC mode")
+    if args.eurocrypt and conf.mac_mode is None:
+        raise SystemExit("eurocrypt requires a MAC mode")
+    if args.a2stereo and conf.mac_mode is not None:
+        raise SystemExit("a2stereo is not available for MAC modes")
+
+    frames_wanted = args.frames
+    if args.seconds:
+        fr = conf.frame_rate
+        frames_wanted = max(frames_wanted,
+                            int(np.ceil(args.seconds * fr.num / fr.den)))
+
+    stop = {"flag": False}
+
+    def _sigint(_sig, _frm):
+        stop["flag"] = True
+    try:
+        signal.signal(signal.SIGINT, _sigint)
+    except ValueError:
+        pass   # not the main thread
+
+    if conf.mac_mode is not None:
+        from .video.mac import MacEncoder
+        ec = None
+        if args.eurocrypt:
+            from .services.eurocrypt import Eurocrypt
+            ec = Eurocrypt(args.eurocrypt,
+                           mat_rating=args.ec_mat_rating,
+                           ppv=args.ec_ppv, nodate=args.nodate)
+        scr = 2 if args.double_cut else (1 if args.single_cut else 0)
+        enc = MacEncoder(conf, sample_rate, pixel_rate,
+                         scramble_video=scr,
+                         scramble_audio=args.scramble_audio,
+                         eurocrypt=ec)
+        complex_out = conf.output_type == OutputType.COMPLEX
+        frame_samples = enc.frame_samples
+    else:
+        from .encoder import Encoder
+        syster_arg = args.syster
+        enc = Encoder(conf, sample_rate, pixel_rate,
+                      wss=args.wss, teletext=args.teletext,
+                      vfilter=args.vfilter, offset=int(args.offset),
+                      swap_iq=args.swap_iq, vits=args.vits,
+                      vitc=args.vitc, cc608=args.cc608, acp=args.acp,
+                      videocrypt=args.videocrypt,
+                      videocrypt2=args.videocrypt2,
+                      videocrypts=args.videocrypts,
+                      syster=syster_arg, systercnr=args.systercnr,
+                      d11=args.d11, systeraudio=args.systeraudio,
+                      a2stereo=args.a2stereo, sis=args.sis)
+        complex_out = enc.complex_out
+        frame_samples = enc.params.frame_samples
+
+    sink = _open_sink(args, complex_out)
+    if args.verbose:
+        print(f"mode: {args.mode}, {sample_rate/1e6:g} MS/s, "
+              f"{'complex' if complex_out else 'real'} "
+              f"{frame_samples} samples/frame", file=sys.stderr)
+
+    block = 0
+    frames_done = 0
+    try:
+        while not stop["flag"]:
+            out = np.asarray(enc.encode_block_device(block))
+            if out.ndim == 1:
+                out = np.stack([out, np.zeros_like(out)], axis=-1)
+            sink.write(out)
+            block += 1
+            frames_done += getattr(enc, "frames_per_block", 1)
+            if frames_wanted and frames_done >= frames_wanted:
+                break
+    except (BrokenPipeError, KeyboardInterrupt):
+        pass
+    finally:
+        sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
