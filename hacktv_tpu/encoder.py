@@ -45,7 +45,11 @@ class Encoder:
                  d11: str | None = None,
                  systeraudio: bool = False,
                  a2stereo: bool = False,
-                 sis: str | None = None):
+                 sis: str | None = None,
+                 passthru: str | None = None,
+                 raw_bb_file: str | None = None,
+                 raw_bb_blanking: int = 0,
+                 raw_bb_white: int = 0x300):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -156,6 +160,21 @@ class Encoder:
             self._secam_tail = jnp.zeros(secam_mod._IIR_TAIL,
                                          dtype=jnp.float32)
             self._secam_meta_cache: dict = {}
+
+        # Raw baseband replay input (src/video.c:2406-2445): replaces the
+        # raster; the int16 sample file loops and is rescaled to the
+        # mode's blanking..white range with C integer division.
+        self.raw_bb = None
+        if raw_bb_file is not None:
+            self.raw_bb = _RawBBReader(raw_bb_file, p.width,
+                                       raw_bb_blanking, raw_bb_white,
+                                       p.blanking_level, p.white_level)
+
+        # Passthru: external int16 IQ stream added just before output
+        # (src/video.c:3517-3541); stops adding at EOF.
+        self.passthru = None
+        if passthru is not None:
+            self.passthru = _PassthruReader(passthru)
 
         self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
@@ -268,8 +287,12 @@ class Encoder:
         nlines = self.frames_per_block * p.lines
         n = nlines * W
 
-        block = raster.synth_block(self.statics, rgb, base, nxt, burst,
-                                   vswitch, vy, al, ar, cos0, sin0, lut_row)
+        if self.raw_bb is not None:
+            block = audio_args["rawbb"]
+        else:
+            block = raster.synth_block(self.statics, rgb, base, nxt,
+                                       burst, vswitch, vy, al, ar, cos0,
+                                       sin0, lut_row)
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
@@ -306,6 +329,8 @@ class Encoder:
             y = x[W: W + n]
 
         if not self.has_audio and not self.complex_out:
+            if self.passthru is not None:
+                y = y + audio_args["passthru"][..., 0].reshape(-1)
             yi = jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
             return (yi, secam_tail) if secam_tail is not None else yi
 
@@ -360,6 +385,11 @@ class Encoder:
                 self.offset_statics, out_i, out_q,
                 audio_args["off_c0"], audio_args["off_s0"])
 
+        if self.passthru is not None:
+            pt = audio_args["passthru"]
+            out_i = out_i + pt[..., 0]
+            out_q = out_q + pt[..., 1]
+
         iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
         iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
         aux = tuple(a for a in (fm_carry, secam_tail) if a is not None)
@@ -378,6 +408,12 @@ class Encoder:
         # line-window layout, src/video.c:4675-4688).
         a_k0 = k0 + (1 if self.conf.vfilter else 0)
         args = {}
+        if self.raw_bb is not None:
+            args["rawbb"] = jnp.asarray(self.raw_bb.block(
+                k0 - 1, nlines + 1 + self.halo_after))
+        if self.passthru is not None:
+            args["passthru"] = jnp.asarray(
+                self.passthru.block(k0, nlines, p.width))
         if self.services:
             claimed = np.zeros(nlines + 1 + self.halo_after, dtype=bool)
             args["services"] = tuple(
@@ -476,6 +512,8 @@ class Encoder:
         assert self.frames_per_block == 1
         return np.asarray(self.encode_block_device(frame_no))
 
+    # back-compat alias placeholder (see bottom of file for readers)
+
     # back-compat aliases
     _encode_frame_dev = encode_block_device
     encode_frame_device = encode_block_device
@@ -484,3 +522,60 @@ class Encoder:
         assert self.frames_per_block == 1
         for f in range(n_frames):
             yield self.encode_frame(f)
+
+
+class _RawBBReader:
+    """Looping int16 raw-baseband line source (src/video.c:2406-2445).
+
+    Absolute sample n of the stream maps to file sample n mod T — the
+    reference freads and rewinds at EOF with no line alignment, so the
+    file cycles at sample granularity."""
+
+    def __init__(self, path: str, width: int, rbb_blanking: int,
+                 rbb_white: int, blanking_level: int, white_level: int):
+        self.data = np.fromfile(path, dtype=np.int16)
+        if len(self.data) == 0:
+            raise ValueError(f"{path}: empty raw baseband file")
+        self.W = width
+        self.num = white_level - blanking_level
+        self.den = rbb_white - rbb_blanking
+        self.rbb_blanking = rbb_blanking
+        self.blanking_level = blanking_level
+
+    def block(self, k0: int, nlines: int) -> np.ndarray:
+        n0 = max(k0, 0) * self.W
+        idx = (n0 + np.arange(nlines * self.W, dtype=np.int64)) \
+            % len(self.data)
+        raw = self.data[idx].astype(np.int64)
+        # C integer division truncates toward zero
+        num = (raw - self.rbb_blanking) * self.num
+        q = np.sign(num) * (np.abs(num) // abs(self.den)) * np.sign(self.den)
+        out = self.blanking_level + q
+        # int16 assignment wraps
+        out = ((out + 0x8000) & 0xFFFF) - 0x8000
+        block = out.reshape(nlines, self.W).astype(np.float32)
+        if k0 < 0:
+            block[:-k0] = block[0]   # halo before stream start: line 0
+        return block
+
+
+class _PassthruReader:
+    """Sequential int16 IQ add-stream (src/video.c:3517-3541): zeros
+    after EOF (the reference stops adding)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        self.eof = False
+
+    def block(self, k0: int, nlines: int, width: int) -> np.ndarray:
+        n = nlines * width
+        out = np.zeros((n, 2), dtype=np.float32)
+        if not self.eof:
+            raw = np.frombuffer(self.f.read(n * 4), dtype=np.int16)
+            if len(raw) < n * 2:
+                self.eof = True
+                # a partial final line is dropped, like the reference's
+                # short fread (src/video.c:3529-3532)
+                raw = raw[: (len(raw) // (width * 2)) * width * 2]
+            out[: len(raw) // 2] = raw.reshape(-1, 2)
+        return out.reshape(nlines, width, 2)
