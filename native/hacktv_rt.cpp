@@ -1,0 +1,316 @@
+// hacktv_tpu native runtime: host-side streaming components that sit between
+// the TPU synthesis pipeline (which hands back whole blocks of int16 IQ) and
+// the byte-oriented sinks (files, pipes, SDR hardware).
+//
+// This is the TPU-native replacement for the reference's realtime plumbing
+// (fifo.c block FIFO, rf_file.c sample converters, rf_hackrf.c int8/HackDAC
+// packing, rf_fl2k.c 8-bit DAC dither): same observable byte formats, but a
+// block-streaming design — the device produces multi-frame blocks, a single
+// writer thread drains a bounded byte FIFO to the sink so format conversion
+// and IO overlap with the next block's device compute.
+//
+// Built as a plain C ABI shared library, bound from Python with ctypes.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <new>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Bounded byte FIFO (single writer, single reader), with prefill threshold
+// and EOF semantics matching the reference's fifo.c contract
+// (/root/reference/src/fifo.c:24-321): reads block until `prefill` bytes are
+// buffered the first time, writes block while full, a closed+drained FIFO
+// returns 0 (EOF) to the reader.
+// ---------------------------------------------------------------------------
+
+struct rt_fifo {
+    std::vector<uint8_t> buf;
+    size_t cap = 0;
+    size_t head = 0;   // read position
+    size_t len = 0;    // bytes available
+    size_t prefill = 0;
+    bool prefilled = false;
+    bool closed = false;      // writer closed (EOF once drained)
+    bool abort = false;       // reader gone; writer should stop
+    std::mutex m;
+    std::condition_variable cv_r, cv_w;
+};
+
+rt_fifo *rt_fifo_create(size_t capacity, size_t prefill) {
+    rt_fifo *f = new (std::nothrow) rt_fifo;
+    if (!f) return nullptr;
+    f->buf.resize(capacity);
+    f->cap = capacity;
+    f->prefill = prefill < capacity ? prefill : capacity;
+    f->prefilled = (prefill == 0);
+    return f;
+}
+
+void rt_fifo_destroy(rt_fifo *f) { delete f; }
+
+// Blocking write of n bytes. Returns n, or -1 if the reader aborted.
+long rt_fifo_write(rt_fifo *f, const uint8_t *data, size_t n) {
+    size_t done = 0;
+    std::unique_lock<std::mutex> lk(f->m);
+    while (done < n) {
+        f->cv_w.wait(lk, [&] { return f->len < f->cap || f->abort; });
+        if (f->abort) return -1;
+        size_t space = f->cap - f->len;
+        size_t chunk = n - done < space ? n - done : space;
+        size_t tail = (f->head + f->len) % f->cap;
+        size_t first = chunk < f->cap - tail ? chunk : f->cap - tail;
+        memcpy(&f->buf[tail], data + done, first);
+        if (chunk > first) memcpy(&f->buf[0], data + done + first, chunk - first);
+        f->len += chunk;
+        done += chunk;
+        if (!f->prefilled && f->len >= f->prefill) f->prefilled = true;
+        if (f->prefilled) f->cv_r.notify_one();
+    }
+    return (long)done;
+}
+
+// Blocking read of up to n bytes (at least 1 unless EOF). Returns bytes
+// read, or 0 at EOF (writer closed and FIFO drained).
+long rt_fifo_read(rt_fifo *f, uint8_t *out, size_t n) {
+    std::unique_lock<std::mutex> lk(f->m);
+    f->cv_r.wait(lk, [&] {
+        return (f->prefilled && f->len > 0) || f->closed || f->abort;
+    });
+    if (f->abort) return -1;
+    if (f->len == 0) return 0;  // closed + drained = EOF
+    size_t chunk = n < f->len ? n : f->len;
+    size_t first = chunk < f->cap - f->head ? chunk : f->cap - f->head;
+    memcpy(out, &f->buf[f->head], first);
+    if (chunk > first) memcpy(out + first, &f->buf[0], chunk - first);
+    f->head = (f->head + chunk) % f->cap;
+    f->len -= chunk;
+    f->cv_w.notify_one();
+    return (long)chunk;
+}
+
+// Non-blocking read for realtime consumers (USB callbacks): returns what is
+// available now (0 = underrun while open, -1 = EOF).
+long rt_fifo_read_nowait(rt_fifo *f, uint8_t *out, size_t n) {
+    std::unique_lock<std::mutex> lk(f->m);
+    if (f->len == 0 || !f->prefilled) return f->closed && f->len == 0 ? -1 : 0;
+    size_t chunk = n < f->len ? n : f->len;
+    size_t first = chunk < f->cap - f->head ? chunk : f->cap - f->head;
+    memcpy(out, &f->buf[f->head], first);
+    if (chunk > first) memcpy(out + first, &f->buf[0], chunk - first);
+    f->head = (f->head + chunk) % f->cap;
+    f->len -= chunk;
+    f->cv_w.notify_one();
+    return (long)chunk;
+}
+
+void rt_fifo_close_writer(rt_fifo *f) {
+    std::lock_guard<std::mutex> lk(f->m);
+    f->closed = true;
+    f->prefilled = true;  // EOF releases a reader waiting on prefill
+    f->cv_r.notify_all();
+}
+
+void rt_fifo_abort(rt_fifo *f) {
+    std::lock_guard<std::mutex> lk(f->m);
+    f->abort = true;
+    f->cv_r.notify_all();
+    f->cv_w.notify_all();
+}
+
+long rt_fifo_level(rt_fifo *f) {
+    std::lock_guard<std::mutex> lk(f->m);
+    return (long)f->len;
+}
+
+// ---------------------------------------------------------------------------
+// Sample format conversion kernels. Input is interleaved int16 I/Q pairs;
+// `samples` counts IQ pairs. Semantics match rf_file.c:34-277: "real"
+// output keeps the I channel only; u8/s8 keep the top 8 bits; u16 offsets
+// by 32768; s32 shifts into the top 16 bits; f32 scales by 1/32767.
+// ---------------------------------------------------------------------------
+
+enum rt_type { RT_U8 = 0, RT_S8 = 1, RT_U16 = 2, RT_S16 = 3, RT_S32 = 4, RT_F32 = 5 };
+
+size_t rt_type_size(int type) {
+    switch (type) {
+        case RT_U8: case RT_S8: return 1;
+        case RT_U16: case RT_S16: return 2;
+        default: return 4;
+    }
+}
+
+// Returns bytes written to out.
+size_t rt_convert_iq(const int16_t *iq, size_t samples, void *out, int type,
+                     int complex_out) {
+    const size_t n = complex_out ? samples * 2 : samples;
+    const size_t step = complex_out ? 1 : 2;
+    switch (type) {
+        case RT_U8: {
+            uint8_t *o = (uint8_t *)out;
+            for (size_t i = 0, j = 0; i < n; i++, j += step)
+                o[i] = (uint8_t)(((int32_t)iq[j] + 32768) >> 8);
+            return n;
+        }
+        case RT_S8: {
+            int8_t *o = (int8_t *)out;
+            for (size_t i = 0, j = 0; i < n; i++, j += step)
+                o[i] = (int8_t)(iq[j] >> 8);
+            return n;
+        }
+        case RT_U16: {
+            uint16_t *o = (uint16_t *)out;
+            for (size_t i = 0, j = 0; i < n; i++, j += step)
+                o[i] = (uint16_t)((int32_t)iq[j] + 32768);
+            return n * 2;
+        }
+        case RT_S16: {
+            int16_t *o = (int16_t *)out;
+            if (complex_out) memcpy(o, iq, n * 2);
+            else
+                for (size_t i = 0, j = 0; i < n; i++, j += step) o[i] = iq[j];
+            return n * 2;
+        }
+        case RT_S32: {
+            int32_t *o = (int32_t *)out;
+            for (size_t i = 0, j = 0; i < n; i++, j += step)
+                o[i] = (int32_t)iq[j] << 16;
+            return n * 4;
+        }
+        case RT_F32: {
+            float *o = (float *)out;
+            for (size_t i = 0, j = 0; i < n; i++, j += step)
+                o[i] = (float)iq[j] * (1.0f / 32767.0f);
+            return n * 4;
+        }
+    }
+    return 0;
+}
+
+// HackRF RF mode: interleaved IQ int16 -> int8, top 8 bits
+// (rf_hackrf.c:246-276).
+void rt_convert_hackrf_iq8(const int16_t *iq, size_t samples, int8_t *out) {
+    for (size_t i = 0; i < samples * 2; i++) out[i] = (int8_t)(iq[i] >> 8);
+}
+
+// HackDAC baseband mode: real int16 sample -> 10-bit DAC code split over two
+// bytes with a sync flag in the top bit (rf_hackrf.c:278-308). `samples`
+// counts IQ pairs; only the I channel is sent.
+void rt_convert_hackdac_bb(const int16_t *iq, size_t samples, uint8_t *out,
+                           int16_t sync_level) {
+    for (size_t i = 0; i < samples; i++) {
+        int16_t s = iq[i * 2];
+        int sync = s > sync_level;
+        out[i * 2 + 0] = (uint8_t)((s >> 1) & 0xFF);
+        out[i * 2 + 1] = (uint8_t)(((s >> 9) & 0x7F) | (sync << 7));
+    }
+}
+
+// FL2K video channel: one IQ channel -> unsigned 8-bit DAC codes
+// (rf_fl2k.c:96-133). channel 0 = I, 1 = Q.
+void rt_convert_fl2k_u8(const int16_t *iq, size_t samples, uint8_t *out,
+                        int channel) {
+    for (size_t i = 0; i < samples; i++)
+        out[i] = (uint8_t)((((int32_t)iq[i * 2 + channel]) + 32768) >> 8);
+}
+
+// FL2K audio delta-sigma dither: 16-bit PCM -> 8-bit DAC with first-order
+// error feedback of the lost low 9 bits (rf_fl2k.c:157-183). `err` is the
+// persistent accumulator for this channel (one int32 per channel).
+void rt_fl2k_dither_u8(const int16_t *pcm, size_t n, size_t stride,
+                       uint8_t *out, int32_t *err) {
+    int32_t e = *err;
+    for (size_t i = 0; i < n; i++) {
+        uint16_t a = (uint16_t)((int32_t)pcm[i * stride] + 32768);
+        uint8_t v = (uint8_t)((a & 0xFE00) >> 8);
+        e += a & 0x1FF;
+        if (e >= 0x1FF) {
+            v++;
+            e -= 0x1FF;
+        }
+        out[i] = v;
+        *err = e;
+    }
+    *err = e;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded file sink: converts int16 IQ blocks into the requested byte
+// format, queues them on an rt_fifo, and drains the FIFO to a FILE* from a
+// writer thread so disk IO overlaps with device compute.
+// ---------------------------------------------------------------------------
+
+struct rt_file_sink {
+    FILE *f = nullptr;
+    bool own_file = false;
+    int type = RT_S16;
+    int complex_out = 1;
+    rt_fifo *fifo = nullptr;
+    std::thread writer;
+    std::vector<uint8_t> conv;
+    std::atomic<long> io_error{0};
+};
+
+static void _file_writer_main(rt_file_sink *s) {
+    std::vector<uint8_t> chunk(1 << 20);
+    for (;;) {
+        long r = rt_fifo_read(s->fifo, chunk.data(), chunk.size());
+        if (r <= 0) break;
+        if (fwrite(chunk.data(), 1, (size_t)r, s->f) != (size_t)r) {
+            s->io_error.store(1);
+            rt_fifo_abort(s->fifo);
+            break;
+        }
+    }
+    fflush(s->f);
+}
+
+rt_file_sink *rt_file_sink_open(const char *path, int type, int complex_out,
+                                size_t fifo_bytes) {
+    rt_file_sink *s = new (std::nothrow) rt_file_sink;
+    if (!s) return nullptr;
+    if (path && strcmp(path, "-") != 0) {
+        s->f = fopen(path, "wb");
+        s->own_file = true;
+        if (!s->f) {
+            delete s;
+            return nullptr;
+        }
+    } else {
+        s->f = stdout;
+    }
+    s->type = type;
+    s->complex_out = complex_out;
+    if (fifo_bytes < (1u << 16)) fifo_bytes = 1u << 16;
+    s->fifo = rt_fifo_create(fifo_bytes, 0);
+    s->writer = std::thread(_file_writer_main, s);
+    return s;
+}
+
+// Enqueue `samples` IQ pairs; returns 0 on success, -1 on IO error.
+long rt_file_sink_write(rt_file_sink *s, const int16_t *iq, size_t samples) {
+    size_t need = (s->complex_out ? 2 : 1) * samples * rt_type_size(s->type);
+    if (s->conv.size() < need) s->conv.resize(need);
+    size_t nb = rt_convert_iq(iq, samples, s->conv.data(), s->type, s->complex_out);
+    if (rt_fifo_write(s->fifo, s->conv.data(), nb) < 0) return -1;
+    return s->io_error.load() ? -1 : 0;
+}
+
+long rt_file_sink_close(rt_file_sink *s) {
+    rt_fifo_close_writer(s->fifo);
+    if (s->writer.joinable()) s->writer.join();
+    long err = s->io_error.load();
+    if (s->own_file) fclose(s->f);
+    rt_fifo_destroy(s->fifo);
+    delete s;
+    return err ? -1 : 0;
+}
+
+}  // extern "C"
