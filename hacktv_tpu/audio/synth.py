@@ -273,10 +273,19 @@ def nicam_add(st: NicamStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
         amps_q = jnp.pad(amps_q, ((0, pad), (0, 0)))
     G = (B + pad) // P
 
-    bb_i = jnp.einsum("gcs,csw->gcw", amps_i.reshape(G, P, S), pulse,
-                      preferred_element_type=jnp.float32).reshape(-1, W)[:B]
-    bb_q = jnp.einsum("gcs,csw->gcw", amps_q.reshape(G, P, S), pulse,
-                      preferred_element_type=jnp.float32).reshape(-1, W)[:B]
+    def matmul(amps):
+        # batched over the line class c: [P, G, S] x [P, S, W] -> [P, G, W]
+        # (the class-major operand order keeps both matmul operands in
+        # native layout; "gcs,csw->gcw" forces XLA into T(1,128) copies
+        # of the 80 MB result)
+        a = jnp.swapaxes(amps.reshape(G, P, S), 0, 1)
+        r = jax.lax.dot_general(
+            a, pulse, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return jnp.swapaxes(r, 0, 1).reshape(-1, W)[:B]
+
+    bb_i = matmul(amps_i)
+    bb_q = matmul(amps_q)
 
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]

@@ -283,7 +283,7 @@ def main(argv=None) -> int:
     frames_done = 0
     try:
         while not stop["flag"]:
-            out = np.asarray(enc.encode_block_device(block))
+            out = enc.encode_block(block)
             if out.ndim == 1:
                 out = np.stack([out, np.zeros_like(out)], axis=-1)
             sink.write(out)

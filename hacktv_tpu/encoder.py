@@ -300,7 +300,8 @@ class Encoder:
                 self.secam_statics, block, rgb[1], rgb[2],
                 audio_args["secam"], audio_args["secam_tail"])
         if self.services:
-            lut = (self.statics.carrier_rows[lut_row]
+            lut = ((self.statics.carrier_rows[0][lut_row],
+                    self.statics.carrier_rows[1][lut_row])
                    if self.statics.carrier_rows is not None else None)
             for svc, arr in zip(self.services,
                                 audio_args.get("services", ())):
@@ -309,14 +310,17 @@ class Encoder:
         x = block.reshape(-1)
 
         def stream_conv(kern_np):
+            # shifted-slice FMA over the flat stream, reshaped to [B, W]:
+            # one fused VPU pass (lax.conv with a single feature dim
+            # lowers to a degenerate-layout pipeline dominated by copies)
             ntaps = kern_np.shape[0]
             half = ntaps // 2
             xs = x[W - half: W - half + n + ntaps - 1]
-            kern = jnp.asarray(kern_np[::-1].copy())
-            return jax.lax.conv_general_dilated(
-                xs[None, None, :], kern[None, None, :],
-                window_strides=(1,), padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"))[0, 0]
+            acc = np.float32(kern_np[-1]) * xs[0:n].reshape(nlines, W)
+            for t in range(1, ntaps):
+                acc = acc + np.float32(kern_np[ntaps - 1 - t]) \
+                    * xs[t:t + n].reshape(nlines, W)
+            return acc
 
         yq = None
         if p.vfilter_ctaps is not None:
@@ -326,17 +330,16 @@ class Encoder:
         elif p.vfilter_taps is not None:
             y = stream_conv(p.vfilter_taps)
         else:
-            y = x[W: W + n]
+            y = x[W: W + n].reshape(nlines, W)
 
         if not self.has_audio and not self.complex_out:
             if self.passthru is not None:
-                y = y + audio_args["passthru"][..., 0].reshape(-1)
+                y = y + audio_args["passthru"][..., 0]
             yi = jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
             return (yi, secam_tail) if secam_tail is not None else yi
 
-        out_i = y.reshape(nlines, W)
-        out_q = (yq.reshape(nlines, W) if yq is not None
-                 else jnp.zeros_like(out_i))
+        out_i = y
+        out_q = yq if yq is not None else jnp.zeros_like(out_i)
 
         if self.fm_statics is not None:
             fm = audio_args["fm_mono"]
@@ -390,8 +393,14 @@ class Encoder:
             out_i = out_i + pt[..., 0]
             out_q = out_q + pt[..., 1]
 
-        iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)], axis=-1)
-        iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
+        # int16 IQ pairs packed as little-endian int32 (I low, Q high):
+        # a flat [n, 2] int16 interleave forces XLA into T(1,128)-tiled
+        # copies + a 1/128-lane-efficiency store pass; the packed [B, W]
+        # int32 store fuses into the preceding elementwise chain.  Hosts
+        # recover interleaved int16 with .view(np.int16).
+        ii = jnp.clip(jnp.round(out_i), -32768, 32767).astype(jnp.int32)
+        qq = jnp.clip(jnp.round(out_q), -32768, 32767).astype(jnp.int32)
+        iq = (ii & 0xFFFF) | (qq << 16)
         aux = tuple(a for a in (fm_carry, secam_tail) if a is not None)
         return (iq, *aux) if aux else iq
 
@@ -472,7 +481,9 @@ class Encoder:
 
     def encode_block_device(self, block_no: int):
         """Synthesise one block of frames_per_block frames; returns a
-        device int16 array: [n] for real output modes, [n, 2] for complex."""
+        device array: int16 [nlines, W] for real output modes, or packed
+        int32 [nlines, W] (I in the low half-word, Q in the high) for
+        complex/audio modes — see encode_block for the host int16 view."""
         rgb = self._device_rgb(block_no)
         m = self._block_meta(block_no)
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
@@ -507,12 +518,18 @@ class Encoder:
         q = lambda a: jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0)
         return q(u), q(v)
 
+    def encode_block(self, block_no: int) -> np.ndarray:
+        """Host int16 samples for one block: [n] for real output modes,
+        interleaved [n, 2] I/Q for complex/audio modes."""
+        a = np.asarray(self.encode_block_device(block_no))
+        if a.dtype == np.int32:
+            return a.reshape(-1).view(np.int16).reshape(-1, 2)
+        return a.reshape(-1)
+
     def encode_frame(self, frame_no: int) -> np.ndarray:
         """Single-frame convenience API (frames_per_block must be 1)."""
         assert self.frames_per_block == 1
-        return np.asarray(self.encode_block_device(frame_no))
-
-    # back-compat alias placeholder (see bottom of file for readers)
+        return self.encode_block(frame_no)
 
     # back-compat aliases
     _encode_frame_dev = encode_block_device

@@ -137,8 +137,8 @@ class VITS:
         return {"idx": idx}
 
     def apply(self, out, arrays, lut=None):
-        """out [B, W]; lut: per-line carrier (cos, sin) [B, W, 2] or None
-        (src/vits.c:286-301)."""
+        """out [B, W]; lut: per-line carrier ([B, W] cos, [B, W] sin)
+        tuple or None (src/vits.c:286-301)."""
         import jax.numpy as jnp
         idx = arrays["idx"]
         r = jnp.asarray(self.r_tpl)[idx]
@@ -147,7 +147,7 @@ class VITS:
             c = jnp.asarray(self.c_tpl)[idx]
             inv = np.float32(1.0 / 32768.0)
             # (cs.i * lut.q + cs.q * lut.i) >> 15, then * c >> 15
-            mix = jnp.floor(np.float32(self.cs[0]) * lut[..., 1] * inv
-                            + np.float32(self.cs[1]) * lut[..., 0] * inv)
+            mix = jnp.floor(np.float32(self.cs[0]) * lut[1] * inv
+                            + np.float32(self.cs[1]) * lut[0] * inv)
             out = out + jnp.floor(mix * c * inv)
         return out

@@ -604,20 +604,22 @@ class MacEncoder:
                                    (scr_apply[:, None] > 0),
                                    gathered, canvas)
 
-        flat = canvas.reshape(-1)
+        # packed int32 I/Q (see Encoder._step_impl: flat int16
+        # interleaves force degenerate T(1,128) layouts)
+        def pack(i, q):
+            ii = jnp.clip(jnp.round(i), -32768, 32767).astype(jnp.int32)
+            qq = jnp.clip(jnp.round(q), -32768, 32767).astype(jnp.int32)
+            return (ii & 0xFFFF) | (qq << 16)
+
         if self.fm_video_statics is not None:
             from ..rf import ops as rf_ops
             out_i, out_q, fm_carry = rf_ops.fm_video_modulate(
                 self.fm_video_statics, canvas, fm_r0)
-            iq = jnp.stack([out_i.reshape(-1), out_q.reshape(-1)],
-                           axis=-1)
-            iq = jnp.clip(jnp.round(iq), -32768, 32767).astype(jnp.int16)
-            return iq, fm_carry
+            return pack(out_i, out_q), fm_carry
         if self.complex_out:
-            iq = jnp.stack([flat, jnp.zeros_like(flat)], axis=-1)
-            return jnp.clip(jnp.round(iq), -32768, 32767
-                            ).astype(jnp.int16)
-        return jnp.clip(jnp.round(flat), -32768, 32767).astype(jnp.int16)
+            return pack(canvas, jnp.zeros_like(canvas))
+        return jnp.clip(jnp.round(canvas), -32768, 32767
+                        ).astype(jnp.int16)
 
     # ------------------------------------------------------------------
     def encode_block_device(self, block_no: int):
@@ -652,6 +654,14 @@ class MacEncoder:
             out, fm_carry = out
             self._fm_r[block_no + 1] = int(fm_carry)
         return out
+
+    def encode_block(self, block_no: int) -> np.ndarray:
+        """Host int16 samples: [n] for real-baseband modes, interleaved
+        [n, 2] I/Q for complex/FM modes."""
+        a = np.asarray(self.encode_block_device(block_no))
+        if a.dtype == np.int32:
+            return a.reshape(-1).view(np.int16).reshape(-1, 2)
+        return a.reshape(-1)
 
     @property
     def frame_samples(self) -> int:

@@ -48,7 +48,7 @@ class RasterStatics:
     # a per-line row index — bit-exact and one gather per line.  Otherwise
     # fall back to the angle-addition evaluation (cos0/sin0 per line +
     # per-column table).
-    carrier_rows: jnp.ndarray | None  # [P, width, 2] quantised carrier
+    carrier_rows: tuple | None        # ([P, width] cos, [P, width] sin)
     carrier_cos: jnp.ndarray | None   # [width]
     carrier_sin: jnp.ndarray | None   # [width]
     # YUV conversion
@@ -71,13 +71,17 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
     if colour and p.cl_num:
         if p.cl_num % p.width == 0:
             # exact LUT rows: row r covers lut indices [r*W, (r+1)*W)
+            # separate cos/sin planes: interleaving the pair into a
+            # minor dim of 2 forces an XLA layout copy of the whole
+            # gathered block (T(2,128) -> T(8,128))
             P = p.cl_num // p.width
             c = np.arange(p.cl_num, dtype=np.int64)
             ang = 2.0 * np.pi * (p.cl_den / p.cl_num) * c
-            tab = np.stack([np.round(np.cos(ang) * 32767.0),
-                            np.round(np.sin(ang) * 32767.0)],
-                           axis=-1).astype(np.float32)
-            rows = jnp.asarray(tab.reshape(P, p.width, 2))
+            rows = (
+                jnp.asarray(np.round(np.cos(ang) * 32767.0)
+                            .astype(np.float32).reshape(P, p.width)),
+                jnp.asarray(np.round(np.sin(ang) * 32767.0)
+                            .astype(np.float32).reshape(P, p.width)))
         else:
             # angle(x) = 2*pi*((x*cl_den) mod cl_num)/cl_num, exact ints
             # evaluated in float64 on the host.
@@ -161,13 +165,16 @@ def _chroma_filter(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     buffer (src/video.c:3017-3021, fir_int16_process_block).
     """
     n = taps.shape[0]
+    W = x.shape[1]
     pad = n // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
-    # depthwise conv via conv_general_dilated: feature dim = 1
-    out = jax.lax.conv_general_dilated(
-        xp[:, None, :], taps[None, None, ::-1],
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+    xp = jnp.pad(x, ((0, 0), (pad, n - 1 - pad)))
+    # unrolled shifted-slice FMA: XLA fuses the n reads into one VPU pass
+    # (conv_general_dilated with a single feature dim lowers to a bf16
+    # data-formatting pipeline that dominates the step)
+    rt = taps[::-1]
+    out = rt[0] * xp[:, 0:W]
+    for k in range(1, n):
+        out = out + rt[k] * xp[:, k:k + W]
     # the reference's integer FIR truncates the >>15 accumulator and
     # clamps to int16 (src/fir.c:347-348); FM modes integrate the
     # baseband so even sub-LSB bias matters
@@ -240,9 +247,8 @@ def synth_block(st: RasterStatics,
         # Colour subcarrier: exact LUT row per line when available,
         # otherwise angle addition against the static per-column table.
         if st.carrier_rows is not None:
-            lut = st.carrier_rows[lut_row]
-            cos_t = lut[..., 0]
-            sin_t = lut[..., 1]
+            cos_t = st.carrier_rows[0][lut_row]
+            sin_t = st.carrier_rows[1][lut_row]
         else:
             cos_t = jnp.round((cos0[:, None] * st.carrier_cos
                                - sin0[:, None] * st.carrier_sin) * 32767.0)

@@ -51,7 +51,7 @@ def test_ntsc_bs_waveform():
                       dtype=np.int16).reshape(-1, 2)
     enc = Encoder("ntsc-bs", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     W = enc.params.width
     n = (min(len(ref), len(ours)) // W) * W
     r = (ref[:n, 0] + 1j * ref[:n, 1]).astype(np.complex128).reshape(-1, W)

@@ -76,7 +76,7 @@ def test_eurocrypt_cw_scrambled_waveform():
     fs = enc.frame_samples
     nf = min(len(ref) // fs, 4)
     mine = np.concatenate([
-        np.asarray(enc.encode_block_device(b)).reshape(-1)
+        enc.encode_block(b).reshape(-1)
         for b in range(nf)]).astype(np.float64)
     ref = ref[:len(mine)]
     err = mine - ref

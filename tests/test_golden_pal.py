@@ -82,7 +82,7 @@ def test_pal_i_full_chain_snr():
     ref = _golden("pali_16M_2frames.c16").reshape(-1, 2)
     enc = Encoder("i", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r

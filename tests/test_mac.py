@@ -57,7 +57,7 @@ def _wave_snr(mode, golden_name, nframes=None, **kw):
     fs = enc.frame_samples * (2 if cplx else 1)
     nf = min(len(ref) // fs, nframes or 99)
     mine = np.concatenate([
-        np.asarray(enc.encode_block_device(b)).reshape(-1)
+        enc.encode_block(b).reshape(-1)
         for b in range(nf)]).astype(np.float64)
     ref = ref.astype(np.float64)[:len(mine)]
     err = mine - ref

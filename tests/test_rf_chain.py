@@ -30,7 +30,7 @@ def test_vsb_filter_pal_i():
     ref = _golden_iq("pali_filter_2frames.c16")
     enc = Encoder("i", 16_000_000, vfilter=True)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -56,7 +56,7 @@ def test_fm_video_pal_fm():
     ref = _golden_iq("palfm_16M_2frames.c16")
     enc = Encoder("pal-fm", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = (min(len(ref), len(ours)) // enc.params.width) * enc.params.width
     W = enc.params.width
     r = (ref[:n, 0] + 1j * ref[:n, 1]).astype(np.complex128).reshape(-1, W)
@@ -82,7 +82,7 @@ def test_secam_composite():
     ref = np.fromfile(path, dtype=np.int16)
     enc = Encoder("secam", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -95,7 +95,7 @@ def test_secam_l_full_chain():
     ref = _golden_iq("secaml_16M_2frames.c16")
     enc = Encoder("l", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -110,7 +110,7 @@ def test_fm_absolute_phase_tracks():
     ref = _golden_iq("palfm_16M_2frames.c16")
     enc = Encoder("pal-fm", 16_000_000)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r

@@ -69,7 +69,7 @@ def _svc_golden(name, mode, rate, nb=2, **kw):
     ref = np.fromfile(path, dtype=np.int16)
     enc = Encoder(mode, rate, **kw)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(nb)])
+        [enc.encode_block(b) for b in range(nb)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -149,7 +149,7 @@ def test_syster_audio_inversion_golden():
     ref = np.fromfile(path, dtype=np.int16).reshape(-1, 2)
     enc = Encoder("i", 16_000_000, syster="premiere-fa", systeraudio=True)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(2)])
+        [enc.encode_block(b) for b in range(2)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -183,7 +183,7 @@ def _snr_c16(name, mode, rate, nb=2, **kw):
     ref = np.fromfile(path, dtype=np.int16).reshape(-1, 2)
     enc = Encoder(mode, rate, **kw)
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(nb)])
+        [enc.encode_block(b) for b in range(nb)])
     n = min(len(ref), len(ours))
     r = ref[:n].astype(np.float64)
     e = ours[:n].astype(np.float64) - r
@@ -215,7 +215,7 @@ def test_sis_golden():
     ref = np.fromfile(path, dtype=np.int16).reshape(-1, 2)
     enc = Encoder("i", 16_000_000, sis="dcsis")
     ours = np.concatenate(
-        [np.asarray(enc.encode_block_device(b)) for b in range(4)])
+        [enc.encode_block(b) for b in range(4)])
     n = min(len(ref), len(ours))
     r = ref[4:n].astype(np.float64)
     e = ours[4:n].astype(np.float64) - r
