@@ -216,6 +216,8 @@ class AudioChain:
         # 2pi) — the cumulative FM deviation phase over all held samples
         # fully before that audio index's hold period
         self._dev_anchor = {}
+        # integer-exact anchors for the device-assembled path: X mod M
+        self._int_anchor = {}
 
     # -- audio fetch ----------------------------------------------------
     def _pcm(self, start: int, count: int) -> np.ndarray:
@@ -247,77 +249,245 @@ class AudioChain:
         return _ceil_div_arr(self.S * (i + 1), self.A) - 1
 
     # -- FM block -------------------------------------------------------
-    def fm_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
-        """Per-line segment arrays for lines [k0, k0+nlines) (absolute
-        stream lines; k<0 rows are produced but masked by the caller)."""
+    def _seg_pattern(self, k0: int, nlines: int):
+        """Per-(line, seg) hold-value indices and segment start columns
+        for lines [k0, k0+nlines), exploiting the line/audio-rate
+        periodicity: the event pattern repeats every P_a lines offset by
+        a constant pair count, so only [P_a, nseg] is computed exactly
+        and the block expands by broadcast adds.
+
+        Returns (vidx [nlines, nseg] int64, seg_col [nlines, nseg] i32).
+        Negative stream lines clamp to line 0 like the reference's
+        warm-up swallowing."""
         W, S, A = self.W, self.S, self.A
+        j = np.arange(self.nseg, dtype=np.int64)
+        g = math.gcd(W * A, S)
+        q, d = (W * A) // g, S // g
+        P_a = d // math.gcd(q % d if q % d else d, d)
+        k0c = max(k0, 0)
+
+        if P_a <= max(nlines, 256) and k0 >= 0:
+            G_ = -(-nlines // P_a)
+            b = np.arange(P_a, dtype=np.int64)
+            m0 = (k0c + b) * q // d + 1
+            vidx0 = m0[:, None] - 2 + j[None, :]
+            ev0 = _ceil_div_arr(S * (m0[:, None] - 1 + j[None, :]), A) - 1
+            col0 = ev0 - ((k0c + b) * W)[:, None]
+            col0[:, 0] = np.minimum(col0[:, 0], 0)
+            m_step = P_a * q // d
+            gidx = np.arange(G_, dtype=np.int64)[:, None, None]
+            vidx = (vidx0[None, :, :] + gidx * m_step
+                    ).reshape(-1, self.nseg)[:nlines]
+            seg_col = np.broadcast_to(
+                col0[None, :, :].astype(np.int32),
+                (G_, P_a, self.nseg)).reshape(-1, self.nseg)[:nlines]
+            return vidx, seg_col
+
         ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
         n_line = ks * W
-
-        # events m (1-based consumption counts) starting in each line
         m_first = n_line * A // S + 1
-        j = np.arange(self.nseg, dtype=np.int64)
-        # value index per (line, seg)
         vidx = m_first[:, None] - 2 + j[None, :]
-        # segment start col (seg 0 starts at/before 0)
         ev = _ceil_div_arr(S * (m_first[:, None] - 1 + j[None, :]), A) - 1
         seg_col = ev - n_line[:, None]
         seg_col[:, 0] = np.minimum(seg_col[:, 0], 0)
+        return vidx, seg_col.astype(np.int32)
 
+    def _carrier_rot(self, num: int, den: int, k0: int, nlines: int):
+        """(cos, sin) f32 [nlines] of the exact per-line carrier angle
+        2*pi*num*(k*W)/den, via the line-period structure when small."""
+        W = self.W
+        step = (W % den) * (num % den) % den
+        P_r = den // math.gcd(step if step else den, den)
+        if P_r <= max(nlines, 256) and k0 >= 0:
+            b = np.arange(P_r, dtype=np.int64)
+            rot = ((k0 + b) % den) * W % den * num % den
+            ang = 2.0 * np.pi * rot / den
+            reps = -(-nlines // P_r)
+            c = np.tile(np.cos(ang).astype(np.float32), reps)[:nlines]
+            s = np.tile(np.sin(ang).astype(np.float32), reps)[:nlines]
+            return c, s
+        ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
+        n_line = ks * W
+        rot = (n_line % den) * num % den
+        ang = 2.0 * np.pi * rot / den
+        return (np.cos(ang).astype(np.float32),
+                np.sin(ang).astype(np.float32))
+
+    def _cyc0(self, k0: int, nlines: int) -> np.ndarray:
+        ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
+        return ((ks * (self.W % 32767)) % 32767).astype(np.float32)
+
+    # -- compact FM block (device-side segment assembly) -----------------
+    def fm_win_config(self, carrier: FMCarrier, nlines: int):
+        """Build the synth.FMWin config for this carrier, or None when
+        the exact modular-phase preconditions don't hold (fall back to
+        the host-assembled fm_block)."""
+        import jax.numpy as jnp
+        from . import synth as audio_synth
+        W, S, A = self.W, self.S, self.A
+        g = math.gcd(W * A, S)
+        q, d = (W * A) // g, S // g
+        P_a = d // math.gcd(q % d if q % d else d, d)
+        if P_a > 4096:
+            return None
+        m_step = P_a * q // d
+        dev = carrier.deviation
+        if dev <= 0 or dev != int(dev):
+            return None
+        FS32 = self.S * INT16_MAX
+        if FS32 % int(dev):
+            return None
+        M = FS32 // int(dev)
+        if M >= (1 << 24):
+            return None                   # f32(X) must be exact
+        # hold lengths pattern: len[i] = start(i+1) - start(i), period
+        # A / gcd(S, A) in the audio index
+        P_len = A // math.gcd(S, A)
+        i = np.arange(P_len + 1, dtype=np.int64)
+        starts = _ceil_div_arr(S * (i + 1), A) - 1
+        lens = (starts[1:] - starts[:-1]).astype(np.int32)
+        len_max = int(lens.max())
+        prod_bound = INT16_MAX * len_max + 1
+        G = -(-nlines // P_a)
+        NH = (G + 3) * m_step
+        tiled = np.tile(lens, -(-(NH + P_len) // P_len))[:NH + P_len]
+        return audio_synth.FMWin(
+            P_a=P_a, m_step=m_step, nseg=self.nseg, NH=NH, M=M,
+            prod_bound=prod_bound,
+            lens_tiled=tiled,
+            Wmod=W % 32767)
+
+    def fm_compact_block(self, carrier: FMCarrier, k0: int, nlines: int,
+                         fw) -> dict:
+        """Host side of the device-assembled FM block: held values
+        (int16), exact int32 phase anchor, per-class window offsets and
+        per-period carrier tables."""
+        W, S, A = self.W, self.S, self.A
+        g = math.gcd(W * A, S)
+        q, d = (W * A) // g, S // g
+        P_a, m_step, nseg = fw.P_a, fw.m_step, self.nseg
+        G = -(-nlines // P_a)
+        j = np.arange(nseg, dtype=np.int64)
+
+        b = np.arange(P_a, dtype=np.int64)
+        m0 = (k0 + b) * q // d + 1
+        vfirst = m0 - 2
+        ev0 = _ceil_div_arr(S * (m0[:, None] - 1 + j[None, :]), A) - 1
+        col0 = (ev0 - ((k0 + b) * W)[:, None])
+        col0[:, 0] = np.minimum(col0[:, 0], 0)
+
+        i0 = int(vfirst.min())
+        i_hi = int(vfirst.max()) + (G - 1) * m_step + nseg
+        held = self._held_values(carrier, i0, i_hi)
+        n = i_hi - i0
+        assert n <= fw.NH, (n, fw.NH)
+        hbuf = np.zeros(fw.NH, dtype=np.int16)
+        hbuf[:n] = held
+
+        xa = self._fm_int_anchor(carrier, i0, held, i_hi, fw.M)
+
+        start0 = (vfirst - i0).astype(np.int64)
+        c0, s0 = self._carrier_tabs(carrier, k0, nlines)
+        return dict(
+            held=hbuf,
+            xa=np.int32(xa),
+            lens_off=np.int32(i0 % (A // math.gcd(S, A))),
+            offq=(start0 // m_step).astype(np.int32),
+            offr=(start0 % m_step).astype(np.int32),
+            col0=col0.astype(np.int32),
+            ctab=c0, stab=s0,
+            cyc_base=np.int32((max(k0, 0) * (W % 32767)) % 32767),
+        )
+
+    def _lens_for(self, i_lo: int, count: int) -> np.ndarray:
+        """Hold lengths for audio indices [i_lo, i_lo+count)."""
+        i = np.arange(i_lo, i_lo + count + 1, dtype=np.int64)
+        starts = _ceil_div_arr(self.S * (i + 1), self.A) - 1
+        return starts[1:] - starts[:-1]
+
+    def _fm_int_anchor(self, carrier: FMCarrier, i0: int,
+                       held: np.ndarray, i_hi: int, M: int) -> int:
+        """Exact integer deviation-phase accumulator X mod M at hold
+        index i0, chained block to block (negative indices contribute 0:
+        fm.sample is 0 before the first audio fetch)."""
+        key = id(carrier)
+        ai, xa = self._int_anchor.get(key, (i0 if i0 <= 0 else 0, 0))
+        if ai > i_hi - 1:
+            ai, xa = (min(i0, 0), 0)
+        if ai > i0:
+            # subtract the overlap using this block's held values
+            w = held[: ai - i0].astype(np.int64)
+            xa = (xa - int(np.sum(w * self._lens_for(i0, ai - i0)))) % M
+        elif ai < i0:
+            w = self._held_values(carrier, ai, i0).astype(np.int64)
+            xa = (xa + int(np.sum(w * self._lens_for(ai, i0 - ai)))) % M
+        # advance the anchor near the end of this window
+        last = max(i0, i_hi - 8)
+        w = held[: last - i0].astype(np.int64)
+        nxt = (xa + int(np.sum(w * self._lens_for(i0, last - i0)))) % M
+        self._int_anchor[key] = (last, nxt)
+        return xa
+
+    def _carrier_tabs(self, carrier: FMCarrier, k0: int, nlines: int):
+        """Per-period carrier rotation tables (cos, sin) rotated for k0;
+        full-length fallback when the period is large."""
+        num, den, W = carrier.num, carrier.den, self.W
+        step = (W % den) * (num % den) % den
+        P_r = den // math.gcd(step if step else den, den)
+        if P_r <= 4096 and k0 >= 0:
+            b = np.arange(P_r, dtype=np.int64)
+            rot = ((k0 + b) % den) * W % den * num % den
+            ang = 2.0 * np.pi * rot / den
+            return (np.cos(ang).astype(np.float32),
+                    np.sin(ang).astype(np.float32))
+        return self._carrier_rot(num, den, k0, nlines)
+
+    def fm_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
+        """Per-line segment arrays for lines [k0, k0+nlines) (absolute
+        stream lines; k<0 rows are produced but masked by the caller)."""
+        vidx, seg_col = self._seg_pattern(k0, nlines)
         i_lo = int(vidx.min())
         i_hi = int(vidx.max()) + 1
 
         held = self._held_values(carrier, i_lo, i_hi)   # [i_hi-i_lo]
-        seg_val = held[np.clip(vidx - i_lo, 0, None)]
+        idx = np.clip(vidx - i_lo, 0, None)
+        heldf = held.astype(np.float32)
+        seg_val = heldf[idx]
 
         # deviation phase base at each segment start:
         # Phi(seg) = kd * sum_{i' < vidx} s_{i'} * len_{i'}
         base = self._dev_phase_bases(carrier, i_lo, i_hi, held)
-        seg_base = base[np.clip(vidx - i_lo, 0, None)]
+        seg_base = (base % (2.0 * np.pi)).astype(np.float32)[idx]
 
         # advance anchor so future blocks don't rescan
         self._maybe_advance_anchor(carrier, i_lo, i_hi, held, base)
 
-        # carrier rotation per line: exact angle of 2pi*num*(k*W)/den
-        rot = (n_line % carrier.den) * carrier.num % carrier.den
-        ang = 2.0 * np.pi * rot / carrier.den
+        c0, s0 = self._carrier_rot(carrier.num, carrier.den, k0, nlines)
         return dict(
-            seg_val=seg_val.astype(np.float32),
-            seg_base=(seg_base % (2.0 * np.pi)).astype(np.float32),
-            seg_col=seg_col.astype(np.int32),
-            c0=np.cos(ang).astype(np.float32),
-            s0=np.sin(ang).astype(np.float32),
-            cyc0=(n_line % 32767).astype(np.float32),
+            seg_val=seg_val,
+            seg_base=seg_base,
+            seg_col=seg_col,
+            c0=c0, s0=s0,
+            cyc0=self._cyc0(k0, nlines),
         )
 
     def am_block(self, carrier: FMCarrier, k0: int, nlines: int) -> dict:
         """Zero-order-hold AM gain segments: value (s+32768)/2 per held
         sample (src/video.c:2359-2366), plus carrier rotation."""
-        W, S, A = self.W, self.S, self.A
-        ks = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0)
-        n_line = ks * W
-        m_first = n_line * A // S + 1
-        j = np.arange(self.nseg, dtype=np.int64)
-        vidx = m_first[:, None] - 2 + j[None, :]
-        ev = _ceil_div_arr(S * (m_first[:, None] - 1 + j[None, :]), A) - 1
-        seg_col = ev - n_line[:, None]
-        seg_col[:, 0] = np.minimum(seg_col[:, 0], 0)
-
+        vidx, seg_col = self._seg_pattern(k0, nlines)
         i_lo, i_hi = int(vidx.min()), int(vidx.max()) + 1
         pcm = self._pcm(i_lo, i_hi - i_lo)
         mono = np.trunc((pcm[:, 0] + pcm[:, 1]) / 2).astype(np.int64)
         if i_lo < 0:
             mono[: -i_lo] = 0
-        s2 = (mono + 32768) // 2
+        s2 = ((mono + 32768) // 2).astype(np.float32)
         seg_val = s2[np.clip(vidx - i_lo, 0, None)]
 
-        rot = (n_line % carrier.den) * carrier.num % carrier.den
-        ang = 2.0 * np.pi * rot / carrier.den
-        return dict(seg_val=seg_val.astype(np.float32),
-                    seg_col=seg_col.astype(np.int32),
-                    c0=np.cos(ang).astype(np.float32),
-                    s0=np.sin(ang).astype(np.float32),
-                    cyc0=(n_line % 32767).astype(np.float32))
+        c0, s0 = self._carrier_rot(carrier.num, carrier.den, k0, nlines)
+        return dict(seg_val=seg_val,
+                    seg_col=seg_col,
+                    c0=c0, s0=s0,
+                    cyc0=self._cyc0(k0, nlines))
 
     def pilot_s2(self, n0: int, count: int) -> np.ndarray:
         """A2 pilot/mode-signal contribution s2 for absolute output
@@ -428,42 +598,121 @@ class AudioChain:
             last, float(base[last - i_lo] % (2.0 * np.pi)))
 
     # -- NICAM block ----------------------------------------------------
-    def nicam_block(self, k0: int, nlines: int, st) -> dict:
-        """Per-line symbol amplitudes for lines [k0, k0+nlines).
-
-        `st` is the NicamStatics holding the per-class first-symbol table
-        (kf) and symbols-per-period; amps[b, s] is the I/Q sign of symbol
-        kf_abs(k0+b)+s whose static pulse lives in st.pulse."""
-        nt = self.nicam
+    def _dqpsk_block(self, k0: int, nlines: int, st, frame_syms: int,
+                     get_signs, num: int, den: int) -> dict:
+        """Shared NICAM/DANCE per-block arrays: the differential sign
+        stream (zero-prepadded by one period so pre-stream symbols read
+        0) plus the per-class window offsets consumed by
+        synth.nicam_add's dynamic-slice assembly."""
         P, S = st.period, st.nslot
-        ks = np.arange(k0, k0 + nlines, dtype=np.int64)
+        spp = st.syms_per_period
+        G = -(-nlines // P)
+
+        # first line of each block-local class c is stream line k0 + c;
+        # class rows advance by exactly spp symbols per period
+        ks = np.arange(k0, k0 + P, dtype=np.int64)
         cls = ks % P
-        kf_abs = st.kf[cls] + (ks - cls) // P * st.syms_per_period
+        kf0 = st.kf[cls] + (ks - cls) // P * spp   # may be < 0 at start
+        sym_lo = max(0, int(kf0.min()))
+        sym_hi = int(kf0.max()) + (G - 1) * spp + S
+        f0 = sym_lo // frame_syms
+        f1 = (sym_hi - 1) // frame_syms + 1
+        signs = get_signs(f0, f1)                  # [nframes*syms, 2]
+        base = f0 * frame_syms
 
-        sym_lo = max(0, int(kf_abs.min()))
-        sym_hi = int(kf_abs.max()) + S
-        f0 = sym_lo // nicam_mod.NICAM_FRAME_SYMS
-        f1 = (sym_hi - 1) // nicam_mod.NICAM_FRAME_SYMS + 1
-        signs = self._block_signs(f0, f1)  # [nframes*364, 2]
-        base = f0 * nicam_mod.NICAM_FRAME_SYMS
-        # pad so out-of-range slots read zeros
-        pad = np.zeros((S, 2), dtype=np.float32)
-        signs = np.concatenate([signs, pad])
+        off0 = (kf0 - base + spp).astype(np.int64)
+        L = (G + 4) * spp
+        assert off0.min() >= 0 and off0.max() + (G - 1) * spp + S <= L
+        buf = np.zeros((2, L), dtype=np.float32)
+        m = min(len(signs), L - spp)
+        buf[0, spp:spp + m] = signs[:m, 0]
+        buf[1, spp:spp + m] = signs[:m, 1]
 
-        sym_abs = kf_abs[:, None] + np.arange(S)[None, :]
-        valid = sym_abs >= 0              # pre-stream symbols don't exist
-        idx = np.clip(sym_abs - base, 0, len(signs) - 1)
-        amps = signs[idx] * valid[..., None]   # [nlines, S, 2]
-
-        # carrier rotation per line
-        num, den = nt["num"], nt["den"]
-        n_line = ks * self.W
+        n_line = np.arange(k0, k0 + nlines, dtype=np.int64) * self.W
         rot = (n_line % den) * num % den
         ang = 2.0 * np.pi * rot / den
-        return dict(amps_i=np.ascontiguousarray(amps[..., 0]),
-                    amps_q=np.ascontiguousarray(amps[..., 1]),
+        return dict(signs_i=buf[0], signs_q=buf[1],
+                    offq=(off0 // spp).astype(np.int32),
+                    offr=(off0 % spp).astype(np.int32),
                     c0=np.cos(ang).astype(np.float32),
                     s0=np.sin(ang).astype(np.float32))
+
+    def nicam_block(self, k0: int, nlines: int, st) -> dict:
+        """Per-line symbol amplitudes for lines [k0, k0+nlines)."""
+        nt = self.nicam
+        return self._dqpsk_block(k0, nlines, st,
+                                 nicam_mod.NICAM_FRAME_SYMS,
+                                 self._block_signs, nt["num"], nt["den"])
+
+    # -- device-encoded NICAM --------------------------------------------
+    def nicam_device_block(self, k0: int, nlines: int, st, dst,
+                           dev_fn) -> dict:
+        """Like nicam_block, but the frame encoding + differential stream
+        run on the device (nicam_dev.signs_device, fused into the step):
+        the host only fetches the PCM window and computes the per-class
+        window offsets.  The differential-state carry stays on device;
+        `dev_fn` is used only for seek catch-up."""
+        nt = self.nicam
+        P, S = st.period, st.nslot
+        spp = st.syms_per_period
+        G = -(-nlines // P)
+        fs_ = nicam_mod.NICAM_FRAME_SYMS
+
+        ks = np.arange(k0, k0 + P, dtype=np.int64)
+        cls = ks % P
+        kf0 = st.kf[cls] + (ks - cls) // P * spp
+        sym_lo = max(0, int(kf0.min()))
+        sym_hi = int(kf0.max()) + (G - 1) * spp + S
+        f0 = sym_lo // fs_
+        f1 = (sym_hi - 1) // fs_ + 1
+
+        fa, dsym = getattr(self, "_nicam_dev_anchor", (0, np.int32(0)))
+        if fa > f0:
+            fa, dsym = 0, np.int32(0)      # backward seek: restart
+        # catch up in full windows if the anchor is far behind (seek),
+        # never advancing past f0 (the final call must cover [f0, f1))
+        while f1 - fa > dst.nf_max:
+            nc = min(dst.nf_max - 4, f0 - fa)
+            _, _, dsym = dev_fn(self._nicam_pcm_win(fa, dst),
+                                dsym if not isinstance(
+                                    dsym, (int, np.integer))
+                                else np.int32(dsym),
+                                np.int32(fa % 16), np.int32(spp),
+                                np.int32(nc * fs_))
+            fa += nc
+        base_off = spp - (f0 - fa) * fs_
+        assert 0 <= base_off <= spp, (base_off, f0, fa)
+        nkeep = max(f1 - 3 - fa, 0) * fs_
+        self._nicam_dev_anchor = (max(f1 - 3, fa), None)   # dsym via step
+
+        off0 = (kf0 - f0 * fs_ + spp).astype(np.int64)
+        assert off0.min() >= 0 and off0.max() + (G - 1) * spp + S <= dst.L
+
+        from dataclasses import dataclass as _dc
+        class _C:
+            num, den = nt["num"], nt["den"]
+            deviation = 0.0
+        ctab, stab = self._carrier_tabs(_C, k0, nlines)
+        return dict(pcm=self._nicam_pcm_win(fa, dst),
+                    dsym_in=dsym,
+                    meta=np.array([fa % 16, base_off, nkeep],
+                                  dtype=np.int32),
+                    offq=(off0 // spp).astype(np.int32),
+                    offr=(off0 % spp).astype(np.int32),
+                    ctab=ctab, stab=stab)
+
+    def nicam_dev_dsym(self, dsym) -> None:
+        """Store the differential-state carry (device scalar) produced by
+        the fused step for the next block's args."""
+        fa, _ = self._nicam_dev_anchor
+        self._nicam_dev_anchor = (fa, dsym)
+
+    def _nicam_pcm_win(self, fa: int, dst) -> np.ndarray:
+        """PCM window (history-first) for frames [fa, fa+nf_max)."""
+        hist = nicam_mod.J17_NTAPS - 1
+        start = 32 * (fa - 1) - hist
+        pcm = self._pcm(start, dst.nf_max * 32 + hist)
+        return np.ascontiguousarray(pcm.astype(np.int16))
 
     def _block_signs(self, f0: int, f1: int) -> np.ndarray:
         """Differential I/Q signs for the symbols of frames [f0, f1),
@@ -510,36 +759,12 @@ class AudioChain:
     # -- DANCE block ----------------------------------------------------
     def dance_block(self, k0: int, nlines: int, st) -> dict:
         """Per-line DQPSK symbol amplitudes for the DANCE subcarrier,
-        same pulse-matrix scheme as nicam_block."""
+        same window scheme as nicam_block."""
         from . import dance as dance_mod
         dt = self.dance
-        P, S = st.period, st.nslot
-        ks = np.arange(k0, k0 + nlines, dtype=np.int64)
-        cls = ks % P
-        kf_abs = st.kf[cls] + (ks - cls) // P * st.syms_per_period
-
-        sym_lo = max(0, int(kf_abs.min()))
-        sym_hi = int(kf_abs.max()) + S
-        f0 = sym_lo // dance_mod.DANCE_FRAME_SYMS
-        f1 = (sym_hi - 1) // dance_mod.DANCE_FRAME_SYMS + 1
-        signs = self._dance_signs(f0, f1)
-        base = f0 * dance_mod.DANCE_FRAME_SYMS
-        pad = np.zeros((S, 2), dtype=np.float32)
-        signs = np.concatenate([signs, pad])
-
-        sym_abs = kf_abs[:, None] + np.arange(S)[None, :]
-        valid = sym_abs >= 0
-        idx = np.clip(sym_abs - base, 0, len(signs) - 1)
-        amps = signs[idx] * valid[..., None]
-
-        num, den = dt["num"], dt["den"]
-        n_line = ks * self.W
-        rot = (n_line % den) * num % den
-        ang = 2.0 * np.pi * rot / den
-        return dict(amps_i=np.ascontiguousarray(amps[..., 0]),
-                    amps_q=np.ascontiguousarray(amps[..., 1]),
-                    c0=np.cos(ang).astype(np.float32),
-                    s0=np.sin(ang).astype(np.float32))
+        return self._dqpsk_block(k0, nlines, st,
+                                 dance_mod.DANCE_FRAME_SYMS,
+                                 self._dance_signs, dt["num"], dt["den"])
 
     def _dance_signs(self, f0: int, f1: int) -> np.ndarray:
         from . import dance as dance_mod

@@ -26,9 +26,10 @@ INT16_MAX = 32767
 def _fir_int32(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
     """Causal int32 FIR with Q15 taps: out[n] = (sum taps[k]*x[n-k]) >> 15
     (src/fir.c:623-694).  x int array, zero history."""
-    q = np.round(taps * 32767.0).astype(np.int64)
-    acc = np.convolve(x.astype(np.int64), q)[:len(x)]
-    out = acc >> 15
+    q = np.round(taps * 32767.0)
+    # exact in f64: |acc| <= sum|q| * max|x| << 2^53
+    acc = np.convolve(x.astype(np.float64), q)[:len(x)]
+    out = np.round(acc).astype(np.int64) >> 15
     return np.clip(out, -2**31, 2**31 - 1)
 
 
@@ -76,16 +77,15 @@ class Limiter:
             0,
         )
 
-        # Envelope: att[t] = max_d att_imp[d] * shape[t - d + half] >> 15
-        att = np.zeros(n, dtype=np.int64)
-        idx = np.nonzero(over)[0]
-        if len(idx):
-            for j in range(w):
-                t = idx + j - half
-                valid = (t >= 0) & (t < n)
-                tv = t[valid]
-                bv = (att_imp[idx[valid]] * self.shape[j]) >> 15
-                np.maximum.at(att, tv, bv)
+        # Envelope: att[t] = max_d att_imp[d] * shape[t - d + half] >> 15,
+        # a max-dilation — w shifted whole-array maxima (np.maximum.at
+        # over the per-impulse index lists is quadratic when a loud
+        # source keeps every sample over level)
+        att2 = np.zeros(n + w, dtype=np.int64)
+        for j in range(w):
+            contrib = (att_imp * self.shape[j]) >> 15
+            np.maximum(att2[j:j + n], contrib, out=att2[j:j + n])
+        att = att2[half:half + n]
 
         out = f + ((var * (INT16_MAX - att)) >> 15)
         out = np.clip(out, -lvl, lvl)

@@ -99,7 +99,11 @@ def j17_filter(pcm: np.ndarray) -> np.ndarray:
     assigned to int16_t (wraps).
     """
     x = np.asarray(pcm, dtype=np.int64)
-    acc = np.convolve(x, J17_TAPS[::-1])[:len(x)]
+    # f64 convolve is exact here (|acc| <= sum|taps| * 32767 ~ 1.6e9 <
+    # 2^53) and ~4x faster than the int64 path
+    acc = np.convolve(x.astype(np.float64),
+                      J17_TAPS[::-1].astype(np.float64))[:len(x)]
+    acc = np.round(acc).astype(np.int64)
     return _wrap16(acc >> 15)
 
 
@@ -253,12 +257,13 @@ def frame_symbols(frames: np.ndarray) -> np.ndarray:
 def differential_encode(pairs: np.ndarray, dsym_in: int) -> tuple[np.ndarray, int]:
     """dsym_k = (dsym_{k-1} + STEP[pair_k]) mod 4; returns per-symbol
     (I sign, Q sign) from SYMS and the final state."""
-    steps = STEP[pairs]
-    dsym = (dsym_in + np.cumsum(steps)) & 3
+    steps = STEP.astype(np.int32)[pairs]
+    dsym = (dsym_in + np.cumsum(steps, dtype=np.int64)) & 3
     sym = SYMS[dsym]
-    i_sign = np.where(sym & 1, 1.0, -1.0)
-    q_sign = np.where(sym & 2, 1.0, -1.0)
-    return np.stack([i_sign, q_sign], axis=-1).astype(np.float32), int(dsym[-1]) if len(dsym) else dsym_in
+    out = np.empty((len(sym), 2), dtype=np.float32)
+    out[:, 0] = np.where(sym & 1, 1.0, -1.0)
+    out[:, 1] = np.where(sym & 2, 1.0, -1.0)
+    return out, int(dsym[-1]) if len(dsym) else dsym_in
 
 
 def mod_taps(sample_rate: int, beta: float, level: float,

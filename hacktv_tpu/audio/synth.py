@@ -45,8 +45,8 @@ def make_fm_statics(num: int, den: int, level_int: int, kd: float,
     x = np.arange(1, width + 1, dtype=np.int64)
     ang = 2.0 * np.pi * ((x * num) % den) / den
     return FMStatics(level_int=level_int, kd=kd,
-                     cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
-                     sin_x=jnp.asarray(np.sin(ang).astype(np.float32)),
+                     cos_x=np.cos(ang).astype(np.float32),
+                     sin_x=np.sin(ang).astype(np.float32),
                      nseg=nseg, eps=eps, lam=lam)
 
 
@@ -118,6 +118,102 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
     return out_i + add_i, out_q + add_q
 
 
+def _class_windows(x, offq, offr, m_step: int, G: int, S: int):
+    """[P, G, S] windows into the 1-D stream x: class c's window g starts
+    at offq[c]*m_step + offr[c] + g*m_step (one dynamic_slice per class —
+    gathers are pathologically slow on this target)."""
+    P = offq.shape[0]
+    s2 = x.reshape(-1, m_step)
+    X = jnp.concatenate([s2[:-1], s2[1:, :S]], axis=1)
+    return jnp.stack([
+        jax.lax.dynamic_slice(X, (offq[c], offr[c]), (G, S))
+        for c in range(P)])
+
+
+def _cumsum_mod(x, M: int, bound: int):
+    """Inclusive prefix sums mod M of int32 x with |values| < bound,
+    exact in int32 via hierarchical row sums (M must be < 2^30)."""
+    n = x.shape[0]
+    C = int((2 ** 31 - 1) // max(bound, 1))
+    if n <= C:
+        return jnp.cumsum(x) % M
+    C = min(C, 1024)
+    R = -(-n // C)
+    x2 = jnp.pad(x, (0, R * C - n)).reshape(R, C)
+    within = jnp.cumsum(x2, axis=1)
+    rows = within[:, -1] % M
+    offs = _cumsum_mod(rows, M, M)
+    offs_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offs[:-1]])
+    return (((within % M) + offs_ex[:, None]) % M).reshape(-1)[:n]
+
+
+def tile_tab(tab, B: int):
+    """Tile a per-period table to B lines."""
+    P = tab.shape[0]
+    if P >= B:
+        return tab[:B]
+    reps = -(-B // P)
+    return jnp.tile(tab, reps)[:B]
+
+
+@dataclass
+class FMWin:
+    """Static config for on-device FM segment assembly: the zero-order
+    hold segments (src/video.c:3273-3277) of all G lines of a line class
+    form consecutive windows of the audio-rate held-value stream, and the
+    deviation phase integral is an exact int32 prefix sum mod M (2*pi *
+    deviation/(fs*32767) * X == 2*pi * (X mod M)/M when deviation divides
+    fs*32767)."""
+    P_a: int           # line-class period
+    m_step: int        # audio pairs consumed per period
+    nseg: int
+    NH: int            # held-window length (multiple of m_step)
+    M: int             # phase modulus (< 2^24 so f32(X) is exact)
+    prod_bound: int    # max |held * len|
+    lens_tiled: jnp.ndarray    # [NH + max_len_period] hold lengths
+    Wmod: int          # width mod 32767 (for the renorm-cycle counter)
+
+
+def fm_prepare(fw: FMWin, st: FMStatics, B: int,
+               held: jnp.ndarray,      # i16 [NH]
+               xa: jnp.ndarray,        # i32 scalar: phase accum at i0
+               lens_off: jnp.ndarray,  # i32 scalar: i0 mod len-period
+               offq: jnp.ndarray,      # i32 [P_a]
+               offr: jnp.ndarray,      # i32 [P_a]
+               col0: jnp.ndarray,      # i32 [P_a, nseg]
+               ctab: jnp.ndarray,      # f32 [P_r] carrier cos table
+               stab: jnp.ndarray,      # f32 [P_r]
+               cyc_base: jnp.ndarray,  # i32 scalar
+               ):
+    """Assemble the per-line fm_add arguments on device from the compact
+    per-block upload (the [B, nseg] f32 arrays dominated the H2D budget,
+    and transfers serialise with compute on this runtime)."""
+    P, S = fw.P_a, fw.nseg
+    G = -(-B // P)
+    h32 = held.astype(jnp.int32)
+    lens = jax.lax.dynamic_slice(fw.lens_tiled, (lens_off,), (fw.NH,))
+    prod = h32 * lens
+    xincl = _cumsum_mod(prod, fw.M, fw.prod_bound)
+    # exclusive prefix + anchor: phase BEFORE each hold period
+    xc = jnp.concatenate([jnp.zeros(1, jnp.int32), xincl[:-1]])
+    xc = (xc + xa) % fw.M
+
+    vwin = _class_windows(h32, offq, offr, fw.m_step, G, S)
+    bwin = _class_windows(xc, offq, offr, fw.m_step, G, S)
+    seg_val = jnp.swapaxes(vwin, 0, 1).reshape(-1, S)[:B]
+    seg_base_i = jnp.swapaxes(bwin, 0, 1).reshape(-1, S)[:B]
+    seg_val = seg_val.astype(jnp.float32)
+    seg_base = seg_base_i.astype(jnp.float32) * np.float32(
+        2.0 * np.pi / fw.M)
+
+    seg_col = jnp.broadcast_to(col0[None], (G, P, S)).reshape(-1, S)[:B]
+    c0 = tile_tab(ctab, B)
+    s0 = tile_tab(stab, B)
+    b = jnp.arange(B, dtype=jnp.int32) % 32767
+    cyc0 = ((cyc_base + b * fw.Wmod) % 32767).astype(jnp.float32)
+    return seg_val, seg_base, seg_col, c0, s0, cyc0
+
+
 @dataclass
 class A2Statics:
     """Static column tables for the A2 pilot chain (the ~54.7 kHz pilot
@@ -135,10 +231,10 @@ def make_a2_statics(pilot: dict, kd: float, width: int) -> A2Statics:
     a1 = 2.0 * np.pi * ((x * pilot["num1"]) % pilot["den1"]) / pilot["den1"]
     a2 = 2.0 * np.pi * ((x * pilot["num2"]) % pilot["den2"]) / pilot["den2"]
     return A2Statics(
-        cos1_x=jnp.asarray(np.cos(a1).astype(np.float32)),
-        sin1_x=jnp.asarray(np.sin(a1).astype(np.float32)),
-        cos2_x=jnp.asarray(np.cos(a2).astype(np.float32)),
-        sin2_x=jnp.asarray(np.sin(a2).astype(np.float32)),
+        cos1_x=np.cos(a1).astype(np.float32),
+        sin1_x=np.sin(a1).astype(np.float32),
+        cos2_x=np.cos(a2).astype(np.float32),
+        sin2_x=np.sin(a2).astype(np.float32),
         level2=pilot["level2"], kd=kd)
 
 
@@ -246,9 +342,9 @@ def make_nicam_statics(taps: np.ndarray, num: int, den: int, width: int,
     x = np.arange(width, dtype=np.int64)
     ang = 2.0 * np.pi * ((x * num) % den) / den
     st = NicamStatics(
-        pulse=jnp.asarray(pulse),
-        cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
-        sin_x=jnp.asarray(np.sin(ang).astype(np.float32)),
+        pulse=pulse,
+        cos_x=np.cos(ang).astype(np.float32),
+        sin_x=np.sin(ang).astype(np.float32),
         period=period, nslot=nslot)
     st.kf = kf           # host-side: first symbol per class
     st.syms_per_period = syms_per_period
@@ -256,36 +352,40 @@ def make_nicam_statics(taps: np.ndarray, num: int, den: int, width: int,
 
 
 def nicam_add(st: NicamStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
-              amps_i: jnp.ndarray,   # f32 [B, NSLOT]
-              amps_q: jnp.ndarray,
+              signs_i: jnp.ndarray,  # f32 [L] per-symbol I signs (padded)
+              signs_q: jnp.ndarray,  # f32 [L] per-symbol Q signs
+              offq: jnp.ndarray,     # i32 [P] window row per line class
+              offr: jnp.ndarray,     # i32 [P] window column per line class
               c0: jnp.ndarray,       # f32 [B]
               s0: jnp.ndarray,
               k0_mod,                # first line's class offset
               ):
-    """Add the NICAM DQPSK burst to the (I, Q) block [B, W]."""
+    """Add the NICAM DQPSK burst to the (I, Q) block [B, W].
+
+    The per-(line, slot) symbol amplitude assembly exploits the timing
+    periodicity: lines of the same class c (k = c mod P) consume exactly
+    syms_per_period symbols per period, so the amplitudes of all G lines
+    of a class form a [G, NSLOT] window into the sign stream at stride
+    spp — one dynamic_slice per class, producing the [P, G, S] matmul
+    operand directly with no gather and no transpose.  The stream buffer
+    is zero-prepadded by one period so pre-stream symbols read 0."""
     B, W = out_i.shape
     P, S = st.period, st.nslot
+    spp = st.syms_per_period
+
     pulse = jnp.roll(st.pulse, -k0_mod, axis=0)
+    G = -(-B // P)
 
-    pad = (-B) % P
-    if pad:
-        amps_i = jnp.pad(amps_i, ((0, pad), (0, 0)))
-        amps_q = jnp.pad(amps_q, ((0, pad), (0, 0)))
-    G = (B + pad) // P
-
-    def matmul(amps):
+    def matmul(signs):
         # batched over the line class c: [P, G, S] x [P, S, W] -> [P, G, W]
-        # (the class-major operand order keeps both matmul operands in
-        # native layout; "gcs,csw->gcw" forces XLA into T(1,128) copies
-        # of the 80 MB result)
-        a = jnp.swapaxes(amps.reshape(G, P, S), 0, 1)
         r = jax.lax.dot_general(
-            a, pulse, (((2,), (1,)), ((0,), (0,))),
+            _class_windows(signs, offq, offr, spp, G, S), pulse,
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return jnp.swapaxes(r, 0, 1).reshape(-1, W)[:B]
 
-    bb_i = matmul(amps_i)
-    bb_q = matmul(amps_q)
+    bb_i = matmul(signs_i)
+    bb_q = matmul(signs_q)
 
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]

@@ -142,7 +142,9 @@ class Encoder:
             self.fm_video_statics = rf_ops.make_fm_video_statics(
                 conf.fm_deviation, conf.fm_level * conf.level,
                 p.sample_rate, conf.lines)
-            self._fm_r: dict[int, int] = {0: 0}
+            # device scalar from the start: the carry stays on device
+            # (no host sync) and the packed-args spec stays stable
+            self._fm_r: dict[int, object] = {0: jnp.int32(0)}
 
         # complex frequency offset (src/video.c:4592-4605)
         self.offset_statics = None
@@ -179,6 +181,8 @@ class Encoder:
         self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
+        self._arg_spec = None
+        self._arg_treedef = None
 
     def _init_audio(self, systeraudio: bool = False,
                     a2stereo: bool = False):
@@ -200,6 +204,9 @@ class Encoder:
             self.fm_statics = audio_synth.make_fm_statics(
                 c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
                 c.eps)
+            # device-side segment assembly (H2D transfers serialise with
+            # compute on this runtime; the [B, nseg] f32 uploads dominated)
+            self.fm_win = self.audio.fm_win_config(c, nlines)
         if self.audio.am_mono is not None:
             c = self.audio.am_mono
             self.am_statics = audio_synth.make_fm_statics(
@@ -209,6 +216,22 @@ class Encoder:
             nt = self.audio.nicam
             self.nicam_statics = audio_synth.make_nicam_statics(
                 nt["taps"], nt["num"], nt["den"], p.width, nt["timing"])
+            # device-side frame encoder (the 2-core host cannot sustain
+            # the bit pipeline at >100x realtime)
+            from .audio import nicam_dev
+            from .audio import nicam as _nm
+            st = self.nicam_statics
+            spp = st.syms_per_period
+            G = -(-nlines // st.period)
+            L = (G + 4) * spp
+            nf_max = (G * spp + st.nslot) // _nm.NICAM_FRAME_SYMS + 12
+            assert spp + nf_max * _nm.NICAM_FRAME_SYMS <= L
+            self.nicam_dev_statics = nicam_dev.make_dev_statics(
+                nf_max, L, spp)
+            import functools as _ft
+            self.nicam_dev_fn = jax.jit(_ft.partial(
+                nicam_dev.signs_device, self.nicam_dev_statics))
+            self._nicam_zero = jnp.int32(0)
         self.dance_statics = None
         if self.audio.dance is not None:
             dt = self.audio.dance
@@ -221,6 +244,7 @@ class Encoder:
             self.fm_right_statics = audio_synth.make_fm_statics(
                 c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
                 c.eps)
+            self.fm_right_win = self.audio.fm_win_config(c, nlines)
             self.a2_statics = audio_synth.make_a2_statics(
                 self.audio.a2_pilot, c.kd, p.width)
         self.has_audio = (self.fm_statics is not None or
@@ -277,10 +301,12 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
-                   cos0, sin0, lut_row, first_mask, audio_args):
+                   cos0, sin0, lut_row, first_mask, arg_dev, arg_bufs):
         """Fused synthesis + output filter + audio + int16 quantisation
         for one block of frames (plus halo lines)."""
         from .audio import synth as audio_synth
+
+        audio_args = self._unpack_args(arg_dev, arg_bufs)
 
         p = self.params
         W = p.width
@@ -300,8 +326,8 @@ class Encoder:
                 self.secam_statics, block, rgb[1], rgb[2],
                 audio_args["secam"], audio_args["secam_tail"])
         if self.services:
-            lut = ((self.statics.carrier_rows[0][lut_row],
-                    self.statics.carrier_rows[1][lut_row])
+            lut = ((jnp.asarray(self.statics.carrier_rows[0])[lut_row],
+                    jnp.asarray(self.statics.carrier_rows[1])[lut_row])
                    if self.statics.carrier_rows is not None else None)
             for svc, arr in zip(self.services,
                                 audio_args.get("services", ())):
@@ -341,37 +367,53 @@ class Encoder:
         out_i = y
         out_q = yq if yq is not None else jnp.zeros_like(out_i)
 
+        def fm_args(d, fw, st_):
+            if fw is not None:
+                return audio_synth.fm_prepare(
+                    fw, st_, nlines, d["held"], d["xa"], d["lens_off"],
+                    d["offq"], d["offr"], d["col0"], d["ctab"],
+                    d["stab"], d["cyc_base"])
+            return (d["seg_val"], d["seg_base"], d["seg_col"], d["c0"],
+                    d["s0"], d["cyc0"])
+
         if self.fm_statics is not None:
-            fm = audio_args["fm_mono"]
             out_i, out_q = audio_synth.fm_add(
-                self.fm_statics, out_i, out_q, fm["seg_val"],
-                fm["seg_base"], fm["seg_col"], fm["c0"], fm["s0"],
-                fm["cyc0"])
+                self.fm_statics, out_i, out_q,
+                *fm_args(audio_args["fm_mono"], self.fm_win,
+                         self.fm_statics))
         if self.fm_right_statics is not None:
-            fr = audio_args["fm_right"]
             pp = audio_args["a2_pilot"]
             phi_extra = audio_synth.a2_pilot_phase(
                 self.a2_statics, pp["c1"], pp["s1"], pp["c2"], pp["s2"],
                 pp["base_phase"])
             out_i, out_q = audio_synth.fm_add(
-                self.fm_right_statics, out_i, out_q, fr["seg_val"],
-                fr["seg_base"], fr["seg_col"], fr["c0"], fr["s0"],
-                fr["cyc0"], phi_extra)
+                self.fm_right_statics, out_i, out_q,
+                *fm_args(audio_args["fm_right"], self.fm_right_win,
+                         self.fm_right_statics), phi_extra)
         if self.am_statics is not None:
             am = audio_args["am_mono"]
             out_i, out_q = audio_synth.am_add(
                 self.am_statics, out_i, out_q, am["seg_val"],
                 am["seg_col"], am["c0"], am["s0"], am["cyc0"])
+        nicam_dsym = None
         if self.nicam_statics is not None:
+            from .audio import nicam_dev as _nd
             nc = audio_args["nicam"]
+            signs_i, signs_q, nicam_dsym = _nd.signs_device(
+                self.nicam_dev_statics, nc["pcm"], nc["dsym_in"],
+                nc["meta"][0], nc["meta"][1], nc["meta"][2])
             out_i, out_q = audio_synth.nicam_add(
-                self.nicam_statics, out_i, out_q, nc["amps_i"],
-                nc["amps_q"], nc["c0"], nc["s0"], audio_args["nicam_k0mod"])
+                self.nicam_statics, out_i, out_q, signs_i,
+                signs_q, nc["offq"], nc["offr"],
+                audio_synth.tile_tab(nc["ctab"], nlines),
+                audio_synth.tile_tab(nc["stab"], nlines),
+                audio_args["nicam_k0mod"])
         if self.dance_statics is not None:
             dc = audio_args["dance"]
             out_i, out_q = audio_synth.nicam_add(
-                self.dance_statics, out_i, out_q, dc["amps_i"],
-                dc["amps_q"], dc["c0"], dc["s0"], audio_args["dance_k0mod"])
+                self.dance_statics, out_i, out_q, dc["signs_i"],
+                dc["signs_q"], dc["offq"], dc["offr"], dc["c0"],
+                dc["s0"], audio_args["dance_k0mod"])
 
         fm_carry = None
         if self.fm_video_statics is not None:
@@ -401,13 +443,84 @@ class Encoder:
         ii = jnp.clip(jnp.round(out_i), -32768, 32767).astype(jnp.int32)
         qq = jnp.clip(jnp.round(out_q), -32768, 32767).astype(jnp.int32)
         iq = (ii & 0xFFFF) | (qq << 16)
-        aux = tuple(a for a in (fm_carry, secam_tail) if a is not None)
+        aux = tuple(a for a in (fm_carry, secam_tail, nicam_dsym)
+                    if a is not None)
         return (iq, *aux) if aux else iq
 
     # ------------------------------------------------------------------
+    # Argument transport: every host->device RPC through the runtime has
+    # a ~0.5 ms floor, so the per-block numpy leaves of the audio-args
+    # pytree are packed into THREE buffers (f32/i32/i16) uploaded as
+    # single puts; _step_impl unpacks them with static slices.
+    _PACK_CODES = {
+        np.dtype(np.float32): ("f32", None),
+        np.dtype(np.float64): ("f32", None),
+        np.dtype(np.int32): ("i32", None),
+        np.dtype(np.int64): ("i32", None),
+        np.dtype(np.int16): ("i16", None),
+        np.dtype(np.uint8): ("i16", "uint8"),
+        np.dtype(np.bool_): ("i16", "bool"),
+    }
+    _PACK_NP = {"f32": np.float32, "i32": np.int32, "i16": np.int16}
+
+    def _pack_args(self, args):
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        parts = {"f32": [], "i32": [], "i16": []}
+        spec = []
+        dev = []
+        for lf in leaves:
+            if isinstance(lf, np.ndarray):
+                code, restore = self._PACK_CODES[lf.dtype]
+                spec.append((code, lf.shape, restore))
+                parts[code].append(
+                    lf.ravel().astype(self._PACK_NP[code], copy=False))
+            elif isinstance(lf, (bool, int, np.integer)):
+                spec.append(("i32", (), None))
+                parts["i32"].append(np.array([lf], dtype=np.int32))
+            elif isinstance(lf, float):
+                spec.append(("f32", (), None))
+                parts["f32"].append(np.array([lf], dtype=np.float32))
+            else:
+                spec.append(("dev", None, None))
+                dev.append(lf)
+        if self._arg_spec is None:
+            self._arg_spec = spec
+            self._arg_treedef = treedef
+        elif spec != self._arg_spec or treedef != self._arg_treedef:
+            raise RuntimeError("audio-args structure changed between "
+                               "blocks (would retrace)")
+        bufs = tuple(
+            np.concatenate(parts[c]) if parts[c]
+            else np.zeros(0, self._PACK_NP[c])
+            for c in ("f32", "i32", "i16"))
+        return tuple(dev), bufs
+
+    def _unpack_args(self, dev, bufs):
+        """Traced: rebuild the audio-args pytree from the packed
+        buffers."""
+        offs = {"f32": 0, "i32": 0, "i16": 0}
+        bufd = {"f32": bufs[0], "i32": bufs[1], "i16": bufs[2]}
+        di = iter(dev)
+        leaves = []
+        for code, shape, restore in self._arg_spec:
+            if code == "dev":
+                leaves.append(next(di))
+                continue
+            n = int(np.prod(shape)) if shape else 1
+            a = bufd[code][offs[code]: offs[code] + n]   # static slice
+            offs[code] += n
+            a = a.reshape(shape)
+            if restore == "bool":
+                a = a.astype(jnp.bool_)
+            elif restore == "uint8":
+                a = a.astype(jnp.uint8)
+            leaves.append(a)
+        return jax.tree_util.tree_unflatten(self._arg_treedef, leaves)
+
     def _audio_args(self, block_no: int) -> dict:
-        """Host audio-rate computation -> device arrays for this block
-        (covering the real lines, no halo)."""
+        """Host audio-rate computation -> per-block argument pytree
+        (numpy leaves are packed for transport; jax.Array leaves pass
+        through)."""
         p = self.params
         nlines = self.frames_per_block * p.lines
         k0 = block_no * nlines
@@ -418,44 +531,52 @@ class Encoder:
         a_k0 = k0 + (1 if self.conf.vfilter else 0)
         args = {}
         if self.raw_bb is not None:
-            args["rawbb"] = jnp.asarray(self.raw_bb.block(
-                k0 - 1, nlines + 1 + self.halo_after))
+            args["rawbb"] = self.raw_bb.block(
+                k0 - 1, nlines + 1 + self.halo_after)
         if self.passthru is not None:
-            args["passthru"] = jnp.asarray(
-                self.passthru.block(k0, nlines, p.width))
+            args["passthru"] = self.passthru.block(k0, nlines, p.width)
         if self.services:
             claimed = np.zeros(nlines + 1 + self.halo_after, dtype=bool)
             args["services"] = tuple(
-                {k: jnp.asarray(v) for k, v in
-                 svc.block_arrays(k0 - 1, nlines + 1 + self.halo_after,
-                                  claimed).items()}
+                dict(svc.block_arrays(k0 - 1,
+                                      nlines + 1 + self.halo_after,
+                                      claimed))
                 for svc in self.services)
         if self.fm_statics is not None:
-            fm = self.audio.fm_block(self.audio.fm_mono, a_k0, nlines)
-            args["fm_mono"] = {k: jnp.asarray(v) for k, v in fm.items()}
+            args["fm_mono"] = (
+                self.audio.fm_compact_block(self.audio.fm_mono, a_k0,
+                                            nlines, self.fm_win)
+                if self.fm_win is not None else
+                self.audio.fm_block(self.audio.fm_mono, a_k0, nlines))
         if self.fm_right_statics is not None:
-            fr = self.audio.fm_block(self.audio.fm_right, a_k0, nlines)
-            args["fm_right"] = {k: jnp.asarray(v) for k, v in fr.items()}
-            pp = self.audio.pilot_block(a_k0, nlines)
-            args["a2_pilot"] = {k: jnp.asarray(v) for k, v in pp.items()}
+            args["fm_right"] = (
+                self.audio.fm_compact_block(self.audio.fm_right, a_k0,
+                                            nlines, self.fm_right_win)
+                if self.fm_right_win is not None else
+                self.audio.fm_block(self.audio.fm_right, a_k0, nlines))
+            args["a2_pilot"] = self.audio.pilot_block(a_k0, nlines)
         if self.am_statics is not None:
-            am = self.audio.am_block(self.audio.am_mono, a_k0, nlines)
-            args["am_mono"] = {k: jnp.asarray(v) for k, v in am.items()}
+            args["am_mono"] = self.audio.am_block(self.audio.am_mono,
+                                                  a_k0, nlines)
         if self.nicam_statics is not None:
-            nc = self.audio.nicam_block(a_k0, nlines, self.nicam_statics)
-            args["nicam"] = {k: jnp.asarray(v) for k, v in nc.items()}
+            nc = self.audio.nicam_device_block(
+                a_k0, nlines, self.nicam_statics, self.nicam_dev_statics,
+                self.nicam_dev_fn)
+            if isinstance(nc["dsym_in"], (int, np.integer)):
+                nc["dsym_in"] = self._nicam_zero
+            args["nicam"] = nc
             # static per trace; constant when nlines % period == 0
             args["nicam_k0mod"] = a_k0 % self.nicam_statics.period
         if self.dance_statics is not None:
-            dc = self.audio.dance_block(a_k0, nlines, self.dance_statics)
-            args["dance"] = {k: jnp.asarray(v) for k, v in dc.items()}
+            args["dance"] = self.audio.dance_block(a_k0, nlines,
+                                                   self.dance_statics)
             args["dance_k0mod"] = a_k0 % self.dance_statics.period
         if self.fm_video_statics is not None:
             if block_no not in self._fm_r:
                 raise RuntimeError(
                     "FM-modulated blocks must be encoded sequentially "
                     f"(no phase carry for block {block_no})")
-            args["fm_r0"] = jnp.int32(self._fm_r[block_no])
+            args["fm_r0"] = self._fm_r[block_no]
         if self.secam_statics is not None:
             from .video import secam as secam_mod
             key = k0
@@ -475,8 +596,8 @@ class Encoder:
             c0, s0 = rf_ops.offset_rotation(
                 self.conf.offset, self.params.sample_rate, k0,
                 self.params.width, nlines)
-            args["off_c0"] = jnp.asarray(c0)
-            args["off_s0"] = jnp.asarray(s0)
+            args["off_c0"] = c0
+            args["off_s0"] = s0
         return args
 
     def encode_block_device(self, block_no: int):
@@ -488,16 +609,21 @@ class Encoder:
         m = self._block_meta(block_no)
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
         audio_args = self._audio_args(block_no)
+        dev, bufs = self._pack_args(audio_args)
         out = self._step(rgb, m["base"], m["nxt"], m["burst"],
                          m["vswitch"], m["vy"], m["al"], m["ar"],
                          m["cos0"], m["sin0"], m["lut_row"], first,
-                         audio_args)
+                         dev, bufs)
         if isinstance(out, tuple):
             out, *aux = out
             if self.fm_video_statics is not None:
-                self._fm_r[block_no + 1] = int(aux.pop(0))
+                # carry stays a device scalar: no host sync, and the
+                # next block's dispatch chains on it asynchronously
+                self._fm_r[block_no + 1] = aux.pop(0)
             if self.secam_statics is not None:
                 self._secam_tail = aux.pop(0)
+            if self.nicam_statics is not None:
+                self.audio.nicam_dev_dsym(aux.pop(0))
         return out
 
     def _secam_uv(self, rgb):

@@ -136,8 +136,8 @@ def make_offset_statics(offset_hz: int, sample_rate: int,
     x = np.arange(1, width + 1, dtype=np.int64)
     ang = 2.0 * np.pi * ((x * num) % den) / den
     return OffsetStatics(
-        cos_x=jnp.asarray(np.cos(ang).astype(np.float32)),
-        sin_x=jnp.asarray(np.sin(ang).astype(np.float32)))
+        cos_x=np.cos(ang).astype(np.float32),
+        sin_x=np.sin(ang).astype(np.float32))
 
 
 def offset_rotation(offset_hz: int, sample_rate: int, k0: int, width: int,

@@ -74,9 +74,9 @@ def duobinary_bases(mode_d: bool, width: int, level: float):
         Bm[i, p[prev] + width] = vals[prev]
         B0[i, p[cur]] = vals[cur]
         Bp[i, p[nxt] - width] = vals[nxt]
-    return (jnp.asarray(Bm, dtype=jnp.float32),
-            jnp.asarray(B0, dtype=jnp.float32),
-            jnp.asarray(Bp, dtype=jnp.float32))
+    return (np.asarray(Bm, dtype=np.float32),
+            np.asarray(B0, dtype=np.float32),
+            np.asarray(Bp, dtype=np.float32))
 
 
 # ----------------------------------------------------------------------
@@ -460,13 +460,12 @@ class MacEncoder:
                                 self.level)
         self.y_black = float(yb[0, 0])
         pad_y = np.full((1, y.shape[1]), self.y_black, dtype=np.float32)
-        self.y_img = jnp.asarray(
-            np.concatenate([y.astype(np.float32), pad_y]))
+        self.y_img = np.concatenate([y.astype(np.float32), pad_y])
         u2 = u[:, ::2].astype(np.float32)
         v2 = v[:, ::2].astype(np.float32)
         zpad = np.zeros((1, u2.shape[1]), dtype=np.float32)
-        self.u_img = jnp.asarray(np.concatenate([u2, zpad]))
-        self.v_img = jnp.asarray(np.concatenate([v2, zpad]))
+        self.u_img = np.concatenate([u2, zpad])
+        self.v_img = np.concatenate([v2, zpad])
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self.fm_video_statics = None
@@ -546,7 +545,7 @@ class MacEncoder:
 
         al, aw = self.active_left, self.active_width
         # luma rows (vy==height row is the black-pad row)
-        lum = self.y_img[meta["vy"]]
+        lum = jnp.asarray(self.y_img)[meta["vy"]]
         if self.vframe_x > 0 or lum.shape[1] < aw:
             pad_l = self.vframe_x
             pad_r = aw - pad_l - lum.shape[1]
@@ -576,8 +575,8 @@ class MacEncoder:
 
         # chrominance, one line ahead of its luma (src/mac.c:1815-1834)
         crow = jnp.where(meta["chroma_u"][:, None] > 0,
-                         self.u_img[meta["vy_next"]],
-                         self.v_img[meta["vy_next"]])
+                         jnp.asarray(self.u_img)[meta["vy_next"]],
+                         jnp.asarray(self.v_img)[meta["vy_next"]])
         crow = crow * meta["vy_next_valid"][:, None]
         cl, cw = self.chrominance_left, self.u_img.shape[1]
         cx0 = self.vframe_x // 2

@@ -78,18 +78,18 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
             c = np.arange(p.cl_num, dtype=np.int64)
             ang = 2.0 * np.pi * (p.cl_den / p.cl_num) * c
             rows = (
-                jnp.asarray(np.round(np.cos(ang) * 32767.0)
-                            .astype(np.float32).reshape(P, p.width)),
-                jnp.asarray(np.round(np.sin(ang) * 32767.0)
-                            .astype(np.float32).reshape(P, p.width)))
+                np.round(np.cos(ang) * 32767.0)
+                .astype(np.float32).reshape(P, p.width),
+                np.round(np.sin(ang) * 32767.0)
+                .astype(np.float32).reshape(P, p.width))
         else:
             # angle(x) = 2*pi*((x*cl_den) mod cl_num)/cl_num, exact ints
             # evaluated in float64 on the host.
             x = np.arange(p.width, dtype=np.int64)
             v = (x * p.cl_den) % p.cl_num
             ang = 2.0 * np.pi * v / p.cl_num
-            ccos = jnp.asarray(np.cos(ang).astype(np.float32))
-            csin = jnp.asarray(np.sin(ang).astype(np.float32))
+            ccos = np.cos(ang).astype(np.float32)
+            csin = np.sin(ang).astype(np.float32)
     return RasterStatics(
         width=p.width,
         margin=p.syncs.margin,
@@ -97,13 +97,13 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
         frame_w=frame_w if frame_w is not None else p.active_width,
         blanking=float(p.blanking_level),
         black_y=float(_black_y_level(p)),
-        sync_main=jnp.asarray(p.syncs.main),
-        sync_tail=jnp.asarray(p.syncs.left_tail),
-        chroma_taps=(jnp.asarray(p.chroma_taps)
+        sync_main=np.asarray(p.syncs.main),
+        sync_tail=np.asarray(p.syncs.left_tail),
+        chroma_taps=(np.asarray(p.chroma_taps)
                      if p.chroma_taps is not None else None),
         burst_left=p.burst_left,
-        burst_u=jnp.asarray(p.burst_u) if p.burst_u is not None else None,
-        burst_v=jnp.asarray(p.burst_v) if p.burst_v is not None else None,
+        burst_u=np.asarray(p.burst_u) if p.burst_u is not None else None,
+        burst_v=np.asarray(p.burst_v) if p.burst_v is not None else None,
         colour=colour,
         carrier_rows=rows,
         carrier_cos=ccos,
@@ -226,8 +226,8 @@ def synth_block(st: RasterStatics,
     in_frame = (cols >= st.col0) & (cols < st.col0 + st.frame_w)
 
     # Base line: blanking + syncs, plus next line's leading-pulse tail
-    out = st.sync_main[base]
-    out = out.at[:, W - st.margin:].add(st.sync_tail[nxt])
+    out = jnp.asarray(st.sync_main)[base]
+    out = out.at[:, W - st.margin:].add(jnp.asarray(st.sync_tail)[nxt])
 
     out = jnp.where(active, y_full, out)
 
@@ -247,8 +247,8 @@ def synth_block(st: RasterStatics,
         # Colour subcarrier: exact LUT row per line when available,
         # otherwise angle addition against the static per-column table.
         if st.carrier_rows is not None:
-            cos_t = st.carrier_rows[0][lut_row]
-            sin_t = st.carrier_rows[1][lut_row]
+            cos_t = jnp.asarray(st.carrier_rows[0])[lut_row]
+            sin_t = jnp.asarray(st.carrier_rows[1])[lut_row]
         else:
             cos_t = jnp.round((cos0[:, None] * st.carrier_cos
                                - sin0[:, None] * st.carrier_sin) * 32767.0)

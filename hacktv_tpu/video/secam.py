@@ -115,10 +115,10 @@ def make_statics(p, vframe_x: int, frame_w: int) -> SecamStatics:
         active_width=p.active_width, half_width=p.half_width,
         col0=p.active_left + vframe_x, frame_w=frame_w,
         burst_left=burst_left, burst_len=blen,
-        burst_win=jnp.asarray(win),
-        luma_taps=jnp.asarray(luma_taps),
-        chroma_taps=jnp.asarray(chroma_taps),
-        iir_h=jnp.asarray(iir_h),
+        burst_win=np.asarray(win),
+        luma_taps=np.asarray(luma_taps),
+        chroma_taps=np.asarray(chroma_taps),
+        iir_h=np.asarray(iir_h),
         dmin=dmin, dmax=dmax,
         level_int=int(round(INT16_MAX * secam_level)),
         kd=2.0 * np.pi * SECAM_FM_DEV / (p.pixel_rate * INT16_MAX),

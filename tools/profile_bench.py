@@ -31,17 +31,21 @@ t_host = (time.perf_counter() - t0) / N
 # device-only with prebuilt args
 rgb = enc._device_rgb(0)
 m = enc._block_meta(1)
-aa = enc._audio_args(1)
+dev, bufs = enc._pack_args(enc._audio_args(1))
+dev = jax.tree_util.tree_map(jnp.asarray, dev)
+bufs = tuple(jnp.asarray(b) for b in bufs)
 first = jnp.float32(1.0)
 def dev_step():
     return enc._step(rgb, m["base"], m["nxt"], m["burst"], m["vswitch"],
                      m["vy"], m["al"], m["ar"], m["cos0"], m["sin0"],
-                     m["lut_row"], first, aa)
-dev_step().block_until_ready()
+                     m["lut_row"], first, dev, bufs)
+def _first(o):
+    return o[0] if isinstance(o, tuple) else o
+_first(dev_step()).block_until_ready()
 t0 = time.perf_counter()
 for _ in range(N):
     o = dev_step()
-o.block_until_ready()
+_first(o).block_until_ready()
 t_dev = (time.perf_counter() - t0) / N
 
 sps = fpb * fs
