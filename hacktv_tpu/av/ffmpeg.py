@@ -48,7 +48,12 @@ class FFmpegSource:
         self._frame_no = -1
         self._frame = np.zeros((height, width, 3), dtype=np.uint8)
         self._eof = False
+        # bounded sliding audio window: consumers pull nearly
+        # monotonically with < 1 s of lookback (limiter/J17 history),
+        # so old history is pruned instead of concatenating forever
         self._audio = np.zeros((0, 2), dtype=np.int16)
+        self._audio_base = 0           # stream pair index of _audio[0]
+        self._audio_keep = 4 * AUDIO_RATE
         self._audio_eof = False
 
     def read_video(self, frame_no: int) -> np.ndarray:
@@ -63,10 +68,15 @@ class FFmpegSource:
         return self._frame
 
     def read_audio(self, start: int, count: int) -> np.ndarray:
+        if start < self._audio_base:
+            raise ValueError(
+                f"audio seek before the sliding window ({start} < "
+                f"{self._audio_base}); increase the keep margin")
         need = start + count
-        while len(self._audio) < need and not self._audio_eof:
-            raw = self._aproc.stdout.read(
-                4 * max(need - len(self._audio), AUDIO_RATE))
+        while self._audio_base + len(self._audio) < need \
+                and not self._audio_eof:
+            have = self._audio_base + len(self._audio)
+            raw = self._aproc.stdout.read(4 * max(need - have, AUDIO_RATE))
             if not raw:
                 self._audio_eof = True
                 break
@@ -74,8 +84,14 @@ class FFmpegSource:
                                   dtype=np.int16).reshape(-1, 2)
             self._audio = np.concatenate([self._audio, chunk])
         out = np.zeros((count, 2), dtype=np.int16)
-        got = self._audio[start:need]
+        lo = start - self._audio_base
+        got = self._audio[lo:lo + count]
         out[:len(got)] = got
+        # prune consumed history beyond the lookback margin
+        drop = lo - self._audio_keep
+        if drop > 0:
+            self._audio = self._audio[drop:]
+            self._audio_base += drop
         return out
 
     def eof(self, frame_no: int) -> bool:

@@ -102,6 +102,20 @@ def _build_parser() -> argparse.ArgumentParser:
     a("--secam-field-id-lines", type=int, default=None)
     a("-t", "--type", default="int16",
       choices=["uint8", "int8", "uint16", "int16", "int32", "float"])
+    a("-f", "--frequency", type=float, default=0,
+      help="RF frequency in Hz (hardware sinks)")
+    a("-g", "--gain", type=int, default=0, help="TX gain (hardware sinks)")
+    a("-A", "--amp", action="store_true", help="enable TX amp (hackrf)")
+    a("--antenna", default=None, help="antenna name (soapysdr)")
+    a("--ffmt", default=None, help="ffmpeg input format hint")
+    a("--fopts", default=None, help="ffmpeg input format options")
+    a("--fl2k-audio", default="none",
+      choices=["none", "stereo", "spdif"])
+    a("--showecm", action="store_true",
+      help="print Eurocrypt ECM/EMM details to stderr")
+    a("--frames-per-block", type=int, default=0,
+      help="frames synthesised per device call (0 = auto: batched for "
+           "the static test card, 1 for dynamic inputs)")
     a("--frames", type=int, default=0,
       help="stop after N frames (0 = until interrupted)")
     a("--seconds", type=float, default=0,
@@ -170,30 +184,95 @@ def _apply_overrides(conf, args):
 
 
 def _open_sink(args, complex_out: bool):
-    from .rf.file import FileSink
     target = args.output
     for hw in ("hackrf", "soapysdr", "fl2k"):
         if target == hw or target.startswith(hw + ":"):
-            raise SystemExit(
-                f"{hw} output requires the native SDR bridge, which is "
-                "not available in this build; use file:<path> or -")
+            return _open_hw_sink(args, hw, complex_out)
     if target.startswith("file:"):
         target = target[5:]
+    # prefer the native threaded sink (conversion + IO off the main
+    # thread, overlapping the next block's device compute)
+    from . import runtime
+    if runtime.available():
+        return runtime.NativeFileSink(target, args.type, complex_out)
+    from .rf.file import FileSink
     return FileSink(target, args.type, complex_out)
 
 
-def _make_source(spec: str, active_width: int, active_lines: int):
+def _open_hw_sink(args, hw: str, complex_out: bool):
+    from .rf import hardware
+    target = args.output
+    serial = target.split(":", 1)[1] if ":" in target else None
+    try:
+        return hardware.open_sink(
+            hw, serial, sample_rate=int(args.samplerate),
+            frequency=int(args.frequency), gain=int(args.gain),
+            amp=args.amp, antenna=args.antenna,
+            complex_out=complex_out)
+    except hardware.HardwareUnavailable as e:
+        raise SystemExit(str(e))
+
+
+def _make_source(spec: str, active_width: int, active_lines: int,
+                 frame_rate):
     from .av.testcard import TestCardSource
     if spec == "test":
         return TestCardSource(active_width, active_lines)
     if spec.startswith("raw:"):
         from .av.rawfile import RawFileSource
         return RawFileSource(spec[4:], active_width, active_lines)
-    if spec.startswith("ffmpeg:") or not spec.startswith(("test",)):
-        from .av.ffmpeg import FFmpegSource
-        path = spec.split(":", 1)[1] if ":" in spec else spec
-        return FFmpegSource(path, active_width, active_lines)
-    raise SystemExit(f"unknown input '{spec}'")
+    from .av.ffmpeg import FFmpegSource
+    path = spec.split(":", 1)[1] if spec.startswith("ffmpeg:") else spec
+    return FFmpegSource(path, active_width, active_lines,
+                        frame_rate=frame_rate)
+
+
+def _build_source(args, conf, p):
+    """Input list -> one AV source (fit/letterbox geometry applied;
+    multiple inputs sequenced with --repeat/--shuffle,
+    src/hacktv.c:1502-1598)."""
+    from .av.frame_ops import FitConfig, FitSource
+    from .av.sequence import SequenceSource
+    from .rational import Rational
+
+    aw, al = p.active_width, conf.active_lines
+    need_fit = (args.fit is not None or args.letterbox or args.pillarbox
+                or args.min_aspect or args.max_aspect
+                or any(s != "test" for s in args.input))
+    ratios = (Rational(4, 3),)
+    if args.letterbox or args.pillarbox:
+        ratios = (Rational(16, 9),) if args.letterbox else (Rational(4, 3),)
+    elif conf.mac_mode is not None:
+        ratios = (Rational(4, 3), Rational(16, 9))
+
+    def parse_ratio(s):
+        if s is None:
+            return None
+        if ":" in s:
+            a, b = s.split(":")
+            return Rational(int(a), int(b))
+        return Rational(*float(s).as_integer_ratio())
+
+    cfg = FitConfig(
+        width=aw, height=al,
+        fit_mode=args.fit or ("fit" if args.letterbox or args.pillarbox
+                              else "stretch"),
+        display_aspect_ratios=ratios,
+        min_display_aspect_ratio=parse_ratio(args.min_aspect),
+        max_display_aspect_ratio=parse_ratio(args.max_aspect))
+
+    def make(spec):
+        def f():
+            src = _make_source(spec, aw, al, conf.frame_rate)
+            if need_fit and spec != "test":
+                return FitSource(src, cfg)
+            return src
+        return f
+
+    if len(args.input) == 1 and not args.repeat and not args.shuffle:
+        return make(args.input[0])()
+    return SequenceSource([make(s) for s in args.input],
+                          repeat=args.repeat, shuffle=args.shuffle)
 
 
 def main(argv=None) -> int:
@@ -213,6 +292,12 @@ def main(argv=None) -> int:
 
     sample_rate = int(args.samplerate)
     pixel_rate = int(args.pixelrate)
+    if pixel_rate and pixel_rate != sample_rate:
+        # the rational pixel->sample resampler is not wired through the
+        # CLI yet; erroring beats silently emitting the wrong rate
+        raise SystemExit(
+            "--pixelrate != --samplerate requires the video resampler, "
+            "which is not wired into the CLI yet")
 
     # ---- validation (src/hacktv.c:1184-1437) -------------------------
     if (args.videocrypt or args.videocrypt2) and \
@@ -241,14 +326,20 @@ def main(argv=None) -> int:
     except ValueError:
         pass   # not the main thread
 
+    fpb = args.frames_per_block
+    if fpb <= 0:
+        fpb = 16 if args.input == ["test"] else 1
+
     if conf.mac_mode is not None:
         from .video.mac import MacEncoder
+        from .video.params import VideoParams
         ec = None
         if args.eurocrypt:
             from .services.eurocrypt import Eurocrypt
             ec = Eurocrypt(args.eurocrypt,
                            mat_rating=args.ec_mat_rating,
-                           ppv=args.ec_ppv, nodate=args.nodate)
+                           ppv=args.ec_ppv, nodate=args.nodate,
+                           showecm=args.showecm)
         scr = 2 if args.double_cut else (1 if args.single_cut else 0)
         enc = MacEncoder(conf, sample_rate, pixel_rate,
                          scramble_video=scr,
@@ -256,10 +347,14 @@ def main(argv=None) -> int:
                          eurocrypt=ec)
         complex_out = conf.output_type == OutputType.COMPLEX
         frame_samples = enc.frame_samples
+        source = None
     else:
         from .encoder import Encoder
-        syster_arg = args.syster
-        enc = Encoder(conf, sample_rate, pixel_rate,
+        from .video.params import VideoParams
+        p = VideoParams.create(conf, sample_rate, pixel_rate)
+        source = _build_source(args, conf, p)
+        enc = Encoder(conf, sample_rate, pixel_rate, source=source,
+                      frames_per_block=fpb,
                       wss=args.wss, teletext=args.teletext,
                       vfilter=args.vfilter, offset=int(args.offset),
                       swap_iq=args.swap_iq, vits=args.vits,
@@ -267,9 +362,13 @@ def main(argv=None) -> int:
                       videocrypt=args.videocrypt,
                       videocrypt2=args.videocrypt2,
                       videocrypts=args.videocrypts,
-                      syster=syster_arg, systercnr=args.systercnr,
+                      syster=args.syster, systercnr=args.systercnr,
                       d11=args.d11, systeraudio=args.systeraudio,
-                      a2stereo=args.a2stereo, sis=args.sis)
+                      a2stereo=args.a2stereo, sis=args.sis,
+                      passthru=args.passthru,
+                      raw_bb_file=args.raw_bb_file,
+                      raw_bb_blanking=args.raw_bb_blanking,
+                      raw_bb_white=args.raw_bb_white)
         complex_out = enc.complex_out
         frame_samples = enc.params.frame_samples
 
@@ -283,18 +382,26 @@ def main(argv=None) -> int:
     frames_done = 0
     try:
         while not stop["flag"]:
+            if source is not None and hasattr(source, "eof") \
+                    and source.eof(frames_done):
+                break
             out = enc.encode_block(block)
             if out.ndim == 1:
                 out = np.stack([out, np.zeros_like(out)], axis=-1)
+            bf = getattr(enc, "frames_per_block", 1)
+            if frames_wanted and frames_done + bf > frames_wanted:
+                out = out[: (frames_wanted - frames_done) * frame_samples]
             sink.write(out)
             block += 1
-            frames_done += getattr(enc, "frames_per_block", 1)
+            frames_done += bf
             if frames_wanted and frames_done >= frames_wanted:
                 break
     except (BrokenPipeError, KeyboardInterrupt):
         pass
     finally:
         sink.close()
+        if source is not None and hasattr(source, "close"):
+            source.close()
     return 0
 
 

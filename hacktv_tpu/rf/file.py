@@ -19,7 +19,8 @@ _CONVERTERS = {
     "uint16": (np.uint16, lambda x: (x.astype(np.int32) + 32768).astype(np.uint16)),
     "int16":  (np.int16,  lambda x: x),
     "int32":  (np.int32,  lambda x: ((x.astype(np.int64) << 16) + x).astype(np.int32)),
-    "float":  (np.float32, lambda x: (x.astype(np.float32) / 32767.0)),
+    "float":  (np.float32, lambda x: (x.astype(np.float64)
+                                      * (1.0 / 32767.0)).astype(np.float32)),
 }
 
 

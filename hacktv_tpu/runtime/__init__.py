@@ -124,13 +124,17 @@ class Fifo:
             else np.ascontiguousarray(data).view(np.uint8).ravel()
         return self._lib.rt_fifo_write(self._h, _ptr(a), a.nbytes)
 
-    def read(self, n: int, nowait: bool = False) -> bytes:
+    def read(self, n: int, nowait: bool = False) -> bytes | None:
+        """Read up to n bytes.  Returns b"" on EOF (blocking read) or
+        underrun (nowait read), and None on abort / nowait-EOF — the
+        native API's -1, which callers must be able to distinguish from
+        an empty read."""
         out = np.empty(n, np.uint8)
         fn = (self._lib.rt_fifo_read_nowait if nowait
               else self._lib.rt_fifo_read)
         r = fn(self._h, _ptr(out), n)
         if r < 0:
-            return b"" if not nowait else b""
+            return None
         return out[:r].tobytes()
 
     def close_writer(self) -> None:

@@ -582,7 +582,7 @@ class Eurocrypt:
 
     def __init__(self, mode: str, rand=None, mat_rating: int = 0,
                  ppv: str | None = None, nodate: bool = False,
-                 now: float | None = None):
+                 now: float | None = None, showecm: bool = False):
         if mode not in EC_MODES:
             raise ValueError(f"unknown Eurocrypt mode '{mode}'; "
                              f"available: {sorted(EC_MODES)}")
@@ -603,7 +603,10 @@ class Eurocrypt:
 
         self._update_cw(0)
         self._update_cw(1)
+        self.showecm = showecm
         self.ecm_pkt, self.ecm_cont = self._build_ecm(0)
+        if showecm:
+            self._print_ecm()
 
     # -- key material ---------------------------------------------------
     def _update_cw(self, t: int) -> int:
@@ -965,11 +968,19 @@ class Eurocrypt:
             payload = bytes([chunk[0]]) + body
             mux._write_packet(0, addr, i, payload, False)
 
+    def _print_ecm(self) -> None:
+        """--showecm: print the current ECM packet + CWs to stderr
+        (the reference's eurocrypt.c ECM debug print)."""
+        import sys
+        print("ECM: " + bytes(self.ecm_pkt).hex(), file=sys.stderr)
+
     def next_frame(self, mux, frame: int):
         if (frame & 0xFF) == 1:
             t = (frame >> 8) & 1
             mux.cw = self._update_cw(t)
             self.ecm_pkt, self.ecm_cont = self._build_ecm(t)
+            if self.showecm:
+                self._print_ecm()
 
         if frame % 64 == 1:
             self._send_split(mux, self.ECM_ADDR, 0x00, self.ecm_pkt,

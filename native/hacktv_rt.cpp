@@ -179,15 +179,19 @@ size_t rt_convert_iq(const int16_t *iq, size_t samples, void *out, int type,
             return n * 2;
         }
         case RT_S32: {
+            // low word replicated, matching the reference's bit-depth
+            // extension (rf_file.c int32 writers: (s << 16) + s)
             int32_t *o = (int32_t *)out;
             for (size_t i = 0, j = 0; i < n; i++, j += step)
-                o[i] = (int32_t)iq[j] << 16;
+                o[i] = ((int32_t)iq[j] << 16) + iq[j];
             return n * 4;
         }
         case RT_F32: {
+            // double multiply, single rounding to float — matches the
+            // reference's (float)s * (1.0 / 32767.0) promotion
             float *o = (float *)out;
             for (size_t i = 0, j = 0; i < n; i++, j += step)
-                o[i] = (float)iq[j] * (1.0f / 32767.0f);
+                o[i] = (float)((double)iq[j] * (1.0 / 32767.0));
             return n * 4;
         }
     }
@@ -236,7 +240,6 @@ void rt_fl2k_dither_u8(const int16_t *pcm, size_t n, size_t stride,
             e -= 0x1FF;
         }
         out[i] = v;
-        *err = e;
     }
     *err = e;
 }

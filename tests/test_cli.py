@@ -52,9 +52,71 @@ def test_cli_stdout_uint8(tmp_path):
 def test_cli_rejects_hw_sink():
     r = _run(["-o", "hackrf", "-m", "pal", "--frames", "1", "test"])
     assert r.returncode != 0
-    assert b"native" in r.stderr or b"bridge" in r.stderr
+    assert b"libhackrf" in r.stderr
 
 
 def test_cli_unknown_mode():
     r = _run(["-m", "nosuchmode", "--frames", "1", "test"])
     assert r.returncode != 0
+
+
+def test_cli_raw_input_and_fit(tmp_path):
+    """`raw:` input produces non-test-card output; FitSource letterboxes
+    a smaller frame (src/hacktv.c:1502-1526 + av.c:103-220)."""
+    # 2 frames of solid colour at a non-native size -> letterbox path
+    w, h = 200, 100
+    frame = np.zeros((h, w, 4), dtype=np.uint8)
+    frame[..., 2] = 255          # red in 0xAARRGGBB little-endian (B,G,R,A)
+    raw = tmp_path / "in.raw"
+    raw.write_bytes(frame.tobytes() * 2)
+    out = tmp_path / "o.s16"
+    r = _run(["-o", str(out), "-m", "pal", "--fit", "fit", "--frames",
+              "1", f"raw:{raw}:{w}x{h}"])
+    assert r.returncode == 0, r.stderr.decode()
+    mine = np.fromfile(out, dtype=np.int16)
+    assert len(mine) == 640000
+    # compare to the test card: must differ in the active region
+    out2 = tmp_path / "t.s16"
+    r = _run(["-o", str(out2), "-m", "pal", "--frames", "1", "test"])
+    card = np.fromfile(out2, dtype=np.int16)
+    assert not np.array_equal(mine, card)
+
+
+def test_cli_passthru_and_rawbb(tmp_path):
+    """--passthru adds an external IQ stream; --raw-bb-file replaces the
+    raster (src/video.c:3517-3541, 2406-2445)."""
+    base = tmp_path / "base.s16"
+    r = _run(["-o", str(base), "-m", "pal", "--frames", "1", "test"])
+    assert r.returncode == 0, r.stderr.decode()
+
+    # passthru: adding a stream of zeros must reproduce the base exactly
+    zeros = tmp_path / "z.c16"
+    zeros.write_bytes(b"\x00" * (640000 * 4))
+    out = tmp_path / "pt.s16"
+    r = _run(["-o", str(out), "-m", "pal", "--frames", "1",
+              "--passthru", str(zeros), "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert out.read_bytes() == base.read_bytes()
+
+    # raw bb replay of a constant level
+    bb = tmp_path / "bb.s16"
+    np.full(2048, 0x200, np.int16).tofile(bb)
+    out2 = tmp_path / "bb_out.s16"
+    r = _run(["-o", str(out2), "-m", "pal", "--frames", "1",
+              "--raw-bb-file", str(bb), "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    got = np.fromfile(out2, dtype=np.int16)
+    assert len(got) == 640000 and len(np.unique(got)) <= 3
+
+
+def test_cli_pixelrate_errors():
+    r = _run(["-o", "/dev/null", "-m", "pal", "--pixelrate", "14750000",
+              "--frames", "1", "test"])
+    assert r.returncode != 0
+    assert b"resampler" in r.stderr
+
+
+def test_cli_hardware_sink_error_message():
+    r = _run(["-o", "hackrf", "-m", "i", "--frames", "1", "test"])
+    assert r.returncode != 0
+    assert b"libhackrf" in r.stderr or b"hackrf" in r.stderr
