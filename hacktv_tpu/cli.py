@@ -292,12 +292,6 @@ def main(argv=None) -> int:
 
     sample_rate = int(args.samplerate)
     pixel_rate = int(args.pixelrate)
-    if pixel_rate and pixel_rate != sample_rate:
-        # the rational pixel->sample resampler is not wired through the
-        # CLI yet; erroring beats silently emitting the wrong rate
-        raise SystemExit(
-            "--pixelrate != --samplerate requires the video resampler, "
-            "which is not wired into the CLI yet")
 
     # ---- validation (src/hacktv.c:1184-1437) -------------------------
     if (args.videocrypt or args.videocrypt2) and \
@@ -370,7 +364,7 @@ def main(argv=None) -> int:
                       raw_bb_blanking=args.raw_bb_blanking,
                       raw_bb_white=args.raw_bb_white)
         complex_out = enc.complex_out
-        frame_samples = enc.params.frame_samples
+        frame_samples = enc.frame_samples
 
     sink = _open_sink(args, complex_out)
     if args.verbose:

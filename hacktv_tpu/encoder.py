@@ -62,6 +62,22 @@ class Encoder:
         self.frames_per_block = frames_per_block
         p = self.params
 
+        # Rational pixel->sample video resampler (src/fir.c:392-428,
+        # src/video.c:3627-3651): synthesis runs at pixel_rate; the
+        # stream is polyphase-resampled to sample_rate before the video
+        # filter and audio stages.
+        self.resampler = None
+        self.out_params = p
+        if pixel_rate and int(pixel_rate) != int(sample_rate):
+            from .ops import resampler as rs_mod
+            self.out_params = VideoParams.create(conf, sample_rate, 0)
+            rs = rs_mod.Resampler.create(int(sample_rate),
+                                         int(pixel_rate))
+            nlines0 = frames_per_block * conf.lines
+            self.resampler = rs_mod.make_block_statics(
+                rs, p.width, self.out_params.width, nlines0,
+                halo_lines=1)
+
         if source is None:
             source = TestCardSource(p.active_width, conf.active_lines)
         self.source = source
@@ -150,7 +166,7 @@ class Encoder:
         self.offset_statics = None
         if conf.offset:
             self.offset_statics = rf_ops.make_offset_statics(
-                conf.offset, p.sample_rate, p.width)
+                conf.offset, p.sample_rate, self.out_params.width)
 
         # SECAM chroma (src/video.c:3068-3233)
         from .config.standards import ColourMode
@@ -191,7 +207,7 @@ class Encoder:
         from .audio.chain import AudioChain
         from .audio import synth as audio_synth
 
-        p = self.params
+        p = self.out_params
         self.audio = AudioChain(self.conf, p.sample_rate, p.width,
                                 self.source, systeraudio=systeraudio,
                                 a2stereo=a2stereo)
@@ -266,6 +282,8 @@ class Encoder:
         hit = self._meta_cache.get(key)
         if hit is not None:
             return hit
+        if len(self._meta_cache) > 64:
+            self._meta_cache.clear()
         meta = p.line_meta(k0 - 1, nlines + 1 + self.halo_after,
                            vframe_interlaced=self.source.interlaced,
                            vframe_x=self.vframe_x, vframe_y=self.vframe_y,
@@ -334,6 +352,16 @@ class Encoder:
                 block = svc.apply(block, arr, lut)
         block = block.at[0].multiply(first_mask)
         x = block.reshape(-1)
+
+        if self.resampler is not None:
+            # pixel -> sample rate polyphase resample of the stream
+            # (incl. one halo line each side for the filter context);
+            # downstream stages run at the output width
+            from .ops import resampler as rs_mod
+            x = rs_mod.device_resample_block(self.resampler, x)
+            p = self.out_params
+            W = p.width
+            n = nlines * W
 
         def stream_conv(kern_np):
             # shifted-slice FMA over the flat stream, reshaped to [B, W]:
@@ -527,14 +555,18 @@ class Encoder:
         # With the video filter enabled the audio process consumes the
         # filter's one-line-delayed stream, so the audio timeline runs one
         # line ahead of the output line it lands on (see the reference's
-        # line-window layout, src/video.c:4675-4688).
-        a_k0 = k0 + (1 if self.conf.vfilter else 0)
+        # line-window layout, src/video.c:4675-4688).  The vresampler
+        # adds one more line of window lag (and its warm-up line is
+        # swallowed, so the audio stream starts one line early).
+        a_k0 = k0 + (1 if self.conf.vfilter else 0) \
+            + (1 if self.resampler is not None else 0)
         args = {}
         if self.raw_bb is not None:
             args["rawbb"] = self.raw_bb.block(
                 k0 - 1, nlines + 1 + self.halo_after)
         if self.passthru is not None:
-            args["passthru"] = self.passthru.block(k0, nlines, p.width)
+            args["passthru"] = self.passthru.block(
+                k0, nlines, self.out_params.width)
         if self.services:
             claimed = np.zeros(nlines + 1 + self.halo_after, dtype=bool)
             args["services"] = tuple(
@@ -595,7 +627,7 @@ class Encoder:
             from .rf import ops as rf_ops
             c0, s0 = rf_ops.offset_rotation(
                 self.conf.offset, self.params.sample_rate, k0,
-                self.params.width, nlines)
+                self.out_params.width, nlines)
             args["off_c0"] = c0
             args["off_s0"] = s0
         return args
@@ -620,6 +652,7 @@ class Encoder:
                 # carry stays a device scalar: no host sync, and the
                 # next block's dispatch chains on it asynchronously
                 self._fm_r[block_no + 1] = aux.pop(0)
+                self._fm_r.pop(block_no - 2, None)   # keep it bounded
             if self.secam_statics is not None:
                 self._secam_tail = aux.pop(0)
             if self.nicam_statics is not None:
@@ -643,6 +676,11 @@ class Encoder:
         v = (v + (SECAM_CR_FREQ - SECAM_FM_FREQ)) / SECAM_FM_DEV
         q = lambda a: jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0)
         return q(u), q(v)
+
+    @property
+    def frame_samples(self) -> int:
+        """Output samples per frame (at sample_rate, post-resampler)."""
+        return self.out_params.frame_samples
 
     def encode_block(self, block_no: int) -> np.ndarray:
         """Host int16 samples for one block: [n] for real output modes,

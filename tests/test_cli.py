@@ -109,11 +109,20 @@ def test_cli_passthru_and_rawbb(tmp_path):
     assert len(got) == 640000 and len(np.unique(got)) <= 3
 
 
-def test_cli_pixelrate_errors():
-    r = _run(["-o", "/dev/null", "-m", "pal", "--pixelrate", "14750000",
+def test_cli_pixelrate(tmp_path):
+    out = tmp_path / "pr.s16"
+    r = _run(["-o", str(out), "-m", "pal", "--pixelrate", "14750000",
               "--frames", "1", "test"])
-    assert r.returncode != 0
-    assert b"resampler" in r.stderr
+    assert r.returncode == 0, r.stderr.decode()
+    mine = np.fromfile(out, dtype=np.int16)
+    assert len(mine) == 640000
+    golden = os.path.join(GOLDEN, "pal_pr1475_2frames.s16")
+    if os.path.exists(golden):
+        ref = np.fromfile(golden, dtype=np.int16)[:len(mine)]
+        e = mine.astype(np.float64) - ref
+        snr = 10 * np.log10((ref.astype(np.float64) ** 2).sum()
+                            / max((e ** 2).sum(), 1e-12))
+        assert snr > 40.0, snr
 
 
 def test_cli_hardware_sink_error_message():

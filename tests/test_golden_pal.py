@@ -101,3 +101,28 @@ def test_pal_i_full_chain_snr():
     ec = e[:nl].reshape(-1, w, 2)[:, :w - 8]
     clean = 10 * np.log10((rc ** 2).sum() / (ec ** 2).sum())
     assert clean >= 80.0, f"clean-region SNR {clean:.2f} dB"
+
+
+def test_pal_pixelrate_resampler_snr():
+    """--pixelrate: synthesis at 14.75 MHz pixels, polyphase-resampled
+    to 16 MS/s (src/fir.c:392-428, src/video.c:3627-3651)."""
+    ref = _golden("pal_pr1475_2frames.s16")
+    enc = Encoder("pal", 16_000_000, pixel_rate=14_750_000)
+    assert enc.frame_samples == 640000
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    ref = ref[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
+    assert snr > 40.0, snr
+
+
+def test_pal_i_pixelrate_full_chain_snr():
+    """Complex PAL-I with FM audio + NICAM through the resampler."""
+    ref = _golden("pali_pr1475_2frames.c16")
+    enc = Encoder("i", 16_000_000, pixel_rate=14_750_000)
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)]
+                          ).reshape(-1)
+    ref = ref[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
+    assert snr > 40.0, snr
