@@ -338,7 +338,7 @@ def main(argv=None) -> int:
         enc = MacEncoder(conf, sample_rate, pixel_rate,
                          scramble_video=scr,
                          scramble_audio=args.scramble_audio,
-                         eurocrypt=ec)
+                         eurocrypt=ec, teletext=args.teletext)
         complex_out = conf.output_type == OutputType.COMPLEX
         frame_samples = enc.frame_samples
         source = None

@@ -47,6 +47,7 @@ class Encoder:
                  a2stereo: bool = False,
                  sis: str | None = None,
                  passthru: str | None = None,
+                 teletext_clock=None,
                  raw_bb_file: str | None = None,
                  raw_bb_blanking: int = 0,
                  raw_bb_white: int = 0x300):
@@ -140,7 +141,8 @@ class Encoder:
             self.services.append(_SIS(p, sis, sis_chain, lag))
         if teletext:
             from .services.teletext import Teletext
-            self.services.append(Teletext(p, teletext))
+            self.services.append(Teletext(p, teletext,
+                                          clock=teletext_clock))
 
         # Scramblers that read lines ahead (syster shuffle: up to 344)
         # extend the bottom halo of each synthesised block.

@@ -480,3 +480,43 @@ class Teletext:
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
         return out + vbidata.render(arrays["bits"], self.basis)
+
+class MacTeletext:
+    """Teletext packet feed for D/D2-MAC lines (src/mac.c:1556-1602):
+    the same TTI service/scheduler, but packets are packed into the MAC
+    line bit buffer instead of a VBI waveform."""
+
+    def __init__(self, path: str, lines_per_frame: int = 625,
+                 frame_rate: int = 25, clock=None):
+        self.lines_total = lines_per_frame
+        self.service = TeletextService(lines_per_frame, frame_rate, clock)
+        self.raw = None
+        if path.startswith("raw:"):
+            self.raw = open(path[4:], "rb")
+        elif os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                if not name.startswith("."):
+                    try:
+                        load_tti(self.service, os.path.join(path, name))
+                    except ValueError:
+                        pass
+        else:
+            load_tti(self.service, path)
+
+    def next_vbi_bits(self, frame: int, line: int) -> np.ndarray | None:
+        """360 bits (LSB-first per byte) of the next 45-byte packet, or
+        None when no packet is ready."""
+        timecode = (frame - 1) * self.lines_total + line - 1
+        if self.raw is not None:
+            data = self.raw.read(42)
+            if len(data) < 42:
+                self.raw.seek(0)
+                data = self.raw.read(42)
+            pkt = b"\x55\x55\x27" + data
+        else:
+            pkt = self.service.next_packet(timecode)
+        if pkt is None:
+            return None
+        return np.unpackbits(np.frombuffer(bytes(pkt), np.uint8),
+                             bitorder="little")[:360]
+

@@ -122,7 +122,7 @@ class MacMux:
     def __init__(self, conf: VidConfig, width: int, sample_rate: int,
                  source, vsam: int, scramble_audio: bool = False,
                  timestamp: int = 1_200_000_000, aspect_43: int = 1,
-                 eurocrypt=None, volume: float = 1.0):
+                 eurocrypt=None, volume: float = 1.0, teletext=None):
         self.conf = conf
         self.mode_d = conf.mac_mode == MacMode.D
         self.nbits = 1296 if self.mode_d else 648
@@ -133,6 +133,7 @@ class MacMux:
         self.volume_int = int(volume * 256 + 0.5)
 
         self.prbs15 = mb.prbs15()
+        self.teletext = teletext    # optional MacTeletext feed
         self.seeds = mb.line_prbs_seeds(self.mode_d)
         self.udt = mb.build_udt(timestamp)
         self.l625 = mb.Line625State(self.mode_d)
@@ -328,7 +329,8 @@ class MacMux:
                 if self.eurocrypt is not None:
                     ec = self.eurocrypt.si_info()
                 pkt = mb.si_dg3_packet(self.audio.address, self.vsam,
-                                       self.ratio, False, ec)
+                                       self.ratio,
+                                       self.teletext is not None, ec)
                 self._write_packet(0, 0x000, 0, pkt, False)
             # UDT refresh every 25 frames is a no-op with pinned time
 
@@ -338,6 +340,24 @@ class MacMux:
             bits = self._line_624(frame, line)
         else:
             bits = self._data_line(frame, line)
+
+        # teletext packets on lines 1-22 / 313-334 (src/mac.c:1556-1602)
+        if self.teletext is not None and \
+                (1 <= line <= 22 or 313 <= line <= 334):
+            v = self.teletext.next_vbi_bits(frame, line)
+            if v is not None:
+                if not self.mode_d:
+                    x = 116
+                    bits[x:x + 360] = v
+                else:
+                    # data bits interleaved with the line PRBS, then
+                    # 172*2 PRBS filler bits
+                    x = 230
+                    pr = self.prbs15.seq(int(self.seeds[line - 1]),
+                                         360 + 344)
+                    bits[x:x + 720:2] = v
+                    bits[x + 1:x + 720:2] = pr[:360]
+                    bits[x + 720:x + 720 + 344] = pr[360:]
 
         self.line_bits[k] = bits
         # duobinary polarity: flips on every 0 bit (src/mac.c:193-203)
@@ -391,7 +411,8 @@ class MacEncoder:
                  pixel_rate: int = 0, source=None,
                  frames_per_block: int = 1,
                  scramble_video: int = 0, scramble_audio: bool = False,
-                 eurocrypt=None, timestamp: int = 1_200_000_000):
+                 eurocrypt=None, timestamp: int = 1_200_000_000,
+                 teletext: str | None = None, teletext_clock=None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         assert conf.mac_mode is not None
         self.conf = conf
@@ -442,11 +463,17 @@ class MacEncoder:
         par = getattr(source, "pixel_aspect_ratio", Fraction(1, 1))
         self.aspect_43 = 1 if par <= thr else 0
 
+        tt = None
+        if teletext:
+            from ..services.teletext import MacTeletext
+            tt = MacTeletext(teletext, conf.lines,
+                             round(float(conf.frame_rate)),
+                             clock=teletext_clock)
         self.mux = MacMux(conf, W, self.S, source, vsam,
                           scramble_audio=scramble_audio,
                           timestamp=timestamp,
                           aspect_43=self.aspect_43, eurocrypt=eurocrypt,
-                          volume=conf.volume)
+                          volume=conf.volume, teletext=tt)
 
         duo_level = (self.white_level - self.black_level) * 0.4
         self.Bm, self.B0, self.Bp = duobinary_bases(

@@ -99,3 +99,24 @@ def test_d2mac_linear_audio():
     conf = replace(get_mode("d2mac"), mac_audio_companded=False,
                    mac_audio_protection=True)
     assert _wave_snr(conf, "d2mac_lin_4frames.s16") > 60.0
+
+
+@pytest.mark.parametrize("mode", ["d2mac", "dmac"])
+def test_mac_teletext_bits_exact(mode):
+    """Teletext packets packed into the D/D2-MAC line formats
+    (src/mac.c:1556-1602), byte-exact vs the reference dump with
+    --teletext demo.tti and pinned clocks."""
+    import os
+    from hacktv_tpu.services.teletext import MacTeletext
+    path = _golden(f"{mode}_tt_bits_10f.bin")
+    golden = np.fromfile(path, dtype=np.uint8).reshape(-1, 162)
+    gbits = np.unpackbits(golden, axis=1, bitorder="little")
+    tti = os.path.join(os.path.dirname(__file__), "data", "demo.tti")
+    tt = MacTeletext(tti, 625, 25, clock=lambda: 1_200_000_000)
+    mux = _mux(mode, teletext=tt)
+    n = 10 * 625
+    mux.ensure(n)
+    for k in range(n):
+        mine = mux.line_bits[k]
+        assert np.array_equal(mine, gbits[k, :len(mine)]), \
+            f"line k={k} bits differ"

@@ -228,3 +228,21 @@ def test_sis_golden():
     ee = ours[:nl].reshape(-1, w, 2)[1:, :80, 0].astype(np.float64) - rr
     qsnr = 10 * np.log10((rr ** 2).sum() / (ee ** 2).sum())
     assert qsnr >= 60.0, f"SiS quit-region SNR {qsnr:.2f} dB"
+
+
+def test_teletext_waveform_golden():
+    """Teletext line 7-22/320-335 waveforms vs the reference capture
+    (clock pinned both sides, tools/make_golden.sh teletext patch)."""
+    import os
+    path = os.path.join(GOLDEN, "pal_tt_2frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16)
+    tti = os.path.join(os.path.dirname(__file__), "data", "demo.tti")
+    enc = Encoder("pal", 16_000_000, teletext=tti,
+                  teletext_clock=lambda: 1_200_000_000)
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    r = ref[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - r
+    snr = 10 * np.log10(np.sum(r ** 2) / max(np.sum(e ** 2), 1e-12))
+    assert snr > 40.0, snr

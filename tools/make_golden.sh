@@ -36,6 +36,9 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # 1. Pin the UDT date/time (mac.c calls time(NULL) at init and every
     #    25 frames, which would make golden captures unreproducible).
     sed -i 's/_update_udt(s->mac.udt, time(NULL));/_update_udt(s->mac.udt, (time_t) 1200000000);/' mac.c
+    # Pin the teletext clock (8/30 packets + rolling header use
+    # time(NULL) every second, src/teletext.c:605).
+    sed -i 's/timestamp = time(NULL);/timestamp = (time_t) 1200000000;/' teletext.c
     # 2. Run the audio lineprocess synchronously for MAC modes: the
     #    reference's audio thread pushes packets into the MAC packet queue
     #    concurrently with the macraster thread draining it (video.c
@@ -185,3 +188,34 @@ ec_bits d2mac_ec_eros_bits_130f.bin 130 -m d2mac --eurocrypt eros test
 ec_bits dmac_ec_teletv_bits_130f.bin 130 -m dmac --eurocrypt teletv test
 # CW-keyed scrambling waveform (first 4 frames, initial CW from srand(1))
 capture d2mac_ec_dcut_4frames.s16 6480000 -s 20250000 -m d2mac --eurocrypt ctv --double-cut test
+
+REPO=${REPO:-/root/repo}
+TTI="$REPO/tests/data/demo.tti"
+if [ ! -s "$GOLDEN/pal_tt_2frames.s16" ] && [ -f "$TTI" ]; then
+    echo "golden: pal_tt_2frames.s16"
+    timeout 60 "$HACKTV" -o - -m pal --teletext "$TTI" test 2>/dev/null \
+        | head -c $((2 * 640000 * 2)) > "$GOLDEN/pal_tt_2frames.s16"
+fi
+for mode in d2mac dmac; do
+    if [ ! -s "$GOLDEN/${mode}_tt_bits_10f.bin" ] && [ -f "$TTI" ]; then
+        echo "golden: ${mode}_tt_bits_10f.bin"
+        MAC_BITS_DUMP="$GOLDEN/${mode}_tt.tmp" timeout 90 "$HACKTV" -o - \
+            -s 20250000 -m $mode --teletext "$TTI" test 2>/dev/null \
+            | head -c 48600000 > /dev/null
+        head -c $((10 * 625 * 162)) "$GOLDEN/${mode}_tt.tmp" \
+            > "$GOLDEN/${mode}_tt_bits_10f.bin"
+        rm -f "$GOLDEN/${mode}_tt.tmp"
+    fi
+done
+if [ ! -s "$GOLDEN/pal_pr1475_2frames.s16" ]; then
+    echo "golden: pal_pr1475_2frames.s16"
+    timeout 60 "$HACKTV" -o - -m pal -s 16000000 --pixelrate 14750000 \
+        test 2>/dev/null | head -c $((2 * 640000 * 2)) \
+        > "$GOLDEN/pal_pr1475_2frames.s16"
+fi
+if [ ! -s "$GOLDEN/pali_pr1475_2frames.c16" ]; then
+    echo "golden: pali_pr1475_2frames.c16"
+    timeout 60 "$HACKTV" -o - -m i -s 16000000 --pixelrate 14750000 \
+        test 2>/dev/null | head -c $((2 * 640000 * 4)) \
+        > "$GOLDEN/pali_pr1475_2frames.c16"
+fi
