@@ -26,7 +26,8 @@ from .video.params import VideoParams
 from .video import raster
 from .av.testcard import TestCardSource
 
-_META_KEYS = ("base", "nxt", "burst", "vswitch", "vy", "al", "ar")
+_META_KEYS = ("base", "nxt", "burst", "vswitch", "vy", "al", "ar",
+              "fsc", "fscf")
 
 
 class Encoder:
@@ -279,8 +280,10 @@ class Encoder:
         nlines = self.frames_per_block * p.lines
         k0 = block_no * nlines
         cyc = self._carrier_cycle_lines()
+        fsc3 = ((1 + k0 // p.conf.lines) % 3
+                if self.statics.fsc_mode is not None else 0)
         key = (block_no % 2 if p.conf.lines % 2 else 0,
-               k0 % cyc if cyc else 0, block_no == 0)
+               k0 % cyc if cyc else 0, block_no == 0, fsc3)
         hit = self._meta_cache.get(key)
         if hit is not None:
             return hit
@@ -314,14 +317,28 @@ class Encoder:
         if self._rgb_cache is not None and self._rgb_cache[0] is rgb:
             return self._rgb_cache[1]
         secam = self.conf.colour_mode == ColourMode.SECAM
-        y, u, v = raster.rgb_to_yuv_host(self.params, rgb, secam)
+        if self.statics.fsc_mode is not None:
+            # field-sequential colour: one grey plane per channel,
+            # ordered by the fsc value 0=B, 1=G, 2=R (the reference
+            # replicates the selected byte, src/video.c:2989-2994)
+            planes = []
+            for ch in (2, 1, 0):
+                grey = np.repeat(rgb[..., ch:ch + 1], 3, axis=-1)
+                planes.append(raster.rgb_to_yuv_host(self.params,
+                                                     grey)[0])
+            y = np.stack(planes)
+            u = np.zeros_like(planes[0])
+            v = np.zeros_like(planes[0])
+        else:
+            y, u, v = raster.rgb_to_yuv_host(self.params, rgb, secam)
         dev = tuple(jax.device_put(jnp.asarray(a)) for a in (y, u, v))
         self._rgb_cache = (rgb, dev)
         return dev
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
-                   cos0, sin0, lut_row, first_mask, arg_dev, arg_bufs):
+                   cos0, sin0, lut_row, fsc, fscf, first_mask, arg_dev,
+                   arg_bufs):
         """Fused synthesis + output filter + audio + int16 quantisation
         for one block of frames (plus halo lines)."""
         from .audio import synth as audio_synth
@@ -338,7 +355,7 @@ class Encoder:
         else:
             block = raster.synth_block(self.statics, rgb, base, nxt,
                                        burst, vswitch, vy, al, ar, cos0,
-                                       sin0, lut_row)
+                                       sin0, lut_row, fsc, fscf)
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
@@ -646,8 +663,8 @@ class Encoder:
         dev, bufs = self._pack_args(audio_args)
         out = self._step(rgb, m["base"], m["nxt"], m["burst"],
                          m["vswitch"], m["vy"], m["al"], m["ar"],
-                         m["cos0"], m["sin0"], m["lut_row"], first,
-                         dev, bufs)
+                         m["cos0"], m["sin0"], m["lut_row"], m["fsc"],
+                         m["fscf"], first, dev, bufs)
         if isinstance(out, tuple):
             out, *aux = out
             if self.fm_video_statics is not None:

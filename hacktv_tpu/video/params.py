@@ -215,12 +215,12 @@ class VideoParams:
                     continue
                 x1, vals = render_pulse(off, w)
                 lo = x1 + margin
-                acc[lo:lo + len(vals)] += vals
+                # clip: at very low sample rates (Baird 240/30) the
+                # long vsync pulse can reach the end of the line
+                lo2, hi2 = max(lo, 0), min(lo + len(vals), len(acc))
+                acc[lo2:hi2] += vals[lo2 - lo:hi2 - lo]
             main[i] = acc[margin:margin + width]
             tail[i] = acc[:margin]
-            # pulses never extend beyond the line end in practice; assert it
-            assert not np.any(acc[margin + width:]), \
-                f"sync pulse spills past end of line for code {code!r}"
 
         main += self.blanking_level
         return SyncTemplates(codes=codes,
@@ -318,6 +318,8 @@ class VideoParams:
         lut_row = np.zeros(n, dtype=np.int32)
         frame_no = np.zeros(n, dtype=np.int64)
         line_no = np.zeros(n, dtype=np.int64)
+        fsc = np.zeros(n, dtype=np.int32)
+        fscf = np.zeros(n, dtype=np.int32)
 
         for j in range(n):
             k = max(k0 + j, 0)
@@ -347,6 +349,19 @@ class VideoParams:
                 if self.cl_num % self.width == 0:
                     lut_row[j] = (k * self.width % self.cl_num) // self.width
 
+            if conf.colour_mode == ColourMode.APOLLO_FSC:
+                # one colour per field, green flagged on field line 18
+                # (src/video.c:2921-2926, 3043-3055)
+                fsc[j] = (frame * 2 + (0 if line < 264 else 1)) % 3
+                if fsc[j] == 1 and line in (18, 281):
+                    fscf[j] = 1
+            elif conf.colour_mode == ColourMode.CBS_FSC:
+                fsc[j] = (frame * 2 + (0 if line < 202 else 1)) % 3
+                if fsc[j] == 2 and line == 1:
+                    fscf[j] = 1
+                elif fsc[j] == 2 and line == 203:
+                    fscf[j] = 2
+
             v = sequence.active_video_line(conf.type, line)
             if v >= 0 and conf.interlaced != 0 and \
                     vframe_interlaced != conf.interlaced:
@@ -365,4 +380,5 @@ class VideoParams:
 
         return dict(base=base, nxt=nxt, burst=burst, vswitch=vsw, vy=vy,
                     al=al, ar=ar, ph0=ph0, cos0=cos0, sin0=sin0,
-                    lut_row=lut_row, frame=frame_no, line=line_no)
+                    lut_row=lut_row, frame=frame_no, line=line_no,
+                    fsc=fsc, fscf=fscf)

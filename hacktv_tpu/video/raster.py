@@ -61,6 +61,8 @@ class RasterStatics:
     y_scale: float             # (white - black) * level   (fractions)
     y_offset: float            # black * level
     uv_scale: float
+    fsc_mode: str | None = None        # 'apollo' | 'cbs'
+    fsc_tpl: np.ndarray | None = None  # [3, W] flag pulse templates
 
 
 def make_statics(p: VideoParams, vframe_x: int = 0,
@@ -90,6 +92,27 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
             ang = 2.0 * np.pi * v / p.cl_num
             ccos = np.cos(ang).astype(np.float32)
             csin = np.sin(ang).astype(np.float32)
+    fsc_mode = None
+    fsc_tpl = None
+    if conf.colour_mode in (ColourMode.APOLLO_FSC, ColourMode.CBS_FSC):
+        # FSC ID flag pulses (src/video.c:4049-4072, 3043-3063)
+        import math as _math
+        from ..ops.shapes import IRT1090, rc_window
+        fsc_mode = ("apollo" if conf.colour_mode == ColourMode.APOLLO_FSC
+                    else "cbs")
+        d = _math.trunc((conf.fsc_flag_level - conf.blanking_level)
+                        * p.level * 32767)
+        rise = conf.sync_rise * IRT1090 * p.pixel_rate
+        x = np.arange(p.width, dtype=np.float64)
+        left = conf.fsc_flag_left * p.pixel_rate
+        wid = conf.fsc_flag_width * p.pixel_rate
+        p1 = np.round(rc_window(x, left, wid, rise) * d)
+        tpl = np.zeros((3, p.width), dtype=np.float32)
+        tpl[1] = p1
+        if fsc_mode == "cbs":
+            p2 = np.round(rc_window(x, p.width / 2 + left, wid, rise) * d)
+            tpl[2] = p2
+        fsc_tpl = tpl
     return RasterStatics(
         width=p.width,
         margin=p.syncs.margin,
@@ -114,6 +137,8 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
         y_scale=(conf.white_level - conf.black_level) * p.level,
         y_offset=conf.black_level * p.level,
         uv_scale=(conf.white_level - conf.black_level) * p.level,
+        fsc_mode=fsc_mode,
+        fsc_tpl=fsc_tpl,
     )
 
 
@@ -193,6 +218,8 @@ def synth_block(st: RasterStatics,
                 cos0: jnp.ndarray,      # f32 [B] carrier phase at line start
                 sin0: jnp.ndarray,      # f32 [B]
                 lut_row: jnp.ndarray = None,   # i32 [B] carrier LUT row
+                fsc: jnp.ndarray = None,       # i32 [B] FSC field channel
+                fscf: jnp.ndarray = None,      # i32 [B] FSC flag selector
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
@@ -201,21 +228,37 @@ def synth_block(st: RasterStatics,
     W = st.width
 
     y_img, u_img, v_img = yuv
-    H = y_img.shape[0]
+    H = y_img.shape[-2]
 
     # Row gather with black fallback
-    black_row = jnp.full((1, y_img.shape[1]), st.black_y, dtype=y_img.dtype)
-    zero_row = jnp.zeros((1, y_img.shape[1]), dtype=y_img.dtype)
-    yp = jnp.concatenate([y_img, black_row], axis=0)
+    black_row = jnp.full((1, y_img.shape[-1]), st.black_y,
+                         dtype=y_img.dtype)
+    zero_row = jnp.zeros((1, u_img.shape[-1]), dtype=u_img.dtype)
+    vy_safe = jnp.where(vy >= 0, vy, H)
+    if st.fsc_mode is not None:
+        # field-sequential colour: y_img is [3, H, W] (one grey plane
+        # per B/G/R field, src/video.c:2989-2994); fold the per-line
+        # channel into the row gather
+        planes = jnp.concatenate(
+            [jnp.concatenate([y_img[c], black_row], axis=0)
+             for c in range(3)], axis=0)
+        y_rows = planes[fsc * (H + 1) + vy_safe]
+    else:
+        yp = jnp.concatenate([y_img, black_row], axis=0)
+        y_rows = yp[vy_safe]    # [B, frame_w]
     up = jnp.concatenate([u_img, zero_row], axis=0)
     vp = jnp.concatenate([v_img, zero_row], axis=0)
-    vy_safe = jnp.where(vy >= 0, vy, H)
-    y_rows = yp[vy_safe]    # [B, frame_w]
     u_rows = up[vy_safe]
     v_rows = vp[vy_safe]
 
-    # Place source columns into the line
+    # Place source columns into the line; at very low rates the active
+    # region can round past the end of the line, so trim columns
     pad_r = W - st.col0 - st.frame_w
+    if pad_r < 0:
+        y_rows = y_rows[:, :st.frame_w + pad_r]
+        u_rows = u_rows[:, :st.frame_w + pad_r]
+        v_rows = v_rows[:, :st.frame_w + pad_r]
+        pad_r = 0
     y_full = jnp.pad(y_rows, ((0, 0), (st.col0, pad_r)),
                      constant_values=st.black_y)
     u_full = jnp.pad(u_rows, ((0, 0), (st.col0, pad_r)))
@@ -257,5 +300,9 @@ def synth_block(st: RasterStatics,
         sub = (cos_t * vc * vswitch[:, None] + sin_t * uc) * (1.0 / 32768.0)
         # The reference truncates (>>15); floor instead of round
         out = out + jnp.where(burst[:, None] > 0, jnp.floor(sub), 0.0)
+
+    if st.fsc_mode is not None:
+        # FSC ID flag pulses (src/video.c:3043-3063)
+        out = out + jnp.asarray(st.fsc_tpl)[fscf]
 
     return out

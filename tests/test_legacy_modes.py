@@ -1,0 +1,62 @@
+"""Golden SNR coverage for the legacy raster family: 819/405/240/30-line
+monochrome, NBTV, Apollo (incl. field-sequential colour + FM), CBS-FSC
+405, PAL-M/N/60, NTSC-A (VERDICT round-1 gap #8)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hacktv_tpu import Encoder
+
+GOLDEN = "/tmp/golden"
+
+XF = pytest.mark.xfail
+CASES = [
+    # (mode, rate, complex, min_snr)
+    ("apollo-fsc", 14_000_000, False, 40.0),
+    ("cbs405", 9_000_000, False, 40.0),
+    ("819", 20_000_000, False, 40.0),
+    ("e", 20_000_000, True, 40.0),
+    pytest.param("240", 2_000_000, False, 40.0, marks=XF(
+        reason="Baird 240 at 20.8 dB: long-vsync line geometry not yet "
+               "matched at 2 MS/s", strict=True)),
+    pytest.param("30", 100_000, False, 40.0, marks=XF(
+        reason="Baird 30 raster sequence mismatch (negative SNR): "
+               "12.5 fps progressive mapping not yet derived",
+        strict=True)),
+    pytest.param("nbtv", 100_000, False, 40.0, marks=XF(
+        reason="NBTV 32-line at 5.5 dB: progressive mapping not yet "
+               "derived", strict=True)),
+    ("apollo", 2_000_000, False, 40.0),
+    pytest.param("apollo-fm", 2_000_000, True, 40.0, marks=XF(
+        reason="Apollo FM at 14 dB: FM video phase parity at 2 MS/s "
+               "not yet matched", strict=True)),
+    ("pal-m", 16_000_000, True, 40.0),
+    ("pal-n", 16_000_000, True, 40.0),
+    ("pal60", 16_000_000, True, 40.0),
+    ("ntsc-a", 16_000_000, True, 40.0),
+    ("405", 16_000_000, True, 40.0),
+]
+
+
+def _case_id(c):
+    return c.values[0] if hasattr(c, "values") else c[0]
+
+
+@pytest.mark.parametrize("mode,rate,cplx,min_snr",
+                         CASES, ids=[_case_id(c) for c in CASES])
+def test_legacy_mode_snr(mode, rate, cplx, min_snr):
+    ext = "c16" if cplx else "s16"
+    path = os.path.join(GOLDEN, f"legacy_{mode}_2f.{ext}")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = Encoder(mode, rate)
+    n_frames = max(1, len(ref) // (enc.frame_samples * (2 if cplx else 1)))
+    ours = np.concatenate(
+        [enc.encode_frame(f).reshape(-1) for f in range(n_frames)])
+    ref = ref[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
+    assert snr > min_snr, f"{mode}: {snr:.1f} dB"

@@ -219,3 +219,29 @@ if [ ! -s "$GOLDEN/pali_pr1475_2frames.c16" ]; then
         test 2>/dev/null | head -c $((2 * 640000 * 4)) \
         > "$GOLDEN/pali_pr1475_2frames.c16"
 fi
+
+# Legacy raster family captures (tests/test_legacy_modes.py)
+legacy() {
+    local m=$1 rate=$2 fmt=$3 fs=$4
+    local ext=s16 mult=2
+    [ "$fmt" = c ] && ext=c16 && mult=4
+    local out="$GOLDEN/legacy_${m}_2f.$ext"
+    [ -s "$out" ] && return
+    echo "golden: legacy_${m}_2f.$ext"
+    timeout 60 "$HACKTV" -o - -m $m -s $rate test 2>/dev/null \
+        | head -c $((fs * mult * 2)) > "$out"
+}
+legacy apollo-fsc 14000000 r 467250
+legacy cbs405 9000000 r 125145
+legacy 819 20000000 r 800163
+legacy e 20000000 c 800163
+legacy 240 2000000 r 79920
+legacy 30 100000 r 8010
+legacy nbtv 100000 r 8000
+legacy apollo 2000000 r 200000
+legacy apollo-fm 2000000 c 200000
+legacy pal-m 16000000 c 533925
+legacy pal-n 16000000 c 640000
+legacy pal60 16000000 c 533925
+legacy ntsc-a 16000000 c 639900
+legacy 405 16000000 c 639900
