@@ -80,8 +80,17 @@ class Encoder:
                 rs, p.width, self.out_params.width, nlines0,
                 halo_lines=1)
 
+        # Vertical-scan modes (Baird 30, NBTV) request the frame with
+        # swapped dimensions and rotate it to scan order
+        # (src/hacktv.c:1520-1526, src/video.c:4881-4893)
+        rotated = (conf.frame_orientation & 3) in (1, 3)
         if source is None:
-            source = TestCardSource(p.active_width, conf.active_lines)
+            if rotated:
+                source = TestCardSource(conf.active_lines, p.active_width)
+            else:
+                source = TestCardSource(p.active_width, conf.active_lines)
+        if conf.frame_orientation:
+            source = _OrientedSource(source, conf.frame_orientation)
         self.source = source
 
         # Frame geometry: the test card is generated at the active
@@ -722,6 +731,46 @@ class Encoder:
         assert self.frames_per_block == 1
         for f in range(n_frames):
             yield self.encode_frame(f)
+
+
+class _OrientedSource:
+    """Apply the mode's frame orientation (rotate 90/180/270 + flips)
+    at frame read, like the reference (src/video.c:4881-4885)."""
+
+    def __init__(self, inner, orientation: int):
+        self.inner = inner
+        self.orientation = orientation
+        w, h = inner.width, inner.height
+        if (orientation & 3) in (1, 3):
+            w, h = h, w
+        self.width, self.height = w, h
+        self.interlaced = getattr(inner, "interlaced", 0)
+        self._cache: tuple | None = None
+
+    def read_video(self, frame_no: int) -> np.ndarray:
+        rgb = self.inner.read_video(frame_no)
+        if self._cache is not None and self._cache[0] is rgb:
+            return self._cache[1]
+        from .av import frame_ops
+        out = frame_ops.rotate(rgb, self.orientation & 3)
+        if self.orientation & 4:
+            out = frame_ops.hflip(out)
+        if self.orientation & 8:
+            out = frame_ops.vflip(out)
+        out = np.ascontiguousarray(out)
+        self._cache = (rgb, out)
+        return out
+
+    def read_audio(self, start: int, count: int) -> np.ndarray:
+        return self.inner.read_audio(start, count)
+
+    def eof(self, frame_no: int) -> bool:
+        f = getattr(self.inner, "eof", None)
+        return bool(f(frame_no)) if f is not None else False
+
+    def close(self) -> None:
+        if hasattr(self.inner, "close"):
+            self.inner.close()
 
 
 class _RawBBReader:

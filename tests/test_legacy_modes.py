@@ -21,13 +21,8 @@ CASES = [
     pytest.param("240", 2_000_000, False, 40.0, marks=XF(
         reason="Baird 240 at 20.8 dB: long-vsync line geometry not yet "
                "matched at 2 MS/s", strict=True)),
-    pytest.param("30", 100_000, False, 40.0, marks=XF(
-        reason="Baird 30 raster sequence mismatch (negative SNR): "
-               "12.5 fps progressive mapping not yet derived",
-        strict=True)),
-    pytest.param("nbtv", 100_000, False, 40.0, marks=XF(
-        reason="NBTV 32-line at 5.5 dB: progressive mapping not yet "
-               "derived", strict=True)),
+    ("30", 100_000, False, 40.0),
+    ("nbtv", 100_000, False, 40.0),
     ("apollo", 2_000_000, False, 40.0),
     pytest.param("apollo-fm", 2_000_000, True, 40.0, marks=XF(
         reason="Apollo FM at 14 dB: FM video phase parity at 2 MS/s "
