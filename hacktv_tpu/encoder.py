@@ -26,8 +26,8 @@ from .video.params import VideoParams
 from .video import raster
 from .av.testcard import TestCardSource
 
-_META_KEYS = ("base", "nxt", "burst", "vswitch", "vy", "al", "ar",
-              "fsc", "fscf")
+_META_KEYS = ("base", "nxt", "prv", "burst", "vswitch", "vy", "al",
+              "ar", "fsc", "fscf")
 
 
 class Encoder:
@@ -346,8 +346,8 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
-                   cos0, sin0, lut_row, fsc, fscf, first_mask, arg_dev,
-                   arg_bufs):
+                   cos0, sin0, lut_row, fsc, fscf, prv, first_mask,
+                   arg_dev, arg_bufs):
         """Fused synthesis + output filter + audio + int16 quantisation
         for one block of frames (plus halo lines)."""
         from .audio import synth as audio_synth
@@ -364,7 +364,7 @@ class Encoder:
         else:
             block = raster.synth_block(self.statics, rgb, base, nxt,
                                        burst, vswitch, vy, al, ar, cos0,
-                                       sin0, lut_row, fsc, fscf)
+                                       sin0, lut_row, fsc, fscf, prv)
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
@@ -673,7 +673,7 @@ class Encoder:
         out = self._step(rgb, m["base"], m["nxt"], m["burst"],
                          m["vswitch"], m["vy"], m["al"], m["ar"],
                          m["cos0"], m["sin0"], m["lut_row"], m["fsc"],
-                         m["fscf"], first, dev, bufs)
+                         m["fscf"], m["prv"], first, dev, bufs)
         if isinstance(out, tuple):
             out, *aux = out
             if self.fm_video_statics is not None:

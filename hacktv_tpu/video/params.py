@@ -40,6 +40,9 @@ class SyncTemplates:
     main: np.ndarray       # [n_codes, width] float32
     left_tail: np.ndarray  # [n_codes, margin] float32
     margin: int
+    # a line's own pulses spilling PAST its end into the next line
+    # (Baird 240: the mid-line 166.7us vsync spills half a line)
+    right_head: np.ndarray = None   # [n_codes, width] float32
 
 
 @dataclass
@@ -195,9 +198,10 @@ class VideoParams:
         width = self.width
         main = np.zeros((len(codes), width), dtype=np.float64)
         tail = np.zeros((len(codes), margin), dtype=np.float64)
+        head = np.zeros((len(codes), width), dtype=np.float64)
 
         for i, code in enumerate(codes):
-            acc = np.zeros(width + 2 * margin, dtype=np.float64)
+            acc = np.zeros(2 * width + 2 * margin, dtype=np.float64)
             sel = []
             if code[0] == 'h':
                 sel.append('h')
@@ -221,12 +225,14 @@ class VideoParams:
                 acc[lo2:hi2] += vals[lo2 - lo:hi2 - lo]
             main[i] = acc[margin:margin + width]
             tail[i] = acc[:margin]
+            head[i] = acc[margin + width:margin + 2 * width]
 
         main += self.blanking_level
         return SyncTemplates(codes=codes,
                              main=main.astype(np.float32),
                              left_tail=tail.astype(np.float32),
-                             margin=margin)
+                             margin=margin,
+                             right_head=head.astype(np.float32))
 
     # ------------------------------------------------------------------
     def _build_burst(self, level: float):
@@ -307,6 +313,7 @@ class VideoParams:
 
         base = np.zeros(n, dtype=np.int32)
         nxt = np.zeros(n, dtype=np.int32)
+        prv = np.zeros(n, dtype=np.int32)
         burst = np.zeros(n, dtype=np.float32)
         vsw = np.ones(n, dtype=np.float32)
         vy = np.full(n, -1, dtype=np.int32)
@@ -332,6 +339,9 @@ class VideoParams:
             ncode = sequence.line_sequence(
                 conf.type, 1 if line >= conf.lines else line + 1)
             nxt[j] = code_idx[ncode]
+            pcode = sequence.line_sequence(
+                conf.type, conf.lines if line == 1 else line - 1)
+            prv[j] = code_idx[pcode]
 
             if conf.colour_mode in (ColourMode.PAL, ColourMode.NTSC):
                 pal = (code[1] == '0'
@@ -378,7 +388,8 @@ class VideoParams:
                          if code[3] == 'a'
                          else (self.half_width if code[2] == 'a' else -1))
 
-        return dict(base=base, nxt=nxt, burst=burst, vswitch=vsw, vy=vy,
+        return dict(base=base, nxt=nxt, prv=prv, burst=burst,
+                    vswitch=vsw, vy=vy,
                     al=al, ar=ar, ph0=ph0, cos0=cos0, sin0=sin0,
                     lut_row=lut_row, frame=frame_no, line=line_no,
                     fsc=fsc, fscf=fscf)

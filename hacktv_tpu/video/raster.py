@@ -37,6 +37,7 @@ class RasterStatics:
     black_y: float
     sync_main: jnp.ndarray     # [n_codes, width]
     sync_tail: jnp.ndarray     # [n_codes, margin]
+    sync_head: np.ndarray      # [n_codes, width]: spill past line end
     chroma_taps: jnp.ndarray | None
     burst_left: int
     burst_u: jnp.ndarray | None
@@ -122,6 +123,7 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
         black_y=float(_black_y_level(p)),
         sync_main=np.asarray(p.syncs.main),
         sync_tail=np.asarray(p.syncs.left_tail),
+        sync_head=np.asarray(p.syncs.right_head),
         chroma_taps=(np.asarray(p.chroma_taps)
                      if p.chroma_taps is not None else None),
         burst_left=p.burst_left,
@@ -220,6 +222,7 @@ def synth_block(st: RasterStatics,
                 lut_row: jnp.ndarray = None,   # i32 [B] carrier LUT row
                 fsc: jnp.ndarray = None,       # i32 [B] FSC field channel
                 fscf: jnp.ndarray = None,      # i32 [B] FSC flag selector
+                prv: jnp.ndarray = None,       # i32 [B] previous line code
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
@@ -271,6 +274,9 @@ def synth_block(st: RasterStatics,
     # Base line: blanking + syncs, plus next line's leading-pulse tail
     out = jnp.asarray(st.sync_main)[base]
     out = out.at[:, W - st.margin:].add(jnp.asarray(st.sync_tail)[nxt])
+    if prv is not None and np.any(st.sync_head):
+        # previous line's pulses spilling past its end (Baird 240)
+        out = out + jnp.asarray(st.sync_head)[prv]
 
     out = jnp.where(active, y_full, out)
 

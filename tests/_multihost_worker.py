@@ -37,7 +37,7 @@ m = enc._block_meta(1)
 dev, bufs = enc._pack_args(enc._audio_args(1))
 args = (rgb, m["base"], m["nxt"], m["burst"], m["vswitch"], m["vy"],
         m["al"], m["ar"], m["cos0"], m["sin0"], m["lut_row"],
-        m["fsc"], m["fscf"], jnp.float32(1.0), dev, bufs)
+        m["fsc"], m["fscf"], m["prv"], jnp.float32(1.0), dev, bufs)
 
 # local single-device reference (deterministic, identical in both procs)
 ref = enc._step(*args)

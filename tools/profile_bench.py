@@ -38,7 +38,8 @@ first = jnp.float32(1.0)
 def dev_step():
     return enc._step(rgb, m["base"], m["nxt"], m["burst"], m["vswitch"],
                      m["vy"], m["al"], m["ar"], m["cos0"], m["sin0"],
-                     m["lut_row"], m["fsc"], m["fscf"], first, dev, bufs)
+                     m["lut_row"], m["fsc"], m["fscf"], m["prv"],
+                     first, dev, bufs)
 def _first(o):
     return o[0] if isinstance(o, tuple) else o
 _first(dev_step()).block_until_ready()
