@@ -57,3 +57,33 @@ def test_legacy_mode_snr(mode, rate, cplx, min_snr):
     e = ours.astype(np.float64) - ref
     snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
     assert snr > min_snr, f"{mode}: {snr:.1f} dB"
+
+
+MAC_AM_CASES = [
+    pytest.param("secam-fm", 20_250_000, 40.0, marks=pytest.mark.xfail(
+        reason="secam-fm at -2.7 dB overall but instantaneous-frequency "
+               "correlation 0.99994: a ~0.06-LSB mean bias in the SECAM "
+               "chroma baseband (reference int-truncation average not "
+               "yet matched) integrates to ~28 Hz of carrier offset "
+               "under FM", strict=True)),
+    ("d2mac-am", 20_250_000, 40.0),
+    ("dmac-am", 20_250_000, 40.0),
+]
+
+
+@pytest.mark.parametrize("mode,rate,min_snr", MAC_AM_CASES,
+                         ids=[_case_id(c) for c in MAC_AM_CASES])
+def test_fm_am_mode_snr(mode, rate, min_snr):
+    from hacktv_tpu import create_encoder
+    path = os.path.join(GOLDEN, f"legacy_{mode}_2f.c16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = create_encoder(mode, rate)
+    n_frames = max(1, len(ref) // (enc.frame_samples * 2))
+    ours = np.concatenate(
+        [enc.encode_block(f).reshape(-1) for f in range(n_frames)])
+    ref = ref[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
+    assert snr > min_snr, f"{mode}: {snr:.1f} dB"

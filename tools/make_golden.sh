@@ -245,3 +245,6 @@ legacy pal-n 16000000 c 640000
 legacy pal60 16000000 c 533925
 legacy ntsc-a 16000000 c 639900
 legacy 405 16000000 c 639900
+legacy secam-fm 20250000 c 810000
+legacy d2mac-am 20250000 c 810000
+legacy dmac-am 20250000 c 810000
