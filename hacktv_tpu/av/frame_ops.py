@@ -197,5 +197,9 @@ class FitSource:
     def read_audio(self, start: int, count: int) -> np.ndarray:
         return self.inner.read_audio(start, count)
 
+    def read_cc608(self, frame_no: int):
+        f = getattr(self.inner, "read_cc608", None)
+        return f(frame_no) if f is not None else (0, 0)
+
     def eof(self, frame_no: int) -> bool:
         return self.inner.eof(frame_no)

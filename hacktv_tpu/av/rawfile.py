@@ -37,6 +37,14 @@ class RawFileSource:
         if os.path.exists(pcm):
             raw = np.fromfile(pcm, dtype=np.int16)
             self._audio = raw[: len(raw) // 2 * 2].reshape(-1, 2)
+        # optional EIA-608 side channel: <path>.cc608 holds one byte
+        # pair per frame (the reference gets these from ffmpeg A53 side
+        # data, src/av_ffmpeg.c:566-581)
+        self._cc = np.zeros((0, 2), dtype=np.uint8)
+        cc = path + ".cc608"
+        if os.path.exists(cc):
+            raw = np.fromfile(cc, dtype=np.uint8)
+            self._cc = raw[: len(raw) // 2 * 2].reshape(-1, 2)
 
     def read_video(self, frame_no: int) -> np.ndarray:
         fn = min(frame_no, self.n_frames - 1)
@@ -63,3 +71,9 @@ class RawFileSource:
 
     def close(self) -> None:
         self._f.close()
+
+    def read_cc608(self, frame_no: int):
+        """EIA-608 byte pair for frame_no (0, 0) when none)."""
+        if frame_no < len(self._cc):
+            return int(self._cc[frame_no, 0]), int(self._cc[frame_no, 1])
+        return 0, 0

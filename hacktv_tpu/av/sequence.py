@@ -94,6 +94,10 @@ class SequenceSource:
         local = max(start - self._audio_base, 0)
         return self._cur.read_audio(local, count)
 
+    def read_cc608(self, frame_no: int):
+        f = getattr(self._cur, "read_cc608", None)
+        return f(frame_no - self._frame_base) if f is not None else (0, 0)
+
     def eof(self, frame_no: int) -> bool:
         return self._ended
 

@@ -134,7 +134,7 @@ class Encoder:
             self.services.append(_VITC(p))
         if cc608:
             from .services.cc608 import CC608 as _CC
-            self.services.append(_CC(p))
+            self.services.append(_CC(p, source=self.source))
         if sis:
             from .audio.chain import AudioChain as _AC
             from .services.sis import SiS as _SIS
@@ -763,6 +763,10 @@ class _OrientedSource:
 
     def read_audio(self, start: int, count: int) -> np.ndarray:
         return self.inner.read_audio(start, count)
+
+    def read_cc608(self, frame_no: int):
+        f = getattr(self.inner, "read_cc608", None)
+        return f(frame_no) if f is not None else (0, 0)
 
     def eof(self, frame_no: int) -> bool:
         f = getattr(self.inner, "eof", None)

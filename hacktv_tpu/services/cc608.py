@@ -27,7 +27,7 @@ def encode_chars(c1: int, c2: int) -> bytes:
 
 
 class CC608:
-    def __init__(self, params):
+    def __init__(self, params, source=None):
         p = params
         from ..config.standards import RasterType
         if p.conf.type == RasterType.RASTER_525:
@@ -55,6 +55,11 @@ class CC608:
         self.lines_total = p.conf.lines
         self.width = p.width
         self.fifo: list[tuple[int, int]] = []
+        # per-frame caption side data from the AV source (the reference
+        # pushes the frame's A53 byte pair into the fifo at the frame
+        # hand-off, src/video.c:4899-4903, src/av_ffmpeg.c:566-581)
+        self.source = source
+        self._cc_frame = 0
 
     def write_pair(self, c1: int, c2: int):
         if (c1 | c2) & 0x7F:
@@ -63,11 +68,17 @@ class CC608:
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         bits = np.zeros((nlines, 32), dtype=np.float32)
         active = np.zeros(nlines, dtype=np.float32)
+        pull = getattr(self.source, "read_cc608", None)
         for b in range(nlines):
             k = k0 + b
             if k < 0:
                 continue
             line = k % self.lines_total + 1
+            frame = 1 + k // self.lines_total
+            if pull is not None and frame > self._cc_frame:
+                for f in range(self._cc_frame + 1, frame + 1):
+                    self.write_pair(*pull(f - 1))
+                self._cc_frame = frame
             if line != self.line:
                 continue
             pair = self.fifo.pop(0) if self.fifo else (0, 0)

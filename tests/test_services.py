@@ -246,3 +246,25 @@ def test_teletext_waveform_golden():
     e = ours.astype(np.float64) - r
     snr = 10 * np.log10(np.sum(r ** 2) / max(np.sum(e ** 2), 1e-12))
     assert snr > 40.0, snr
+
+
+def test_cc608_source_feed(tmp_path):
+    """A53-style per-frame caption pairs from the AV source reach the
+    CC608 FIFO and render on line 21 (src/av_ffmpeg.c:566-581,
+    src/video.c:4899-4903)."""
+    from hacktv_tpu.av.rawfile import RawFileSource
+    w, h = 100, 50
+    frame = np.zeros((h, w, 4), dtype=np.uint8)
+    raw = tmp_path / "v.raw"
+    raw.write_bytes(frame.tobytes() * 3)
+    np.array([[0x94, 0x2C], [0x41, 0x42], [0, 0]],
+             dtype=np.uint8).tofile(str(raw) + ".cc608")
+    src = RawFileSource(str(raw), w, h)
+    assert src.read_cc608(0) == (0x94, 0x2C)
+
+    enc = Encoder("ntsc", 13_500_000, source=src, cc608=True)
+    y1 = enc.encode_frame(0).reshape(-1, enc.params.width)
+    enc2 = Encoder("ntsc", 13_500_000, source=RawFileSource(str(raw), w, h))
+    y2 = enc2.encode_frame(0).reshape(-1, enc2.params.width)
+    line = 21
+    assert not np.array_equal(y1[line - 1], y2[line - 1])
