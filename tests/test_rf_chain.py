@@ -116,3 +116,31 @@ def test_fm_absolute_phase_tracks():
     e = ours[:n].astype(np.float64) - r
     snr = 10 * np.log10((r ** 2).sum() / (e ** 2).sum())
     assert snr >= 25.0, f"FM raw SNR {snr:.2f} dB"
+
+
+def test_two_channel_mux_golden(tmp_path):
+    """Two-transmitter mux (BASELINE config #5 / README:90): channel 1
+    at -2.25 MHz captured to a file, channel 2 at +2.25 MHz adds it via
+    --passthru (src/video.c:3517-3541)."""
+    ref2 = _golden_iq("mux_2ch_2f.c16")
+    ch1_golden = os.path.join(GOLDEN, "mux_ch1_2f.c16")
+
+    # our channel 1 must match the reference's channel 1 capture
+    enc1 = Encoder("i", 20_000_000, offset=-2_250_000)
+    ours1 = np.concatenate([enc1.encode_frame(f).reshape(-1)
+                            for f in range(2)])
+    ref1 = np.fromfile(ch1_golden, dtype=np.int16).astype(np.float64)
+    e = ours1.astype(np.float64) - ref1[:len(ours1)]
+    snr1 = 10 * np.log10((ref1[:len(ours1)] ** 2).sum()
+                         / max((e ** 2).sum(), 1e-12))
+    assert snr1 > 40.0, snr1
+
+    # channel 2 sums the reference's channel-1 stream via passthru
+    enc2 = Encoder("i", 20_000_000, offset=2_250_000,
+                   passthru=ch1_golden)
+    ours2 = np.concatenate([enc2.encode_frame(f).reshape(-1)
+                            for f in range(2)])
+    r2 = ref2[:len(ours2)].astype(np.float64)
+    e2 = ours2.astype(np.float64) - r2
+    snr2 = 10 * np.log10((r2 ** 2).sum() / max((e2 ** 2).sum(), 1e-12))
+    assert snr2 > 40.0, snr2
