@@ -27,7 +27,10 @@ def test_wss_golden():
 def test_teletext_decode_roundtrip():
     if not os.path.exists(DEMO_TTI):
         pytest.skip("reference demo.tti not available")
-    enc = Encoder("pal", 16_000_000, teletext=DEMO_TTI)
+    # pin the clock: a real-time second rollover mid-frame inserts an
+    # extra 8/30 packet and shifts the schedule into lines 9/22
+    enc = Encoder("pal", 16_000_000, teletext=DEMO_TTI,
+                  teletext_clock=lambda: 1_200_000_000)
     Y = enc.encode_frame(0).reshape(-1, enc.params.width)
     p = enc.params
     off = p.pixel_rate * (12e-6 - (64e-6 / 444 * 12))
