@@ -80,14 +80,18 @@ class Limiter:
         # Envelope: att[t] = max_d att_imp[d] * shape[t - d + half] >> 15,
         # a max-dilation — w shifted whole-array maxima (np.maximum.at
         # over the per-impulse index lists is quadratic when a loud
-        # source keeps every sample over level)
-        att2 = np.zeros(n + w, dtype=np.int64)
-        for j in range(w):
-            contrib = (att_imp * self.shape[j]) >> 15
-            np.maximum(att2[j:j + n], contrib, out=att2[j:j + n])
-        att = att2[half:half + n]
-
-        out = f + ((var * (INT16_MAX - att)) >> 15)
+        # source keeps every sample over level).  Skipped entirely when
+        # nothing is over level (the common case for in-range sources):
+        # att == 0 everywhere and the dilation is w wasted passes.
+        if not over.any():
+            out = f + ((var * np.int64(INT16_MAX)) >> 15)
+        else:
+            att2 = np.zeros(n + w, dtype=np.int64)
+            for j in range(w):
+                contrib = (att_imp * self.shape[j]) >> 15
+                np.maximum(att2[j:j + n], contrib, out=att2[j:j + n])
+            att = att2[half:half + n]
+            out = f + ((var * (INT16_MAX - att)) >> 15)
         out = np.clip(out, -lvl, lvl)
 
         # 20-sample (width-1) output delay with zero fill, matching the
