@@ -216,6 +216,11 @@ class AudioChain:
         # 2pi) — the cumulative FM deviation phase over all held samples
         # fully before that audio index's hold period
         self._dev_anchor = {}
+        # per-carrier: up to two most-recent _held_values windows
+        # (lo, hi, vals) — the int-anchor's history lookup [ai, i0) spans
+        # the previous block's window and would otherwise rerun the
+        # whole PCM+limiter pipeline for a handful of samples
+        self._held_cache: dict = {}
         # integer-exact anchors for the device-assembled path: X mod M
         self._int_anchor = {}
 
@@ -231,8 +236,13 @@ class AudioChain:
                                             start + count - lo)
             else:
                 raw = self.source.read_audio(lo, start + count - lo)
-            v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
-            out[lo - start:] = np.clip(v, -32768, 32767)
+            if self.volume_int == 256:
+                # (v*256 + 128) >> 8 == v for any int16 v: skip the
+                # scale/clip pass at the default volume
+                out[lo - start:] = raw
+            else:
+                v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
+                out[lo - start:] = np.clip(v, -32768, 32767)
         return out
 
     # -- timing helpers -------------------------------------------------
@@ -536,6 +546,10 @@ class AudioChain:
                      ) -> np.ndarray:
         """Post-limiter held FM sample for audio indices [i_lo, i_hi)
         (index -1 and below = 0)."""
+        cached = self._held_cache.get(id(carrier), ())
+        for lo, hi, vals in cached:
+            if lo <= i_lo and i_hi <= hi:
+                return vals[i_lo - lo: i_hi - lo]
         h0 = i_lo - _LIM_HIST
         pcm = self._pcm(h0, i_hi - h0)
 
@@ -565,6 +579,7 @@ class AudioChain:
         # indices < 0: initial fm.sample == 0 before the first fetch
         if i_lo < 0:
             vals[: -i_lo] = 0
+        self._held_cache[id(carrier)] = ((i_lo, i_hi, vals),) + cached[:1]
         return vals
 
     def _dev_phase_bases(self, carrier: FMCarrier, i_lo: int, i_hi: int,

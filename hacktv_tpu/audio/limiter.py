@@ -27,10 +27,13 @@ def _fir_int32(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
     """Causal int32 FIR with Q15 taps: out[n] = (sum taps[k]*x[n-k]) >> 15
     (src/fir.c:623-694).  x int array, zero history."""
     q = np.round(taps * 32767.0)
-    # exact in f64: |acc| <= sum|q| * max|x| << 2^53
+    # exact in f64: |acc| <= sum|q| * max|x| << 2^53, and acc/2^15 is an
+    # exact f64 (power-of-two divide), so floor() == the >>15 arithmetic
+    # shift of the integer accumulator.  |out| <= sum|q|*32767 >> 15 <
+    # 2^22 for the unity-gain J.17/flat tap sets, so the reference's
+    # int32 clamp can never engage.
     acc = np.convolve(x.astype(np.float64), q)[:len(x)]
-    out = np.round(acc).astype(np.int64) >> 15
-    return np.clip(out, -2**31, 2**31 - 1)
+    return np.floor(acc * (1.0 / 32768.0)).astype(np.int64)
 
 
 class Limiter:
@@ -68,14 +71,6 @@ class Limiter:
         # Attack impulse per over-level sample (detection at window centre)
         a = np.abs(v)
         over = a > lvl
-        absvar = np.abs(var)
-        # guarded: where over, |var| > 0 (v > lvl while f clipped to lvl)
-        denom = np.where(absvar == 0, 1, absvar)
-        att_imp = np.where(
-            over,
-            INT16_MAX - (lvl + absvar - a) * INT16_MAX // denom,
-            0,
-        )
 
         # Envelope: att[t] = max_d att_imp[d] * shape[t - d + half] >> 15,
         # a max-dilation — w shifted whole-array maxima (np.maximum.at
@@ -86,6 +81,15 @@ class Limiter:
         if not over.any():
             out = f + ((var * np.int64(INT16_MAX)) >> 15)
         else:
+            absvar = np.abs(var)
+            # guarded: where over, |var| > 0 (v > lvl while f clipped
+            # to lvl)
+            denom = np.where(absvar == 0, 1, absvar)
+            att_imp = np.where(
+                over,
+                INT16_MAX - (lvl + absvar - a) * INT16_MAX // denom,
+                0,
+            )
             att2 = np.zeros(n + w, dtype=np.int64)
             for j in range(w):
                 contrib = (att_imp * self.shape[j]) >> 15
