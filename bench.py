@@ -8,6 +8,7 @@ vs_baseline is the achieved realtime factor divided by the BASELINE.md
 target of 100x realtime per chip.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -15,15 +16,37 @@ import time
 import jax
 import numpy as np
 
+# secondary configs: python bench.py --mode dmac / secam / ntsc-vsb
+_CONFIGS = {
+    "i": dict(mode="i", rate=16_000_000, label="PAL-I (i) full-chain"),
+    "secam": dict(mode="l", rate=16_000_000, label="SECAM-L (l) full-chain"),
+    "dmac": dict(mode="dmac-fm", rate=20_250_000,
+                 label="D-MAC FM (dmac-fm) full-chain"),
+    "ntsc-vsb": dict(mode="m", rate=13_500_000, vfilter=True,
+                     label="NTSC-M+VSB (m) full-chain"),
+}
+
 
 def main():
-    mode = "i"             # PAL-I: raster + FM audio + NICAM-728, complex IQ
-    sample_rate = 16_000_000
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="i", choices=sorted(_CONFIGS))
+    ns = ap.parse_args()
+    cfg = _CONFIGS[ns.mode]
+    mode = cfg["mode"]
+    sample_rate = cfg["rate"]
     from hacktv_tpu import Encoder
 
-    fpb = 32
-    enc = Encoder(mode, sample_rate, frames_per_block=fpb)
-    frame_samples = enc.params.frame_samples
+    fpb = 64
+    kw = {"vfilter": True} if cfg.get("vfilter") else {}
+    if mode.startswith("dmac") or mode.startswith("d2mac"):
+        from hacktv_tpu.video.mac import MacEncoder
+        from hacktv_tpu.config.standards import get_mode
+        enc = MacEncoder(get_mode(mode), sample_rate, 0,
+                         frames_per_block=fpb)
+    else:
+        enc = Encoder(mode, sample_rate, frames_per_block=fpb, **kw)
+    frame_samples = (enc.params.frame_samples if hasattr(enc, "params")
+                     else enc.frame_samples)
 
     # Warm-up: compile + populate meta cache, then until timing stabilises
     for b in range(5):
@@ -33,7 +56,7 @@ def main():
     # captures through the device tunnel can be cold/contended)
     n_blocks = 8
     trials = []
-    b = 0
+    b = 5              # continue past warm-up: blocks are a stream
     for _ in range(3):
         t0 = time.perf_counter()
         outs = []
@@ -47,7 +70,7 @@ def main():
     sps = n_blocks * fpb * frame_samples / dt
     x_rt = sps / sample_rate
     result = {
-        "metric": f"PAL-I ({mode}) full-chain IQ samples/s/chip",
+        "metric": f"{cfg['label']} IQ samples/s/chip",
         "value": round(sps),
         "unit": "samples/s",
         "vs_baseline": round(x_rt / 100.0, 3),
