@@ -484,12 +484,8 @@ class Encoder:
             from .rf import ops as rf_ops
             out_i, out_q = rf_ops.offset_rotate(
                 self.offset_statics, out_i, out_q,
-                audio_args["off_c0"], audio_args["off_s0"])
-
-        if self.passthru is not None:
-            pt = audio_args["passthru"]
-            out_i = out_i + pt[..., 0]
-            out_q = out_q + pt[..., 1]
+                audio_args["off_c0"], audio_args["off_s0"],
+                audio_args["off_nz"])
 
         # int16 IQ pairs packed as little-endian int32 (I low, Q high):
         # a flat [n, 2] int16 interleave forces XLA into T(1,128)-tiled
@@ -498,6 +494,16 @@ class Encoder:
         # recover interleaved int16 with .view(np.int16).
         ii = jnp.clip(jnp.round(out_i), -32768, 32767).astype(jnp.int32)
         qq = jnp.clip(jnp.round(out_q), -32768, 32767).astype(jnp.int32)
+
+        if self.passthru is not None:
+            # the reference adds the passthru stream with plain int16
+            # `+=` — overflow WRAPS, it does not saturate
+            # (src/video.c:3517-3541); two full-scale channels exceed
+            # int16 regularly, so wrap semantics are part of the output.
+            pt = audio_args["passthru"].astype(jnp.int32)
+            wrap = lambda v: ((v + 0x8000) & 0xFFFF) - 0x8000
+            ii = wrap(ii + pt[..., 0])
+            qq = wrap(qq + pt[..., 1])
         iq = (ii & 0xFFFF) | (qq << 16)
         aux = tuple(a for a in (fm_carry, secam_tail, nicam_dsym)
                     if a is not None)
@@ -653,11 +659,12 @@ class Encoder:
             args["secam_tail"] = self._secam_tail
         if self.offset_statics is not None:
             from .rf import ops as rf_ops
-            c0, s0 = rf_ops.offset_rotation(
+            c0, s0, nz = rf_ops.offset_rotation(
                 self.conf.offset, self.params.sample_rate, k0,
                 self.out_params.width, nlines)
             args["off_c0"] = c0
             args["off_s0"] = s0
+            args["off_nz"] = nz
         return args
 
     def encode_block_device(self, block_no: int):

@@ -129,12 +129,46 @@ class OffsetStatics:
     sin_x: jnp.ndarray   # before the first output sample)
 
 
+_INT32_MAX = 2**31 - 1
+_INTRO = 32767           # samples before the first phase renormalisation
+_offset_const_cache: dict = {}
+
+
+def _offset_consts(offset_hz: int, sample_rate: int):
+    """The reference's offset rotator is an int32 phase recurrence
+    (src/video.c:3482-3515) whose accumulator starts at magnitude
+    INT16_MAX — not INT32_MAX (src/video.c:4596-4598) — so `phase >> 16`
+    is in {-1, 0} and the rotated output is ~zero for the first 32767
+    samples, until the amplitude-correction branch renormalises the
+    phasor to full scale.  From then on the recurrence is a clean
+    rotation by the *quantised* delta angle.  Returns
+    (datan, ra0): the per-sample angle step atan2(lround(sin d * 2^31-1),
+    lround(cos d * 2^31-1)) and the exact phase angle at the first
+    renormalisation, obtained by emulating the 32767 truncated cint32
+    multiplies with exact integers."""
+    key = (int(offset_hz), int(sample_rate))
+    hit = _offset_const_cache.get(key)
+    if hit is not None:
+        return hit
+    d = 2.0 * math.pi / sample_rate * offset_hz
+    di = int(math.floor(math.cos(d) * _INT32_MAX + 0.5))
+    dq_ = math.sin(d) * _INT32_MAX
+    dq = int(math.floor(dq_ + 0.5)) if dq_ >= 0 else -int(
+        math.floor(-dq_ + 0.5))
+    datan = math.atan2(dq, di)
+    pi_, pq = 32767, 0
+    for _ in range(_INTRO):
+        pi_, pq = ((pi_ * di - pq * dq) >> 31), ((pi_ * dq + pq * di) >> 31)
+    ra0 = math.atan2(pq, pi_)
+    _offset_const_cache[key] = (datan, ra0)
+    return datan, ra0
+
+
 def make_offset_statics(offset_hz: int, sample_rate: int,
                         width: int) -> OffsetStatics:
-    g = math.gcd(abs(int(offset_hz)), sample_rate)
-    num, den = int(offset_hz) // g, sample_rate // g
-    x = np.arange(1, width + 1, dtype=np.int64)
-    ang = 2.0 * np.pi * ((x * num) % den) / den
+    datan, _ = _offset_consts(offset_hz, sample_rate)
+    x = np.arange(1, width + 1, dtype=np.float64)
+    ang = np.mod(x * datan, 2.0 * np.pi)
     return OffsetStatics(
         cos_x=np.cos(ang).astype(np.float32),
         sin_x=np.sin(ang).astype(np.float32))
@@ -142,24 +176,35 @@ def make_offset_statics(offset_hz: int, sample_rate: int,
 
 def offset_rotation(offset_hz: int, sample_rate: int, k0: int, width: int,
                     nlines: int):
-    """Per-line rotation angles (host, exact)."""
-    g = math.gcd(abs(int(offset_hz)), sample_rate)
-    num, den = int(offset_hz) // g, sample_rate // g
+    """Per-line rotation state (host, float64-exact): base-angle cos/sin
+    and the per-line count of leading output samples the reference zeroes
+    (absolute sample index < 32767, before its first phase renorm)."""
+    datan, ra0 = _offset_consts(offset_hz, sample_rate)
     n_line = np.maximum(np.arange(k0, k0 + nlines, dtype=np.int64), 0) * width
-    rot = (n_line % den) * num % den
-    ang = 2.0 * np.pi * rot / den
-    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    # sample n (>= 32767) is rotated by ra0 + (n - 32766) * datan; the
+    # column table contributes (col+1) * datan, so the line base is
+    # ra0 + (n_line - 32767) * datan.
+    ang = np.mod(ra0 + (n_line.astype(np.float64) - _INTRO) * datan,
+                 2.0 * np.pi)
+    nz = np.clip(_INTRO - n_line, 0, width).astype(np.int32)
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32),
+            nz)
 
 
-def offset_rotate(st: OffsetStatics, out_i, out_q, c0, s0):
+def offset_rotate(st: OffsetStatics, out_i, out_q, c0, s0, nz):
     """Complex rotate by the offset carrier, with the reference's
-    quantisation: b = phase >> 16 (~cos*32768), (a*b) >> 15."""
+    quantisation: b = phase >> 16 (~cos*32768), (a*b) >> 15.  Samples
+    before the reference's first phase renormalisation (per-line leading
+    count `nz`) are zeroed — the reference's tiny-magnitude phasor there
+    yields only {-2..0} LSB leakage (src/video.c:4596-4598)."""
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
-    
+
     bi = jnp.clip(jnp.floor(cc * 32768.0), -32768, 32767)
     bq = jnp.clip(jnp.floor(cs * 32768.0), -32768, 32767)
     inv = np.float32(1.0 / 32768.0)
     ri = jnp.floor((out_i * bi - out_q * bq) * inv)
     rq = jnp.floor((out_i * bq + out_q * bi) * inv)
-    return ri, rq
+    keep = (jnp.arange(ri.shape[-1], dtype=jnp.int32)[None, :]
+            >= nz[:, None])
+    return jnp.where(keep, ri, 0.0), jnp.where(keep, rq, 0.0)

@@ -140,7 +140,7 @@ def test_two_channel_mux_golden(tmp_path):
                    passthru=ch1_golden)
     ours2 = np.concatenate([enc2.encode_frame(f).reshape(-1)
                             for f in range(2)])
-    r2 = ref2[:len(ours2)].astype(np.float64)
+    r2 = ref2.reshape(-1)[:len(ours2)].astype(np.float64)
     e2 = ours2.astype(np.float64) - r2
     snr2 = 10 * np.log10((r2 ** 2).sum() / max((e2 ** 2).sum(), 1e-12))
     assert snr2 > 40.0, snr2

@@ -137,6 +137,16 @@ if [ ! -s "$GOLDEN/dance_bits_100f.bin" ]; then
     head -c $((100 * 256)) "$GOLDEN/dance_bits_100f.bin.tmp" > "$GOLDEN/dance_bits_100f.bin"
     rm -f "$GOLDEN/dance_bits_100f.bin.tmp"
 fi
+# Two-channel mux (BASELINE config #5 / README:90): channel 1 at
+# -2.25 MHz captured to a file, channel 2 at +2.25 MHz sums it back in
+# via --passthru.  2 frames PAL-I @20 MS/s = 800000 samples/frame.
+capture mux_ch1_2f.c16 6400000 -s 20000000 --offset -2250000 -m i test
+if [ ! -s "$GOLDEN/mux_2ch_2f.c16" ]; then
+    echo "golden: mux_2ch_2f.c16"
+    timeout 120 "$HACKTV" -o - -s 20000000 --offset 2250000 \
+        --passthru "$GOLDEN/mux_ch1_2f.c16" -m i test 2>/dev/null \
+        | head -c 6400000 > "$GOLDEN/mux_2ch_2f.c16"
+fi
 # A2 / Zweikanalton stereo
 capture palg_16M_2frames.c16 5120000 -m g test
 capture palg_a2_2frames.c16 5120000 -m g --a2stereo test
