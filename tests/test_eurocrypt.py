@@ -46,7 +46,9 @@ def test_eurocrypt_bits_exact(provider):
     gbits = np.unpackbits(golden, axis=1, bitorder="little")
 
     conf = get_mode(mode)
-    ec = Eurocrypt(provider)
+    # `now` pinned to the golden build's Eurocrypt date patch (providers
+    # with date "TODAY", e.g. teletv, put it in the ECM plaintext)
+    ec = Eurocrypt(provider, now=1_200_000_000)
     vsam = 4 | {0: 1, 1: 2, 2: 0}[scramble_video]
     mux = MacMux(conf, 1296, 20_250_000, TestCardSource(702, 576),
                  vsam=vsam, timestamp=1_200_000_000, aspect_43=1,

@@ -32,6 +32,11 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # CW generation consumes rand(), so golden captures need a fixed,
     # replicable sequence — hacktv_tpu.services.eurocrypt.GlibcRand).
     sed -i 's/srand(time(NULL));/srand(1);/' video.c
+    # Pin the Eurocrypt "TODAY" broadcast date (src/eurocrypt.c:786:
+    # _get_sub_date reads the wall clock, so providers with date "TODAY"
+    # — e.g. teletv — would bake the capture date into the ECM).
+    # 1200000000 = 2008-01-10 UTC, matching the pinned UDT timestamp.
+    sed -i 's/time_t t = time(NULL);/time_t t = 1200000000;/' eurocrypt.c
     # --- D/D2-MAC determinism patches (golden-capture only) ---
     # 1. Pin the UDT date/time (mac.c calls time(NULL) at init and every
     #    25 frames, which would make golden captures unreproducible).
