@@ -53,15 +53,16 @@ class FitConfig:
 
 
 def calculate_frame_size(cfg: FitConfig, resolution: Rational,
-                         aspect: Rational | None) -> Rational:
+                         aspect: Rational | None) -> tuple[int, int]:
     """Visible (width, height) of the source inside the active frame
-    (src/av.c:103-220).  Returned as a Rational carrying (w, h)."""
+    (src/av.c:103-220).  Returned as a plain (w, h) tuple — NOT a
+    Rational, which would reduce the pair by their gcd."""
     r_num, r_den = cfg.width, cfg.height
 
     if cfg.fit_mode == FIT_STRETCH:
         pass
     elif cfg.fit_mode == FIT_NONE:
-        return resolution
+        return resolution.num, resolution.den
     else:
         if aspect is None or aspect.num <= 0 or aspect.den <= 0:
             aspect = resolution
@@ -96,7 +97,7 @@ def calculate_frame_size(cfg: FitConfig, resolution: Rational,
         if resolution.num == rn and resolution.den == rd:
             r_num = r_num * fn // fd
             break
-    return Rational(max(r_num, 1), max(r_den, 1))
+    return max(r_num, 1), max(r_den, 1)
 
 
 def _cmp(a: Rational, b: Rational) -> int:
@@ -183,9 +184,9 @@ class FitSource:
             rgb = vflip(rgb)
         h, w = rgb.shape[:2]
         dar = display_aspect_ratio(w, h, self.par)
-        vis = calculate_frame_size(self.cfg, Rational(w, h), dar)
-        vw = min(int(vis.num), self.cfg.width)
-        vh = min(int(vis.den), self.cfg.height)
+        vis_w, vis_h = calculate_frame_size(self.cfg, Rational(w, h), dar)
+        vw = min(int(vis_w), self.cfg.width)
+        vh = min(int(vis_h), self.cfg.height)
         scaled = scale_nearest(rgb, vw, vh)
         out = np.zeros((self.cfg.height, self.cfg.width, 3), dtype=np.uint8)
         y0 = (self.cfg.height - vh) // 2

@@ -227,7 +227,7 @@ def _make_source(spec: str, active_width: int, active_lines: int,
                         frame_rate=frame_rate)
 
 
-def _build_source(args, conf, p):
+def _build_source(args, conf, active_width):
     """Input list -> one AV source (fit/letterbox geometry applied;
     multiple inputs sequenced with --repeat/--shuffle,
     src/hacktv.c:1502-1598)."""
@@ -235,7 +235,7 @@ def _build_source(args, conf, p):
     from .av.sequence import SequenceSource
     from .rational import Rational
 
-    aw, al = p.active_width, conf.active_lines
+    aw, al = active_width, conf.active_lines
     need_fit = (args.fit is not None or args.letterbox or args.pillarbox
                 or args.min_aspect or args.max_aspect
                 or any(s != "test" for s in args.input))
@@ -335,18 +335,21 @@ def main(argv=None) -> int:
                            ppv=args.ec_ppv, nodate=args.nodate,
                            showecm=args.showecm)
         scr = 2 if args.double_cut else (1 if args.single_cut else 0)
-        enc = MacEncoder(conf, sample_rate, pixel_rate,
+        mac_aw, _ = MacEncoder.active_geometry(conf, sample_rate,
+                                              pixel_rate)
+        source = _build_source(args, conf, mac_aw)
+        enc = MacEncoder(conf, sample_rate, pixel_rate, source=source,
+                         frames_per_block=fpb,
                          scramble_video=scr,
                          scramble_audio=args.scramble_audio,
                          eurocrypt=ec, teletext=args.teletext)
         complex_out = conf.output_type == OutputType.COMPLEX
         frame_samples = enc.frame_samples
-        source = None
     else:
         from .encoder import Encoder
         from .video.params import VideoParams
         p = VideoParams.create(conf, sample_rate, pixel_rate)
-        source = _build_source(args, conf, p)
+        source = _build_source(args, conf, p.active_width)
         enc = Encoder(conf, sample_rate, pixel_rate, source=source,
                       frames_per_block=fpb,
                       wss=args.wss, teletext=args.teletext,

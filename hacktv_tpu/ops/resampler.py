@@ -173,16 +173,34 @@ def device_resample_block(st: BlockResampleStatics, flat):
     pad = st.x_len - x.shape[0]
     if pad > 0:
         x = jnp.concatenate([x, jnp.zeros(pad, jnp.int32)])
-    s2 = x.reshape(-1, st.stride)
     A = st.rs.A
-    X = jnp.concatenate([s2[:-1], s2[1:, :A]], axis=1)
-    wins = jnp.stack([
-        jax.lax.dynamic_slice(X, (int(st.offq[c]), int(st.offr[c])),
-                              (st.G, A))
-        for c in range(len(st.offq))])               # [P, G, A]
-    acc = jax.lax.dot_general(
-        wins, jnp.asarray(st.Td)[:, :, None], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)[..., 0]
+    if A <= st.stride:
+        s2 = x.reshape(-1, st.stride)
+        X = jnp.concatenate([s2[:-1], s2[1:, :A]], axis=1)
+        wins = jnp.stack([
+            jax.lax.dynamic_slice(X, (int(st.offq[c]), int(st.offr[c])),
+                                  (st.G, A))
+            for c in range(len(st.offq))])           # [P, G, A]
+        acc = jax.lax.dot_general(
+            wins, jnp.asarray(st.Td)[:, :, None],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)[..., 0]
+    else:
+        # windows overlap across rows (decimating resample with a small
+        # interpolation factor, e.g. L/M = 1/2): per-tap strided
+        # slice-accumulate instead of the row-window matmul
+        x = jnp.concatenate([x, jnp.zeros(st.stride + A, jnp.int32)])
+        cols = []
+        for c in range(len(st.offq)):
+            b0 = int(st.offq[c]) * st.stride + int(st.offr[c])
+            acc_c = jnp.zeros((st.G,), jnp.int32)
+            for a in range(A):
+                seg = jax.lax.dynamic_slice(x, (b0 + a,),
+                                            (st.G * st.stride,))
+                acc_c = acc_c + (seg.reshape(st.G, st.stride)[:, 0]
+                                 * jnp.int32(int(st.Td[c, a])))
+            cols.append(acc_c)
+        acc = jnp.stack(cols)                        # [P, G]
     y = jnp.swapaxes(acc, 0, 1).reshape(-1)[:st.n_out]
     y = jnp.clip(y >> 15, -32768, 32767)
     return y.astype(jnp.float32)

@@ -164,6 +164,7 @@ class MacMux:
             self.audio.address = 128
         self.audio_pairs = 0   # pairs consumed so far
         self.nicam_buf_pairs = 0
+        self.audio_lag = 1     # lines the audio process trails macraster
 
         self.polarity = -1
         self.k = 0             # next iteration (stream line index)
@@ -387,9 +388,11 @@ class MacMux:
             self.scramble[k - 1] = (False, 282, 682)
 
         # audio lineprocess trails by 1 line (golden build: synchronous,
-        # window = macraster's lines[0])
-        if k >= 1:
-            self._audio_line(k - 1)
+        # window = macraster's lines[0]); the pixel->sample vresampler
+        # is registered between macraster and audio (src/video.c:4361,
+        # :4561) with a 2-line window, adding two more lines when present
+        if k >= self.audio_lag:
+            self._audio_line(k - self.audio_lag)
 
         self.k += 1
 
@@ -406,6 +409,17 @@ class MacEncoder:
     """Block encoder for D/D2-MAC modes with the same device API as
     `Encoder` (encode_block_device); blocks must be encoded sequentially
     (the packet multiplex is a stream)."""
+
+    @staticmethod
+    def active_geometry(conf, sample_rate: int, pixel_rate: int = 0
+                        ) -> tuple[int, int]:
+        """(active_width, active_lines) for source fitting, without
+        constructing an encoder (src/video.c:3843-3853 geometry)."""
+        P = int(pixel_rate) or int(sample_rate)
+        line_dur = conf.frame_rate.den / (conf.frame_rate.num * conf.lines)
+        W = round(P * line_dur)
+        aw = min(math.ceil(P * conf.active_width), W) & ~1
+        return aw, conf.active_lines
 
     def __init__(self, mode: str | VidConfig, sample_rate: int,
                  pixel_rate: int = 0, source=None,
@@ -469,30 +483,46 @@ class MacEncoder:
             tt = MacTeletext(teletext, conf.lines,
                              round(float(conf.frame_rate)),
                              clock=teletext_clock)
-        self.mux = MacMux(conf, W, self.S, source, vsam,
+
+        # pixel-rate -> sample-rate rational resample of the synthesized
+        # stream (src/video.c:3627-3651 registers the vresampler between
+        # the MAC raster and the FM modulator)
+        self.resampler = None
+        self.out_width = W
+        if self.P != self.S:
+            from ..ops import resampler as rs_mod
+            self.out_width = round(self.S * line_dur)
+            rs = rs_mod.Resampler.create(self.S, self.P)
+            self.resampler = rs_mod.make_block_statics(
+                rs, W, self.out_width,
+                frames_per_block * mb.MAC_LINES, halo_lines=1)
+
+        # the audio lineprocess runs on *output* lines (post-resampler,
+        # src/video.c:3273-3277), so pair timing uses the output width
+        self.mux = MacMux(conf, self.out_width, self.S, source, vsam,
                           scramble_audio=scramble_audio,
                           timestamp=timestamp,
                           aspect_43=self.aspect_43, eurocrypt=eurocrypt,
                           volume=conf.volume, teletext=tt)
+        if self.resampler is not None:
+            # the vresampler's 2-line window shifts every later process
+            # (incl. audio) two lines back (src/video.c:4675-4688)
+            self.mux.audio_lag = 3
 
         duo_level = (self.white_level - self.black_level) * 0.4
         self.Bm, self.B0, self.Bp = duobinary_bases(
             conf.mac_mode == MacMode.D, W, duo_level)
 
-        # source luma/chroma int16 planes
-        rgb = source.read_video(0)
-        y, u, v = mac_yuv_host(conf, rgb, self.level)
-        # black padding rows use the LUT value of RGB 0 (not 0)
+        # black padding level: the LUT value of RGB 0 (not 0)
         yb, _, _ = mac_yuv_host(conf, np.zeros((1, 1, 3), np.uint8),
                                 self.level)
         self.y_black = float(yb[0, 0])
-        pad_y = np.full((1, y.shape[1]), self.y_black, dtype=np.float32)
-        self.y_img = np.concatenate([y.astype(np.float32), pad_y])
-        u2 = u[:, ::2].astype(np.float32)
-        v2 = v[:, ::2].astype(np.float32)
-        zpad = np.zeros((1, u2.shape[1]), dtype=np.float32)
-        self.u_img = np.concatenate([u2, zpad])
-        self.v_img = np.concatenate([v2, zpad])
+        # per-frame source planes are uploaded in _device_planes (the
+        # reference renders the *current* frame every line,
+        # src/mac.c:1758-1834 + frame advance src/video.c:4873-4903)
+        self._plane_cache = None
+        self._plane_shape = None
+        self._device_planes(0)
 
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self.fm_video_statics = None
@@ -508,14 +538,42 @@ class MacEncoder:
         self._next_block = 0
 
     # ------------------------------------------------------------------
+    def _device_planes(self, frame_no: int):
+        """Upload the source frame's luma/chroma int16 planes, once per
+        distinct frame object (test card reads return the same array)."""
+        rgb = self.source.read_video(frame_no)
+        if self._plane_cache is not None and self._plane_cache[0] is rgb:
+            return self._plane_cache[1]
+        y, u, v = mac_yuv_host(self.conf, rgb, self.level)
+        pad_y = np.full((1, y.shape[1]), self.y_black, dtype=np.float32)
+        y_img = np.concatenate([y.astype(np.float32), pad_y])
+        u2 = u[:, ::2].astype(np.float32)
+        v2 = v[:, ::2].astype(np.float32)
+        zpad = np.zeros((1, u2.shape[1]), dtype=np.float32)
+        u_img = np.concatenate([u2, zpad])
+        v_img = np.concatenate([v2, zpad])
+        shape = (y_img.shape, u_img.shape)
+        if self._plane_shape is None:
+            self._plane_shape = shape
+        elif shape != self._plane_shape:
+            raise ValueError("source frame size changed mid-stream")
+        dev = tuple(jax.device_put(jnp.asarray(a))
+                    for a in (y_img, u_img, v_img))
+        self._plane_cache = (rgb, dev)
+        return dev
+
+    # ------------------------------------------------------------------
     def _line_meta(self):
         """Per-line (line-number periodic) metadata for one block."""
         if self._meta is not None:
             return self._meta
         n = self.frames_per_block * mb.MAC_LINES
+        # with the pixel->sample resampler the step synthesizes one halo
+        # row each side of the block (rows j = -1 .. n)
+        halo = 1 if self.resampler is not None else 0
         conf = self.conf
         H = conf.active_lines
-        lines = np.arange(n) % mb.MAC_LINES + 1
+        lines = np.arange(-halo, n + halo) % mb.MAC_LINES + 1
 
         def luma_y(l):
             if 24 <= l <= 310:
@@ -533,7 +591,7 @@ class MacEncoder:
         vy = ys - self.vframe_y
         vy[(vy < 0) | (vy >= self.source.height) | (ys < 0)] = -1
         # vy of the NEXT line (chroma transmitted one line early)
-        l_next = np.arange(1, n + 1) % mb.MAC_LINES + 1
+        l_next = np.arange(-halo + 1, n + halo + 1) % mb.MAC_LINES + 1
         ys_n = np.array([luma_y(int(l)) for l in l_next], dtype=np.int64)
         vy_n = ys_n - self.vframe_y
         vy_n[(vy_n < 0) | (vy_n >= self.source.height) | (ys_n < 0)] = -1
@@ -556,8 +614,11 @@ class MacEncoder:
         return meta
 
     # ------------------------------------------------------------------
-    def _step_impl(self, sym, meta, scr_apply, xc1, xc2, fm_r0):
+    def _step_impl(self, sym, planes, meta, scr_apply, xc1, xc2, fm_r0,
+                   first):
+        y_img, u_img, v_img = planes
         n = self.frames_per_block * mb.MAC_LINES
+        nrows = n + (2 if self.resampler is not None else 0)
         W = self.width
         # duobinary laid down before this line's overwrites: own bits +
         # the previous line's forward spill.  The NEXT line's backward
@@ -565,14 +626,14 @@ class MacEncoder:
         # (src/mac.c:227-232), i.e. after this line's luma/reference
         # overwrites — added below, post-overwrite.
         duo = (
-            jnp.matmul(sym[1:n + 1], self.B0, precision=HIGHEST) +
-            jnp.matmul(sym[0:n], self.Bp, precision=HIGHEST))
+            jnp.matmul(sym[1:nrows + 1], self.B0, precision=HIGHEST) +
+            jnp.matmul(sym[0:nrows], self.Bp, precision=HIGHEST))
         canvas = jnp.float32(self.blanking_level) + duo
         canvas = jnp.clip(canvas, -32768, 32767)
 
         al, aw = self.active_left, self.active_width
         # luma rows (vy==height row is the black-pad row)
-        lum = jnp.asarray(self.y_img)[meta["vy"]]
+        lum = y_img[meta["vy"]]
         if self.vframe_x > 0 or lum.shape[1] < aw:
             pad_l = self.vframe_x
             pad_r = aw - pad_l - lum.shape[1]
@@ -597,15 +658,15 @@ class MacEncoder:
                            jnp.float32(self.black_level), canvas)
 
         # the next line's backward duobinary spill, post-overwrite
-        canvas = canvas + jnp.matmul(sym[2:n + 2], self.Bm,
+        canvas = canvas + jnp.matmul(sym[2:nrows + 2], self.Bm,
                                      precision=HIGHEST)
 
         # chrominance, one line ahead of its luma (src/mac.c:1815-1834)
         crow = jnp.where(meta["chroma_u"][:, None] > 0,
-                         jnp.asarray(self.u_img)[meta["vy_next"]],
-                         jnp.asarray(self.v_img)[meta["vy_next"]])
+                         u_img[meta["vy_next"]],
+                         v_img[meta["vy_next"]])
         crow = crow * meta["vy_next_valid"][:, None]
-        cl, cw = self.chrominance_left, self.u_img.shape[1]
+        cl, cw = self.chrominance_left, int(u_img.shape[1])
         cx0 = self.vframe_x // 2
         canvas = canvas.at[:, cl + cx0:cl + cx0 + cw].add(crow)
 
@@ -630,6 +691,17 @@ class MacEncoder:
                                    (scr_apply[:, None] > 0),
                                    gathered, canvas)
 
+        if self.resampler is not None:
+            # pixel -> sample rate polyphase resample (block 0's leading
+            # halo row is zeroed: the reference's FIR window starts
+            # zero-filled, src/fir.c:263-313)
+            from ..ops import resampler as rs_mod
+            canvas = canvas.at[0].multiply(first)
+            y = rs_mod.device_resample_block(self.resampler,
+                                             canvas.reshape(-1))
+            wo = self.out_width
+            canvas = y[wo:wo * (n + 1)].reshape(n, wo)
+
         # packed int32 I/Q (see Encoder._step_impl: flat int16
         # interleaves force degenerate T(1,128) layouts)
         def pack(i, q):
@@ -653,29 +725,33 @@ class MacEncoder:
             raise RuntimeError("MAC blocks must be encoded sequentially")
         self._next_block += 1
         n = self.frames_per_block * mb.MAC_LINES
+        halo = 1 if self.resampler is not None else 0
+        nrows = n + 2 * halo
         k0 = block_no * n
-        self.mux.ensure(k0 + n)   # finalises lines through k0+n-1 + halo
+        self.mux.ensure(k0 + n + halo)
 
         nbits = self.mux.nbits
-        sym = np.zeros((n + 2, nbits), dtype=np.float32)
-        for j in range(-1, n + 1):
+        sym = np.zeros((nrows + 2, nbits), dtype=np.float32)
+        for j in range(-1 - halo, n + 1 + halo):
             s = self.mux.line_sym.get(k0 + j)
             if s is not None:
-                sym[j + 1] = s
+                sym[j + 1 + halo] = s
         scr = [self.mux.scramble.get(k0 + j, (False, 282, 682))
-               for j in range(n)]
+               for j in range(-halo, n + halo)]
         scr_apply = np.array([1.0 if s[0] else 0.0 for s in scr],
                              dtype=np.float32)
         xc1 = np.array([s[1] for s in scr], dtype=np.int32)
         xc2 = np.array([s[2] for s in scr], dtype=np.int32)
-        self.mux.prune(k0 + n - 1)
+        self.mux.prune(k0 + n - 2)
 
+        planes = self._device_planes(block_no * self.frames_per_block)
         meta = self._line_meta()
         fm_r0 = jnp.int32(self._fm_r[block_no]
                           if self.fm_video_statics is not None else 0)
-        out = self._step(jnp.asarray(sym), meta,
+        first = jnp.float32(0.0 if block_no == 0 else 1.0)
+        out = self._step(jnp.asarray(sym), planes, meta,
                          jnp.asarray(scr_apply), jnp.asarray(xc1),
-                         jnp.asarray(xc2), fm_r0)
+                         jnp.asarray(xc2), fm_r0, first)
         if self.fm_video_statics is not None:
             out, fm_carry = out
             self._fm_r[block_no + 1] = int(fm_carry)
@@ -691,4 +767,5 @@ class MacEncoder:
 
     @property
     def frame_samples(self) -> int:
-        return self.width * self.conf.lines
+        """Output samples per frame (at sample_rate, post-resampler)."""
+        return self.out_width * self.conf.lines

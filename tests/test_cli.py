@@ -82,6 +82,28 @@ def test_cli_raw_input_and_fit(tmp_path):
     assert not np.array_equal(mine, card)
 
 
+def test_cli_mac_raw_input(tmp_path):
+    """MAC modes take the CLI input list like any other mode
+    (src/hacktv.c:1502-1576): a raw: frame must show up in the D2-MAC
+    active video, and the golden motion capture must match when the
+    same frames are fed."""
+    golden = os.path.join(GOLDEN, "d2mac_motion_3frames.s16")
+    bgra = os.path.join(GOLDEN, "motion_702x576.bgra")
+    if not (os.path.exists(golden) and os.path.exists(bgra)):
+        pytest.skip("golden missing")
+    out = tmp_path / "mac.s16"
+    r = _run(["-o", str(out), "-m", "d2mac", "-s", "20250000",
+              "--frames", "2", f"raw:{bgra}:702x576"])
+    assert r.returncode == 0, r.stderr.decode()
+    mine = np.fromfile(out, dtype=np.int16).astype(np.float64)
+    assert len(mine) == 2 * 810000
+    ref = np.fromfile(golden, dtype=np.int16
+                      ).astype(np.float64)[:len(mine)]
+    e = mine - ref
+    snr = 10 * np.log10((ref ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 60.0, snr
+
+
 def test_cli_passthru_and_rawbb(tmp_path):
     """--passthru adds an external IQ stream; --raw-bb-file replaces the
     raster (src/video.c:3517-3541, 2406-2445)."""

@@ -86,6 +86,45 @@ def test_dmac_fm():
     assert _wave_snr("dmac-fm", "dmacfm_2frames.c16", nframes=2) > 40.0
 
 
+def test_d2mac_moving_video():
+    """MAC carries the *current* source frame every frame
+    (src/mac.c:1758-1834 + frame advance src/video.c:4873-4903): the
+    golden is 4 distinct raw BGRA frames fed to the reference via
+    ffmpeg's rawvideo demuxer, read here by RawFileSource."""
+    from hacktv_tpu.av.rawfile import RawFileSource
+    from hacktv_tpu.video.mac import MacEncoder
+    path = _golden("d2mac_motion_3frames.s16")
+    src = RawFileSource(_golden("motion_702x576.bgra"), 702, 576)
+    ref = np.fromfile(path, dtype=np.int16).astype(np.float64)
+    enc = MacEncoder("d2mac", 20_250_000, source=src)
+    fs = enc.frame_samples
+    for f in range(3):
+        mine = enc.encode_block(f).reshape(-1).astype(np.float64)
+        r = ref[f * fs:(f + 1) * fs]
+        n = min(len(r), len(mine))
+        e = mine[:n] - r[:n]
+        snr = 10 * np.log10((r[:n] ** 2).sum() / max((e ** 2).sum(),
+                                                     1e-12))
+        assert snr > 60.0, f"frame {f}: {snr:.1f} dB"
+
+
+def test_d2mac_pixelrate_resample():
+    """--pixelrate synthesis at 20.25 MS/s resampled to 10.125 MS/s
+    (src/video.c:3627-3651); covers the decimating polyphase path and
+    the vresampler's extra audio-process lag."""
+    from hacktv_tpu.video.mac import MacEncoder
+    path = _golden("d2mac_pr10125_2frames.s16")
+    ref = np.fromfile(path, dtype=np.int16).astype(np.float64)
+    enc = MacEncoder("d2mac", 10_125_000, pixel_rate=20_250_000)
+    assert enc.frame_samples == 648 * 625
+    mine = np.concatenate([enc.encode_block(b).reshape(-1)
+                           for b in range(2)]).astype(np.float64)
+    n = min(len(ref), len(mine))
+    e = mine[:n] - ref[:n]
+    snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 60.0, snr
+
+
 def test_d2mac_medium_quality_audio():
     from dataclasses import replace
     from hacktv_tpu.config.standards import get_mode

@@ -166,6 +166,31 @@ capture d2mac_scut_4frames.s16 6480000 -s 20250000 -m d2mac --single-cut test
 capture dmacfm_2frames.c16 6480000 -s 20250000 -m dmac-fm test
 capture d2mac_mq_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-medium-quality test
 capture d2mac_lin_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-linear --mac-audio-l2-protection test
+# MAC moving video: 4 distinct deterministic raw BGRA frames fed via
+# ffmpeg's rawvideo demuxer (sws BGRA->RGB32 is a byte identity), so
+# the capture must show a different frame every MAC frame.
+if [ ! -s "$GOLDEN/motion_702x576.bgra" ]; then
+    python3 - <<'PYEOF'
+import numpy as np
+H, W = 576, 702
+frames = []
+for f in range(4):
+    y, x = np.mgrid[0:H, 0:W]
+    r = ((x * (f + 1)) % 256).astype(np.uint8)
+    g = ((y + 40 * f) % 256).astype(np.uint8)
+    b = np.full((H, W), 32 * f, np.uint8)
+    bar = (x // 32 == (4 + f * 3))
+    r[bar], g[bar], b[bar] = 255, 255, 255
+    frames.append(np.stack([b, g, r, np.zeros_like(r)], axis=-1))
+np.stack(frames).tofile('/tmp/golden/motion_702x576.bgra')
+PYEOF
+fi
+capture d2mac_motion_3frames.s16 4860000 -s 20250000 -m d2mac \
+    --ffmt rawvideo \
+    --fopts video_size=702x576:pixel_format=bgra:framerate=25 \
+    "$GOLDEN/motion_702x576.bgra"
+# MAC pixel-rate resample: synthesis at 20.25 MS/s, output at 10.125
+capture d2mac_pr10125_2frames.s16 1620000 -s 10125000 --pixelrate 20250000 -m d2mac test
 # 50-frame duobinary bit-stream dumps (162 bytes/line, byte-exact oracle)
 if [ ! -s "$GOLDEN/d2mac_bits_50f.bin" ]; then
     echo "golden: d2mac_bits_50f.bin"
