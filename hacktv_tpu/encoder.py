@@ -51,7 +51,8 @@ class Encoder:
                  teletext_clock=None,
                  raw_bb_file: str | None = None,
                  raw_bb_blanking: int = 0,
-                 raw_bb_white: int = 0x300):
+                 raw_bb_white: int = 0x300,
+                 devices=None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
             from dataclasses import replace as _replace
@@ -206,7 +207,35 @@ class Encoder:
         if passthru is not None:
             self.passthru = _PassthruReader(passthru)
 
-        self._step = jax.jit(self._step_impl)
+        # Multi-device execution: contiguous line ranges of the output
+        # block are partitioned over a 1-D mesh (the output timeline is
+        # this framework's "long sequence"; SURVEY.md section 2.10).
+        # GSPMD propagates the output partitioning backwards through the
+        # step — per-line synthesis shards cleanly, the stream
+        # convolutions get halo exchanges, and the modular phase /
+        # NICAM prefix scans become cross-device scans.  The per-device
+        # compute share is asserted by __graft_entry__.dryrun_multichip
+        # via compiled FLOP analysis.
+        self.mesh = None
+        if devices is not None:
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            darr = np.asarray(list(devices))
+            nlines_total = frames_per_block * conf.lines
+            if nlines_total % len(darr):
+                raise ValueError(
+                    f"block of {nlines_total} lines does not divide "
+                    f"over {len(darr)} devices; adjust frames_per_block")
+            self.mesh = Mesh(darr, ("t",))
+            n_aux = sum(x is not None for x in (
+                self.fm_video_statics, self.secam_statics,
+                self.nicam_statics))
+            shard = NamedSharding(self.mesh, P("t", None))
+            rep = NamedSharding(self.mesh, P())
+            outs = (shard,) + (rep,) * n_aux if n_aux else shard
+            self._step = jax.jit(self._step_impl, out_shardings=outs)
+        else:
+            self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
         self._arg_spec = None
@@ -318,6 +347,21 @@ class Encoder:
         g = math.gcd(p.width, p.cl_num)
         return p.cl_num // g
 
+    def _shard_hint(self, arr):
+        """Pin a block intermediate to line-partitioned layout on the
+        mesh.  The halo-extended arrays ([nlines + 2, W] for a 5000-line
+        block) are not evenly divisible by the device count, and without
+        the constraint GSPMD falls back to the largest even divisor
+        (2-way for 5002 rows); the explicit constraint makes XLA pad the
+        last shard instead, keeping the whole raster 1/N per device."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("t") if arr.ndim == 1 else P("t",
+                                              *([None] * (arr.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self.mesh, spec))
+
     def _device_rgb(self, block_no: int):
         """Bit-exact host YUV conversion (f64, matching the reference's
         LUT build), uploaded once per distinct source frame."""
@@ -365,6 +409,7 @@ class Encoder:
             block = raster.synth_block(self.statics, rgb, base, nxt,
                                        burst, vswitch, vy, al, ar, cos0,
                                        sin0, lut_row, fsc, fscf, prv)
+        block = self._shard_hint(block)
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
@@ -379,6 +424,7 @@ class Encoder:
                                 audio_args.get("services", ())):
                 block = svc.apply(block, arr, lut)
         block = block.at[0].multiply(first_mask)
+        block = self._shard_hint(block)
         x = block.reshape(-1)
 
         if self.resampler is not None:

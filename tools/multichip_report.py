@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Multi-chip partitioning evidence report.
+
+Runs on an 8-virtual-device CPU mesh (no TPU pod required):
+  1. bit-exactness of the mesh-sharded production step vs single device;
+  2. per-device FLOP share from the compiled GSPMD module (proves the
+     compute is partitioned, not replicated-and-sliced);
+  3. collective inventory (op count + bytes/device/block) from the
+     sharded HLO, and the implied ICI scaling-efficiency model.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/multichip_report.py [out.json]
+"""
+
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+_DT = {"f32": 4, "s32": 4, "u32": 4, "s16": 2, "u16": 2, "pred": 1,
+       "f16": 2, "bf16": 2, "s8": 1, "u8": 1, "s64": 8, "u64": 8,
+       "f64": 8}
+
+
+def collective_inventory(txt: str):
+    coll = {}
+    for line in txt.splitlines():
+        m = re.search(r"=\s*(\w+)\[([\d,]*)\][^ ]*\s*"
+                      r"(all-reduce|collective-permute|all-gather|"
+                      r"all-to-all|reduce-scatter)\(", line)
+        if m:
+            ty, dims, op = m.groups()
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            c = coll.setdefault(op, {"ops": 0, "bytes": 0})
+            c["ops"] += 1
+            c["bytes"] += n * _DT.get(ty, 4)
+    return coll
+
+
+def main(out_path=None):
+    import jax
+
+    import __graft_entry__ as g
+    from hacktv_tpu import Encoder
+
+    n = 8
+    devices = jax.devices()[:n]
+    if len(devices) < n:
+        raise SystemExit(f"need {n} devices, have {len(devices)} "
+                         "(set xla_force_host_platform_device_count)")
+
+    # 1. bit-exactness on runnable shapes
+    shape1 = g._sharded_case("i", 1_000_000, 8, n)
+    shape2 = g._sharded_case("m", 1_000_000, 8, n, vfilter=True)
+
+    # 2. + 3. production-width compile analysis
+    share, f1, fN = g._flop_share("i", 16_000_000, 8, n)
+    enc = Encoder("i", 16_000_000, frames_per_block=8, devices=devices)
+    txt = enc._step.lower(*g._step_args(enc, 1)).compile().as_text()
+    coll = collective_inventory(txt)
+    comm_bytes = sum(c["bytes"] for c in coll.values())
+
+    # ICI model: v5e ~100 GB/s/link usable, block compute at the
+    # measured single-chip 4.07 GS/s (BENCH_r02).  Per-block comm is a
+    # handful of halo exchanges; efficiency = t_comp/(t_comp+t_comm)
+    # assuming no overlap (worst case).
+    block_samples = 8 * 625 * 1024
+    t_comp = block_samples / 4.07e9
+    t_comm = comm_bytes / 100e9
+    eff = t_comp / (t_comp + t_comm)
+
+    report = {
+        "n_devices": n,
+        "bitexact": {"pal-i": list(shape1), "ntsc-m+vsb": list(shape2)},
+        "per_device_flops": fN,
+        "single_device_flops": f1,
+        "flop_share": share,
+        "ideal_share": 1.0 / n,
+        "collectives": coll,
+        "comm_bytes_per_device_per_block": comm_bytes,
+        "block_samples": block_samples,
+        "model": {
+            "t_compute_s": t_comp,
+            "t_comm_s_at_100GBps": t_comm,
+            "predicted_scaling_efficiency": eff,
+        },
+    }
+    js = json.dumps(report, indent=1)
+    print(js)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(js + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)
