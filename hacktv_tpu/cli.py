@@ -208,7 +208,11 @@ def _open_hw_sink(args, hw: str, complex_out: bool):
             hw, serial, sample_rate=int(args.samplerate),
             frequency=int(args.frequency), gain=int(args.gain),
             amp=args.amp, antenna=args.antenna,
-            complex_out=complex_out)
+            complex_out=complex_out,
+            # HackDAC/FL2K baseband mode when the output is real
+            # (src/hacktv.c:1452, :1480)
+            baseband=not complex_out,
+            fl2k_audio=args.fl2k_audio)
     except hardware.HardwareUnavailable as e:
         raise SystemExit(str(e))
 
@@ -389,6 +393,13 @@ def main(argv=None) -> int:
             if frames_wanted and frames_done + bf > frames_wanted:
                 out = out[: (frames_wanted - frames_done) * frame_samples]
             sink.write(out)
+            # sink audio side-channel (HackDAC interleave, FL2K
+            # stereo/spdif channels; src/hacktv.c:1586)
+            if hasattr(sink, "write_audio"):
+                pcm = getattr(enc, "block_audio_pcm",
+                              lambda _b: None)(block)
+                if pcm is not None and len(pcm):
+                    sink.write_audio(pcm)
             block += 1
             frames_done += bf
             if frames_wanted and frames_done >= frames_wanted:

@@ -771,6 +771,21 @@ class Encoder:
             return a.reshape(-1).view(np.int16).reshape(-1, 2)
         return a.reshape(-1)
 
+    def block_audio_pcm(self, block_no: int):
+        """32 kHz int16 stereo pairs consumed during this block
+        (volume-scaled, post-Syster-inversion) — the sink audio
+        side-channel tap the reference feeds from the audio process
+        (src/video.c:3306-3310, consumed by HackDAC/FL2K sinks).
+        None for modes without audio."""
+        if not self.has_audio:
+            return None
+        a = self.audio
+        n = self.frames_per_block * self.conf.lines * \
+            self.out_params.width
+        p0 = block_no * n * a.A // a.S
+        p1 = (block_no + 1) * n * a.A // a.S
+        return a._pcm(p0, p1 - p0).astype(np.int16)
+
     def encode_frame(self, frame_no: int) -> np.ndarray:
         """Single-frame convenience API (frames_per_block must be 1)."""
         assert self.frames_per_block == 1

@@ -85,6 +85,47 @@ class Resampler:
         return np.clip(acc >> 15, -32768, 32767).astype(np.int16)
 
 
+class StreamResampler:
+    """Stateful host-side streaming wrapper with the reference's
+    fir_int16 feed/process semantics (src/fir.c:298-352): feed chunks
+    of int16 inputs, receive every output whose window is complete.
+    Used for the sink audio side-channels (32 kHz -> rate/64 HackDAC,
+    S/PDIF bitstream -> DAC rate; src/rf_hackrf.c:456-472,
+    src/rf_fl2k.c:192-248)."""
+
+    def __init__(self, rs: Resampler):
+        self.rs = rs
+        self._hist = np.zeros(rs.A, np.int64)   # last A inputs fed
+        self.n_in = 0
+        self.m = 0
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        rs = self.rs
+        x = np.asarray(x, np.int64).reshape(-1)
+        n1 = self.n_in + len(x)
+        m1 = rs.n_outputs_exact(n1)
+        n_out = m1 - self.m
+        if n_out <= 0:
+            self._hist = np.concatenate([self._hist, x])[-rs.A:]
+            self.n_in = n1
+            return np.zeros(0, np.int16)
+        m = self.m + np.arange(n_out, dtype=np.int64)
+        i = (m * rs.M) // rs.L + 1
+        d = (m * rs.M) % rs.L
+        # window inputs [i-A, i); buffer = hist (inputs n_in-A .. n_in)
+        # + new chunk
+        buf = np.concatenate([self._hist, x])
+        base = self.n_in - rs.A                  # abs index of buf[0]
+        idx = i[:, None] - rs.A + np.arange(rs.A)[None, :] - base
+        win = buf[np.clip(idx, 0, len(buf) - 1)]
+        win[idx < 0] = 0                         # pre-stream zeros
+        acc = np.sum(win * rs.T[d].astype(np.int64), axis=1)
+        self._hist = buf[-rs.A:]
+        self.n_in = n1
+        self.m = m1
+        return np.clip(acc >> 15, -32768, 32767).astype(np.int16)
+
+
 def _polyphase_bank(taps: np.ndarray, ntaps: int, L: int) -> np.ndarray:
     """Tap placement of fir_int16_init (src/fir.c:276-287): itaps laid
     out as [L, A] rows applied window-oldest-first."""

@@ -62,6 +62,12 @@ class HackRFSink:
         cap = int(sample_rate * buffer_seconds * bps)
         self.fifo = runtime.Fifo(cap, cap // 2)
         self.audio_fifo = runtime.Fifo(1 << 20, 0) if baseband else None
+        if baseband:
+            # 32 kHz stereo -> sample_rate/64 rational resample
+            # (src/rf_hackrf.c:456-472)
+            from ..ops.resampler import Resampler, StreamResampler
+            rs = Resampler.create((sample_rate, 64), (32000, 1))
+            self._audio_rs = (StreamResampler(rs), StreamResampler(rs))
         self._sync_frames = 0
         self._frame_phase = 0
         self._frame_padding = 0
@@ -80,10 +86,17 @@ class HackRFSink:
             raise OSError("hackrf: transfer aborted")
 
     def write_audio(self, pcm: np.ndarray) -> None:
-        """HackDAC interleaved audio: int16 stereo pairs already at
-        sample_rate/64 (the caller resamples from 32 kHz)."""
-        if self.audio_fifo is not None:
-            self.audio_fifo.write(np.ascontiguousarray(pcm, np.int16))
+        """HackDAC interleaved audio: int16 stereo pairs at 32 kHz,
+        resampled here to sample_rate/64 (src/rf_hackrf.c:456-472)."""
+        if self.audio_fifo is None:
+            return
+        pcm = np.ascontiguousarray(pcm, np.int16).reshape(-1, 2)
+        left = self._audio_rs[0].process(pcm[:, 0])
+        right = self._audio_rs[1].process(pcm[:, 1])
+        out = np.empty((len(left), 2), np.int16)
+        out[:, 0] = left
+        out[:, 1] = right
+        self.audio_fifo.write(out)
 
     # -- realtime consumer ----------------------------------------------
     def _fill(self, n: int) -> bytes:
@@ -180,11 +193,25 @@ class FL2KSink:
         assert audio in ("none", "stereo", "spdif")
         self.driver = driver
         self.audio = audio
+        self.sample_rate = int(sample_rate)
         cap = int(sample_rate * buffer_seconds)
         self.fifo_r = runtime.Fifo(cap, cap // 2)
         self.fifo_g = runtime.Fifo(cap, 0)
         self.fifo_b = runtime.Fifo(cap, 0)
         self.dither = (runtime.Fl2kDither(), runtime.Fl2kDither())
+        # stereo: 32 kHz hold-interpolation state (src/rf_fl2k.c:150-167)
+        self._dac_k = 0               # DAC samples generated so far
+        self._held = np.zeros(2, np.int16)
+        # spdif: PCM block accumulator + bitstream resampler
+        # (src/rf_fl2k.c:192-248)
+        if audio == "spdif":
+            from ..audio import spdif as spdif_mod
+            from ..ops.resampler import Resampler, StreamResampler
+            self._spdif_mod = spdif_mod
+            self._spdif_pcm = np.zeros(0, np.int16)
+            self._spdif_rs = StreamResampler(Resampler.create(
+                (self.sample_rate, 1),
+                (spdif_mod.bitrate(32000) * 5, 1)))
         self.underruns = 0
         driver.start(self._fill)
 
@@ -195,13 +222,50 @@ class FL2KSink:
             self.fifo_g.write(runtime.convert_fl2k_u8(iq, 1))
 
     def write_audio(self, pcm: np.ndarray) -> None:
-        """pcm int16 [n, 2] already resampled to the DAC rate."""
+        """pcm: int16 stereo pairs at 32 kHz.  Stereo mode holds each
+        pair for sample_rate/32000 DAC samples and delta-sigma dithers
+        to 8 bits (src/rf_fl2k.c:150-183); spdif mode biphase-encodes
+        32 kHz S/PDIF blocks and FIR-resamples the bitstream to the DAC
+        rate (src/rf_fl2k.c:192-248)."""
+        pcm = np.ascontiguousarray(pcm, np.int16).reshape(-1, 2)
         if self.audio == "stereo":
-            pcm = np.ascontiguousarray(pcm, np.int16)
-            self.fifo_g.write(self.dither[0].process(pcm[:, 0].copy()))
-            self.fifo_b.write(self.dither[1].process(pcm[:, 1].copy()))
+            self._write_audio_stereo(pcm)
         elif self.audio == "spdif":
-            self.fifo_b.write(np.ascontiguousarray(pcm, np.uint8))
+            self._write_audio_spdif(pcm)
+
+    def _write_audio_stereo(self, pcm: np.ndarray) -> None:
+        # pairs consumed after k DAC samples = floor(k * 32000 / rate);
+        # generate DAC samples until these pairs are all consumed
+        S, A = self.sample_rate, 32000
+        p1 = self._dac_k * A // S + len(pcm)
+        k1 = -(-p1 * S // A)          # ceil: last k with p1 pairs used
+        k = np.arange(self._dac_k + 1, k1 + 1, dtype=np.int64)
+        if len(k) == 0:
+            return
+        held = k * A // S - 1 - (self._dac_k * A // S)  # into pcm; -1 pre
+        vals = np.concatenate([self._held[None, :], pcm])
+        hv = vals[np.clip(held + 1, 0, len(pcm))]
+        self.fifo_g.write(self.dither[0].process(
+            np.ascontiguousarray(hv[:, 0])))
+        self.fifo_b.write(self.dither[1].process(
+            np.ascontiguousarray(hv[:, 1])))
+        self._dac_k = int(k1)
+        self._held = pcm[-1].copy()
+
+    def _write_audio_spdif(self, pcm: np.ndarray) -> None:
+        sp = self._spdif_mod
+        buf = np.concatenate([self._spdif_pcm, pcm.reshape(-1)])
+        nblk = len(buf) // sp.SPDIF_BLOCK_SAMPLES
+        for b in range(nblk):
+            blk = buf[b * sp.SPDIF_BLOCK_SAMPLES:
+                      (b + 1) * sp.SPDIF_BLOCK_SAMPLES]
+            bits = np.unpackbits(sp.spdif_block(blk).reshape(-1))
+            sym = np.where(bits, 23405, -23405).astype(np.int16)
+            sym5 = np.repeat(sym, 5)
+            out = self._spdif_rs.process(sym5)
+            self.fifo_b.write(((out.astype(np.int32) + 32768) >> 8
+                               ).astype(np.uint8))
+        self._spdif_pcm = buf[nblk * sp.SPDIF_BLOCK_SAMPLES:]
 
     def _fill(self, n: int):
         """Returns (r, g, b) byte buffers of length n each."""
@@ -229,32 +293,49 @@ class FL2KSink:
 def open_sink(kind: str, serial, sample_rate: int, frequency: int = 0,
               gain: int = 0, amp: bool = False, antenna=None,
               complex_out: bool = True, baseband: bool = False,
-              fl2k_audio: str = "none"):
+              fl2k_audio: str = "none", lib=None):
+    """Open a hardware sink with the real ctypes driver (rf.drivers).
+    `lib` injects a library object for tests; otherwise the vendor
+    library is located with ctypes.util.find_library."""
+    from . import drivers
+
     if kind == "hackrf":
-        lib = _find_lib(["hackrf"])
+        lib = lib or _find_lib(["hackrf"])
         if lib is None:
             raise HardwareUnavailable(
                 "hackrf output requires libhackrf, which is not "
                 "installed on this host; use file:<path> or -")
-        raise HardwareUnavailable(
-            "libhackrf found but the USB transfer driver is not "
-            "implemented for this host build")
+        try:
+            drv = drivers.HackRFDriver(
+                lib, serial=serial, sample_rate=sample_rate,
+                frequency=frequency, txvga_gain=gain, amp=amp,
+                baseband=baseband)
+        except drivers.DriverError as e:
+            raise HardwareUnavailable(f"hackrf: {e}")
+        return HackRFSink(drv, sample_rate, baseband=baseband)
     if kind == "soapysdr":
-        lib = _find_lib(["SoapySDR"])
+        lib = lib or _find_lib(["SoapySDR"])
         if lib is None:
             raise HardwareUnavailable(
                 "soapysdr output requires libSoapySDR, which is not "
                 "installed on this host; use file:<path> or -")
-        raise HardwareUnavailable(
-            "libSoapySDR found but the stream driver is not "
-            "implemented for this host build")
+        try:
+            drv = drivers.SoapySDRDriver(
+                lib, device=serial, sample_rate=sample_rate,
+                frequency=frequency, gain=gain, antenna=antenna)
+        except drivers.DriverError as e:
+            raise HardwareUnavailable(f"soapysdr: {e}")
+        return SoapySDRSink(drv)
     if kind == "fl2k":
-        lib = _find_lib(["osmo-fl2k"])
+        lib = lib or _find_lib(["osmo-fl2k"])
         if lib is None:
             raise HardwareUnavailable(
                 "fl2k output requires libosmo-fl2k, which is not "
                 "installed on this host; use file:<path> or -")
-        raise HardwareUnavailable(
-            "libosmo-fl2k found but the transfer driver is not "
-            "implemented for this host build")
+        try:
+            drv = drivers.FL2KDriver(lib, device=serial,
+                                     sample_rate=sample_rate)
+        except drivers.DriverError as e:
+            raise HardwareUnavailable(f"fl2k: {e}")
+        return FL2KSink(drv, sample_rate, audio=fl2k_audio)
     raise HardwareUnavailable(f"unknown hardware sink {kind!r}")

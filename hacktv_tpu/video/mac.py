@@ -765,6 +765,15 @@ class MacEncoder:
             return a.reshape(-1).view(np.int16).reshape(-1, 2)
         return a.reshape(-1)
 
+    def block_audio_pcm(self, block_no: int):
+        """32 kHz int16 stereo pairs consumed during this block — the
+        sink audio side-channel (src/video.c:3306-3310)."""
+        n = self.frames_per_block * mb.MAC_LINES
+        k0 = block_no * n
+        p0 = self.mux._audio_pairs_through_line(k0 - 1)
+        p1 = self.mux._audio_pairs_through_line(k0 + n - 1)
+        return self.mux._pcm(p0, p1 - p0).astype(np.int16)
+
     @property
     def frame_samples(self) -> int:
         """Output samples per frame (at sample_rate, post-resampler)."""

@@ -1,0 +1,234 @@
+"""Hardware driver call-sequence tests (mocked vendor libraries) and
+sink audio side-channel end-to-end tests.
+
+The ctypes drivers (rf/drivers.py) take the loaded library as an
+argument, so a mock object can verify the exact reference call
+sequences (src/rf_hackrf.c:379-561, src/rf_soapysdr.c:98-213,
+src/rf_fl2k.c:280-390) without the vendor hardware."""
+
+import ctypes as C
+
+import numpy as np
+import pytest
+
+from hacktv_tpu.rf import drivers, hardware
+
+
+class _MockLib:
+    """Returns success (0) from any function; records the call order."""
+
+    def __init__(self, version=b"git-abcdef (2024)"):
+        self.called = []
+        self._version = version
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def fn(*args):
+            self.called.append(name)
+            if name == "hackrf_version_string_read":
+                buf = args[1]
+                buf.value = self._version
+            if name == "hackrf_open_by_serial":
+                # set the device handle so `if not dev` checks pass
+                args[1]._obj.value = 1234
+            if name == "fl2k_open":
+                args[0]._obj.value = 1234
+            if name in ("SoapySDRDevice_makeStrArgs",
+                        "SoapySDRDevice_setupStream"):
+                return 1234
+            return 0
+        setattr(self, name, fn)
+        return fn
+
+
+def test_hackrf_driver_call_sequence():
+    lib = _MockLib()
+    drv = drivers.HackRFDriver(lib, serial="0000", sample_rate=16_000_000,
+                               frequency=471_250_000, txvga_gain=47,
+                               amp=True)
+    assert lib.called[:2] == ["hackrf_init", "hackrf_open_by_serial"]
+    # RF configuration in the reference's order (rf_hackrf.c:499-545)
+    tail = [c for c in lib.called if c.startswith("hackrf_set")]
+    assert tail == ["hackrf_set_sample_rate_manual",
+                    "hackrf_set_baseband_filter_bandwidth",
+                    "hackrf_set_freq", "hackrf_set_txvga_gain",
+                    "hackrf_set_amp_enable"]
+    # TX pump: callback requests bytes from fill()
+    got = []
+    drv.start(lambda n: b"\x01" * n)
+    assert "hackrf_start_tx" in lib.called
+    t = drivers._hackrf_transfer()
+    buf = (C.c_uint8 * 64)()
+    t.buffer = C.cast(buf, C.POINTER(C.c_uint8))
+    t.buffer_length = 64
+    t.valid_length = 64
+    assert drv._cb_ref(C.pointer(t)) == 0
+    assert bytes(buf) == b"\x01" * 64
+    # EOF -> callback returns -1 (ends the stream)
+    drv2 = drivers.HackRFDriver(_MockLib())
+    drv2.start(lambda n: b"")
+    assert drv2._cb_ref(C.pointer(t)) == -1
+    drv.stop()
+    assert lib.called[-3:] == ["hackrf_stop_tx", "hackrf_close",
+                               "hackrf_exit"]
+
+
+def test_hackrf_hackdac_detection_and_baseband():
+    lib = _MockLib(version=b"2024.02.1 hackdac-h-42")
+    drv = drivers.HackRFDriver(lib, baseband=True)
+    assert drv.hackdac_version == 42
+    assert "hackrf_set_hackdac_mode" in lib.called
+    # non-HackDAC firmware + baseband -> error
+    with pytest.raises(drivers.DriverError):
+        drivers.HackRFDriver(_MockLib(), baseband=True)
+
+
+def test_soapysdr_driver_call_sequence():
+    lib = _MockLib()
+    drv = drivers.SoapySDRDriver(lib, device="driver=lime",
+                                 sample_rate=16_000_000,
+                                 frequency=471_250_000, gain=30,
+                                 antenna="BAND1")
+    assert lib.called == [
+        "SoapySDRDevice_makeStrArgs", "SoapySDRDevice_setSampleRate",
+        "SoapySDRDevice_setFrequency", "SoapySDRDevice_setGain",
+        "SoapySDRDevice_setAntenna", "SoapySDRDevice_setupStream",
+        "SoapySDRDevice_activateStream"]
+    drv.stop()
+    assert lib.called[-3:] == ["SoapySDRDevice_deactivateStream",
+                               "SoapySDRDevice_closeStream",
+                               "SoapySDRDevice_unmake"]
+
+
+def test_fl2k_driver_call_sequence():
+    lib = _MockLib()
+    drv = drivers.FL2KDriver(lib, device="1", sample_rate=13_500_000)
+    drv.start(lambda n: (b"\x10" * n, b"\x20" * n, b"\x30" * n))
+    # start_tx is called BEFORE set_sample_rate (rf_fl2k.c:361-375)
+    assert lib.called == ["fl2k_open", "fl2k_start_tx",
+                          "fl2k_set_sample_rate"]
+    info = drivers._fl2k_data_info()
+    info.len = 32
+    drv._cb_ref(C.pointer(info))
+    assert C.string_at(info.r_buf, 32) == b"\x10" * 32
+    assert C.string_at(info.b_buf, 32) == b"\x30" * 32
+    drv.stop()
+
+
+def test_open_sink_with_injected_lib():
+    """open_sink returns a working sink when the library exists."""
+    s = hardware.open_sink("hackrf", None, sample_rate=1_000_000,
+                           lib=_MockLib())
+    assert isinstance(s, hardware.HackRFSink)
+    s.close()
+    s = hardware.open_sink("fl2k", None, sample_rate=1_000_000,
+                           complex_out=False, fl2k_audio="stereo",
+                           lib=_MockLib())
+    assert isinstance(s, hardware.FL2KSink)
+    s.close()
+
+
+# ---------------------------------------------------------------------------
+# Audio side-channel end-to-end
+
+
+class _LoopDriver:
+    def __init__(self, transfer=4096):
+        self.transfer = transfer
+        self.pulled = b""
+
+    def start(self, fill):
+        self.fill = fill
+
+    def pump(self, n):
+        for _ in range(n):
+            b = self.fill(self.transfer)
+            if not b:
+                return
+            self.pulled += b
+
+    def stop(self):
+        pass
+
+
+class _RGBLoopDriver(_LoopDriver):
+    def __init__(self, transfer=4096):
+        super().__init__(transfer)
+        self.r = self.g = self.b = b""
+
+    def pump(self, n):
+        for _ in range(n):
+            r, g, b = self.fill(self.transfer)
+            self.r += r
+            self.g += g
+            self.b += b
+
+
+def test_hackdac_consumes_real_encoder_audio():
+    """HackDAC AV interleave fed from the production encoder's 32 kHz
+    PCM tap: the audio phases must carry the resampled ident tone."""
+    from hacktv_tpu import Encoder
+    enc = Encoder("pal", 2_000_000)   # real baseband, but pal has no audio
+    assert enc.block_audio_pcm(0) is None
+
+    enc = Encoder("b", 2_000_000)     # PAL-B/G: FM audio -> has_audio
+    pcm = enc.block_audio_pcm(0)
+    assert pcm is not None and pcm.shape[1] == 2
+    # 1 frame at 25 fps = 1280 pairs at 32 kHz
+    assert len(pcm) == 32000 // 25
+
+    drv = _LoopDriver(hardware.HACKDAC_PHASE_SIZE)
+    s = hardware.HackRFSink(drv, sample_rate=2_000_000, baseband=True)
+    s.write_audio(pcm)
+    # 1280 pairs at 32 kHz -> rate/64 = 31250 Hz: ~1250 pairs queued
+    level = s.audio_fifo.level()
+    assert 1240 * 4 <= level <= 1260 * 4
+    s.close()
+
+
+def test_fl2k_stereo_audio_hold_and_dither():
+    """FL2K stereo: 32 kHz pairs hold-interpolated to the DAC rate with
+    delta-sigma dither (src/rf_fl2k.c:150-183)."""
+    drv = _RGBLoopDriver(1000)
+    s = hardware.FL2KSink(drv, sample_rate=320_000, audio="stereo")
+    pcm = np.zeros((32, 2), np.int16)
+    pcm[:, 0] = 8192      # left constant
+    pcm[:, 1] = -8192
+    s.write_audio(pcm)
+    # 32 pairs * (320000/32000) = 320 DAC samples per channel
+    assert s.fifo_g.level() == 320
+    assert s.fifo_b.level() == 320
+    s.write(np.zeros((1000, 2), np.int16))
+    drv.pump(1)
+    g = np.frombuffer(drv.g[:320], np.uint8).astype(np.int32)
+    b = np.frombuffer(drv.b[:320], np.uint8).astype(np.int32)
+    # dithered mean ~ (value - INT16_MIN) >> 8
+    assert abs(g.mean() - (8192 + 32768) / 256) < 1.0
+    assert abs(b.mean() - (-8192 + 32768) / 256) < 1.0
+    s.close()
+
+
+def test_fl2k_spdif_audio_bitstream():
+    """FL2K S/PDIF: blocks encode at 32 kHz and resample to the DAC
+    rate (src/rf_fl2k.c:192-248)."""
+    from hacktv_tpu.audio import spdif as sp
+    drv = _RGBLoopDriver(1000)
+    s = hardware.FL2KSink(drv, sample_rate=4_096_000, audio="spdif")
+    pairs = sp.SPDIF_BLOCK_SAMPLES // 2
+    t = np.arange(pairs)
+    pcm = np.stack([(3000 * np.sin(2 * np.pi * t * 1000 / 32000)),
+                    (3000 * np.cos(2 * np.pi * t * 1000 / 32000))],
+                   axis=-1).astype(np.int16)
+    s.write_audio(pcm)
+    # one full block: 384 samples -> 384 * 64 biphase halves at
+    # 4.096 MHz DAC = block duration 6 ms * 4.096 MS/s
+    lvl = s.fifo_b.level()
+    assert lvl > 0
+    # the bitstream must toggle (biphase-mark guarantees transitions)
+    s.write(np.zeros((1000, 2), np.int16))
+    drv.pump(1)
+    b = np.frombuffer(drv.b[:lvl], np.uint8)
+    assert b.min() < 100 and b.max() > 150
+    s.close()
