@@ -3,50 +3,116 @@
 The reference links libavcodec and runs five decode/scale/resample
 threads (src/av_ffmpeg.c).  Here decode stays on the host CPU either
 way, so we drive the `ffmpeg` *binary* through two pipes — one decoding
-video to raw RGB24 frames at the target frame rate and size, one
-decoding audio to 32 kHz stereo s16le (the reference's fixed internal
-audio format, src/hacktv.h:31) — and hand the frames to the device
-pipeline.  Gated: raises a clear error when no ffmpeg binary is on
-PATH.
+video to raw RGB24 frames at native resolution and the target frame
+rate (CFR: ffmpeg drops/repeats like the reference's PTS sync,
+src/av_ffmpeg.c:550-753), one decoding audio to 32 kHz stereo s16le
+(the reference's fixed internal audio format, src/hacktv.h:31).
+
+A probe pass parses the stream's pixel aspect ratio (exposed as
+`pixel_aspect_ratio` for the fit geometry, src/av_ffmpeg.c:606-680)
+and whether an audio stream exists.  `ffmt`/`fopts` map to the
+reference's --ffmt/--fopts (forced input format + demuxer options,
+src/hacktv.c:520-524, src/av_ffmpeg.c:1022-1031).
+
+EIA-608 captions: the ffmpeg *binary* cannot emit raw A53 byte pairs
+(the reference reads them from libav frame side data,
+src/av_ffmpeg.c:566-581), so captions come from a `<path>.cc608`
+side-car of one byte pair per frame, like the raw: source.
+
+When the binary is missing, `open_video_source` falls back to the
+OpenCV decoder (av/videofile.py), which covers moving-video input in
+environments without ffmpeg.
 """
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 import subprocess
+from fractions import Fraction
 
 import numpy as np
 
 AUDIO_RATE = 32000
 
 
+def _probe(binary, path, ffmt=None, fopts=None):
+    """Parse `ffmpeg -i` stream info: (par, has_audio)."""
+    cmd = list(binary) + ["-hide_banner"]
+    cmd += _input_args(path, ffmt, fopts)
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=30)
+        text = r.stderr.decode("utf-8", "replace")
+    except Exception:
+        return Fraction(1, 1), True
+    par = Fraction(1, 1)
+    m = re.search(r"Video:.*?\bSAR (\d+):(\d+)\b", text)
+    if m and int(m.group(1)) > 0 and int(m.group(2)) > 0:
+        par = Fraction(int(m.group(1)), int(m.group(2)))
+    has_audio = re.search(r"Stream #.*Audio:", text) is not None
+    return par, has_audio
+
+
+def _input_args(path, ffmt, fopts):
+    args = []
+    if ffmt:
+        args += ["-f", ffmt]
+    if fopts:
+        # option=value[:option2=value2] (src/av_ffmpeg.c:1027-1031)
+        for kv in fopts.split(":"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                args += ["-" + k, v]
+    return args + ["-i", path]
+
+
 class FFmpegSource:
     def __init__(self, path: str, width: int, height: int,
-                 frame_rate=(25, 1), loop: bool = False):
-        if shutil.which("ffmpeg") is None:
-            raise SystemExit(
-                "ffmpeg input requires the ffmpeg binary on PATH "
-                "(not present in this environment); use 'test' or 'raw:'")
+                 frame_rate=(25, 1), loop: bool = False,
+                 ffmt: str | None = None, fopts: str | None = None,
+                 binary=None):
+        if binary is None:
+            if shutil.which("ffmpeg") is None:
+                raise SystemExit(
+                    "ffmpeg input requires the ffmpeg binary on PATH; "
+                    "use 'test', 'raw:' or an OpenCV-decodable file")
+            binary = ["ffmpeg"]
+        elif isinstance(binary, str):
+            binary = [binary]
         self.path = path
-        self.width = width
-        self.height = height
         self.interlaced = 0
         self.loop = loop
         num, den = (frame_rate.num, frame_rate.den) \
             if hasattr(frame_rate, "num") else frame_rate
+
+        self.pixel_aspect_ratio, has_audio = _probe(binary, path,
+                                                    ffmt, fopts)
+        # native decode size from the first frame; the fit geometry
+        # (FitSource) letterboxes/scales downstream using the PAR
+        inp = _input_args(path, ffmt, fopts)
         self._vproc = subprocess.Popen(
-            ["ffmpeg", "-nostdin", "-v", "error", "-i", path,
-             "-f", "rawvideo", "-pix_fmt", "rgb24",
-             "-vf", f"scale={width}:{height}",
+            list(binary) + ["-nostdin", "-v", "error"] + inp +
+            ["-f", "rawvideo", "-pix_fmt", "rgb24",
              "-r", f"{num}/{den}", "-"],
             stdout=subprocess.PIPE)
-        self._aproc = subprocess.Popen(
-            ["ffmpeg", "-nostdin", "-v", "error", "-i", path,
-             "-f", "s16le", "-acodec", "pcm_s16le",
-             "-ar", str(AUDIO_RATE), "-ac", "2", "-"],
-            stdout=subprocess.PIPE)
+        self._aproc = None
+        if has_audio:
+            self._aproc = subprocess.Popen(
+                list(binary) + ["-nostdin", "-v", "error"] + inp +
+                ["-f", "s16le", "-acodec", "pcm_s16le",
+                 "-ar", str(AUDIO_RATE), "-ac", "2", "-"],
+                stdout=subprocess.PIPE)
+
+        # frame geometry: need the native size; probe text is the
+        # authority but the caller's (width, height) is the fallback
+        self.width = width
+        self.height = height
+        self._native_probe(binary, path, ffmt, fopts)
+
         self._frame_no = -1
-        self._frame = np.zeros((height, width, 3), dtype=np.uint8)
+        self._frame = np.zeros((self.height, self.width, 3),
+                               dtype=np.uint8)
         self._eof = False
         # bounded sliding audio window: consumers pull nearly
         # monotonically with < 1 s of lookback (limiter/J17 history),
@@ -54,12 +120,33 @@ class FFmpegSource:
         self._audio = np.zeros((0, 2), dtype=np.int16)
         self._audio_base = 0           # stream pair index of _audio[0]
         self._audio_keep = 4 * AUDIO_RATE
-        self._audio_eof = False
+        self._audio_eof = self._aproc is None
+
+        # EIA-608 side-car (one byte pair per frame)
+        self._cc = np.zeros((0, 2), dtype=np.uint8)
+        cc = path + ".cc608"
+        if os.path.exists(cc):
+            raw = np.fromfile(cc, dtype=np.uint8)
+            self._cc = raw[: len(raw) // 2 * 2].reshape(-1, 2)
+
+    def _native_probe(self, binary, path, ffmt, fopts):
+        cmd = list(binary) + ["-hide_banner"] + _input_args(path, ffmt,
+                                                            fopts)
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=30)
+            m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b",
+                          r.stderr.decode("utf-8", "replace"))
+            if m:
+                self.width = int(m.group(1))
+                self.height = int(m.group(2))
+        except Exception:
+            pass
 
     def read_video(self, frame_no: int) -> np.ndarray:
+        nbytes = self.width * self.height * 3
         while self._frame_no < frame_no and not self._eof:
-            raw = self._vproc.stdout.read(self.width * self.height * 3)
-            if len(raw) < self.width * self.height * 3:
+            raw = self._vproc.stdout.read(nbytes)
+            if len(raw) < nbytes:
                 self._eof = True
                 break
             self._frame = np.frombuffer(raw, dtype=np.uint8).reshape(
@@ -94,11 +181,33 @@ class FFmpegSource:
             self._audio_base += drop
         return out
 
+    def read_cc608(self, frame_no: int):
+        """EIA-608 byte pair for frame_no ((0, 0) when none).  From the
+        .cc608 side-car; the reference's A53 side-data path needs libav
+        (src/av_ffmpeg.c:566-581), which the binary cannot expose."""
+        if frame_no < len(self._cc):
+            return int(self._cc[frame_no, 0]), int(self._cc[frame_no, 1])
+        return 0, 0
+
     def eof(self, frame_no: int) -> bool:
         return self._eof and frame_no > self._frame_no
 
     def close(self) -> None:
         for p in (self._vproc, self._aproc):
-            if p.poll() is None:
-                p.kill()
-            p.wait()
+            if p is not None:
+                if p.poll() is None:
+                    p.kill()
+                p.wait()
+
+
+def open_video_source(path: str, width: int, height: int,
+                      frame_rate=(25, 1), ffmt=None, fopts=None):
+    """ffmpeg binary when available, OpenCV decoder otherwise."""
+    if shutil.which("ffmpeg") is not None:
+        return FFmpegSource(path, width, height, frame_rate=frame_rate,
+                            ffmt=ffmt, fopts=fopts)
+    if ffmt or fopts:
+        raise SystemExit("--ffmt/--fopts require the ffmpeg binary, "
+                         "which is not on PATH")
+    from .videofile import OpenCVSource
+    return OpenCVSource(path, width, height, frame_rate=frame_rate)

@@ -171,6 +171,13 @@ class FitSource:
         self.height = cfg.height
         self.interlaced = getattr(inner, "interlaced", 0)
         self._cache: tuple[int, np.ndarray] | None = None
+        # PAR of the fitted output frame (consumed by the MAC aspect
+        # flag, src/mac.c:893-897): the chosen display ratio over the
+        # active-frame SAR; updated per frame in read_video
+        from fractions import Fraction as _F
+        b = cfg.display_aspect_ratios[0]
+        self.pixel_aspect_ratio = _F(b.num * cfg.height,
+                                     b.den * cfg.width)
 
     def read_video(self, frame_no: int) -> np.ndarray:
         if self._cache is not None and self._cache[0] == frame_no:
@@ -184,6 +191,11 @@ class FitSource:
             rgb = vflip(rgb)
         h, w = rgb.shape[:2]
         dar = display_aspect_ratio(w, h, self.par)
+        if len(self.cfg.display_aspect_ratios) > 1:
+            from fractions import Fraction as _F
+            b = _nearest(dar, *self.cfg.display_aspect_ratios[:2])
+            self.pixel_aspect_ratio = _F(b.num * self.cfg.height,
+                                         b.den * self.cfg.width)
         vis_w, vis_h = calculate_frame_size(self.cfg, Rational(w, h), dar)
         vw = min(int(vis_w), self.cfg.width)
         vh = min(int(vis_h), self.cfg.height)

@@ -218,17 +218,18 @@ def _open_hw_sink(args, hw: str, complex_out: bool):
 
 
 def _make_source(spec: str, active_width: int, active_lines: int,
-                 frame_rate):
+                 frame_rate, ffmt=None, fopts=None):
     from .av.testcard import TestCardSource
     if spec == "test":
         return TestCardSource(active_width, active_lines)
     if spec.startswith("raw:"):
         from .av.rawfile import RawFileSource
         return RawFileSource(spec[4:], active_width, active_lines)
-    from .av.ffmpeg import FFmpegSource
+    from .av.ffmpeg import open_video_source
     path = spec.split(":", 1)[1] if spec.startswith("ffmpeg:") else spec
-    return FFmpegSource(path, active_width, active_lines,
-                        frame_rate=frame_rate)
+    return open_video_source(path, active_width, active_lines,
+                             frame_rate=frame_rate, ffmt=ffmt,
+                             fopts=fopts)
 
 
 def _build_source(args, conf, active_width):
@@ -267,9 +268,15 @@ def _build_source(args, conf, active_width):
 
     def make(spec):
         def f():
-            src = _make_source(spec, aw, al, conf.frame_rate)
+            src = _make_source(spec, aw, al, conf.frame_rate,
+                               ffmt=args.ffmt, fopts=args.fopts)
             if need_fit and spec != "test":
-                return FitSource(src, cfg)
+                # stream PAR (anamorphic DVD/DVB input) feeds the DAR
+                # maths (src/av_ffmpeg.c:606-680)
+                spar = getattr(src, "pixel_aspect_ratio", None)
+                par = (Rational(spar.numerator, spar.denominator)
+                       if spar is not None else None)
+                return FitSource(src, cfg, par=par)
             return src
         return f
 

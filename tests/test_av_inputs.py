@@ -1,0 +1,128 @@
+"""AV input tests: the ffmpeg pipe source (via a fake ffmpeg binary,
+so the whole pipe/probe path runs in CI) and the OpenCV fallback
+decoder for environments without ffmpeg."""
+
+import os
+import subprocess
+import sys
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FAKE = os.path.join(ROOT, "tests", "data", "fake_ffmpeg.py")
+
+
+def _ffsrc(tmp_path, **kw):
+    from hacktv_tpu.av.ffmpeg import FFmpegSource
+    inp = tmp_path / "in.avi"
+    inp.write_bytes(b"fake")
+    return FFmpegSource(str(inp), 702, 576,
+                        binary=[sys.executable, FAKE], **kw), inp
+
+
+def test_ffmpeg_probe_par_and_native_size(tmp_path):
+    src, _ = _ffsrc(tmp_path)
+    # SAR 16:11 parsed from the probe (src/av_ffmpeg.c:606-620)
+    assert src.pixel_aspect_ratio == Fraction(16, 11)
+    # native decode size, not the active size — FitSource scales
+    assert (src.width, src.height) == (64, 48)
+    src.close()
+
+
+def test_ffmpeg_video_and_audio_pipes(tmp_path):
+    src, _ = _ffsrc(tmp_path)
+    f0 = src.read_video(0)
+    f2 = src.read_video(2)
+    assert f0.shape == (48, 64, 3)
+    assert f2[0, 0, 0] == 25 and f2[0, 0, 2] == 200
+    assert not src.eof(4)
+    src.read_video(10)
+    assert src.eof(10)
+    pcm = src.read_audio(0, 100)
+    assert pcm.shape == (100, 2)
+    assert pcm[50, 0] == 50 and pcm[50, 1] == -50
+    src.close()
+
+
+def test_ffmpeg_ffmt_fopts_passthrough(tmp_path):
+    src, inp = _ffsrc(tmp_path, ffmt="rawvideo",
+                      fopts="video_size=64x48:pixel_format=bgra")
+    src.read_video(0)
+    calls = (tmp_path / "in.avi.calls").read_text().splitlines()
+    decode = [c for c in calls if c.endswith(" -")]
+    assert decode, calls
+    for c in decode:
+        assert "-f rawvideo" in c.split("-i")[0]
+        assert "-video_size 64x48" in c
+        assert "-pixel_format bgra" in c
+    src.close()
+
+
+def test_ffmpeg_cc608_sidecar(tmp_path):
+    from hacktv_tpu.av.ffmpeg import FFmpegSource
+    inp = tmp_path / "in.avi"
+    inp.write_bytes(b"fake")
+    (tmp_path / "in.avi.cc608").write_bytes(bytes([0x14, 0x2C, 0x80,
+                                                   0x80]))
+    src = FFmpegSource(str(inp), 702, 576,
+                       binary=[sys.executable, FAKE])
+    assert src.read_cc608(0) == (0x14, 0x2C)
+    assert src.read_cc608(1) == (0x80, 0x80)
+    assert src.read_cc608(2) == (0, 0)
+    src.close()
+
+
+# ---------------------------------------------------------------------------
+# OpenCV fallback
+
+
+def _write_avi(path, n=6, w=64, h=48):
+    cv2 = pytest.importorskip("cv2")
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"),
+                         25, (w, h))
+    assert wr.isOpened()
+    for f in range(n):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :, 2] = 40 * f + 20        # red ramp (BGR order)
+        wr.write(img)
+    wr.release()
+
+
+def test_opencv_source_decode(tmp_path):
+    from hacktv_tpu.av.videofile import OpenCVSource
+    avi = tmp_path / "m.avi"
+    _write_avi(avi)
+    src = OpenCVSource(str(avi), 702, 576, frame_rate=(25, 1))
+    assert (src.width, src.height) == (64, 48)
+    f0 = src.read_video(0)
+    f3 = src.read_video(3)
+    # BGR -> RGB: the ramp is in the red channel
+    assert abs(int(f3[5, 5, 0]) - 140) < 25
+    assert not src.eof(5)
+    src.read_video(10)
+    assert src.eof(10)
+    src.close()
+
+
+def test_cli_video_file_input(tmp_path):
+    """A video file input drives the full CLI encode via the OpenCV
+    fallback (no ffmpeg binary in this environment)."""
+    pytest.importorskip("cv2")
+    avi = tmp_path / "m.avi"
+    _write_avi(avi)
+    out = tmp_path / "o.s16"
+    r = subprocess.run(
+        [sys.executable, "-m", "hacktv_tpu", "-o", str(out), "-m",
+         "pal", "--fit", "fit", "--frames", "1", str(avi)],
+        capture_output=True, timeout=600, cwd=ROOT)
+    assert r.returncode == 0, r.stderr.decode()
+    mine = np.fromfile(out, dtype=np.int16)
+    assert len(mine) == 640000
+    r2 = subprocess.run(
+        [sys.executable, "-m", "hacktv_tpu", "-o", str(out) + ".t",
+         "-m", "pal", "--frames", "1", "test"],
+        capture_output=True, timeout=600, cwd=ROOT)
+    card = np.fromfile(str(out) + ".t", dtype=np.int16)
+    assert not np.array_equal(mine, card)
