@@ -582,6 +582,19 @@ class AudioChain:
         self._held_cache[id(carrier)] = ((i_lo, i_hi, vals),) + cached[:1]
         return vals
 
+    def fm_exact_stream(self, carrier: FMCarrier, n0: int, n1: int
+                        ) -> np.ndarray:
+        """Per-output-sample held int16 feed for output samples
+        [n0, n1) — the value the reference's audio process holds while
+        calling _fm_modulator_add (src/video.c:3273-3424)."""
+        ns = np.arange(n0, n1, dtype=np.int64)
+        idx = self.held_index(ns)
+        i_lo = int(idx[0])
+        i_hi = int(idx[-1]) + 1
+        vals = self._held_values(carrier, i_lo, i_hi)
+        v = vals[idx - i_lo]
+        return np.clip(v, -32768, 32767).astype(np.int16)
+
     def _dev_phase_bases(self, carrier: FMCarrier, i_lo: int, i_hi: int,
                          held: np.ndarray) -> np.ndarray:
         """Phi at the start of each hold period for indices [i_lo, i_hi):

@@ -163,17 +163,35 @@ class Encoder:
         self.complex_out = conf.output_type == OutputType.COMPLEX
         self._init_audio(systeraudio=systeraudio, a2stereo=a2stereo)
 
-        # FM video modulation (src/video.c:4564-4585)
+        # FM video modulation (src/video.c:4564-4585).  The reference's
+        # int32 phase recurrence truncation-walks by a content-dependent
+        # ~1e-8 rad/sample that a closed form cannot reproduce, so the
+        # host-exact serial kernel runs the modulator when possible
+        # (satellite FM modes are far below the device's throughput
+        # ceiling anyway); the device closed form remains for FM
+        # combined with the post-FM device stages (swap/offset/passthru).
         from .config.standards import Modulation
         from .rf import ops as rf_ops
         self.fm_video_statics = None
+        self.fm_video_exact = None
         if conf.modulation == Modulation.FM:
-            self.fm_video_statics = rf_ops.make_fm_video_statics(
-                conf.fm_deviation, conf.fm_level * conf.level,
-                p.sample_rate, conf.lines)
-            # device scalar from the start: the carry stays on device
-            # (no host sync) and the packed-args spec stays stable
-            self._fm_r: dict[int, object] = {0: jnp.int32(0)}
+            use_host = (not conf.swap_iq and not conf.offset
+                        and passthru is None)
+            if use_host:
+                from . import runtime
+                try:
+                    self.fm_video_exact = runtime.FmCarrierExact(
+                        0.0, conf.fm_deviation, p.sample_rate,
+                        int(round(32767 * conf.fm_level * conf.level)))
+                except Exception:
+                    pass
+            if self.fm_video_exact is None:
+                self.fm_video_statics = rf_ops.make_fm_video_statics(
+                    conf.fm_deviation, conf.fm_level * conf.level,
+                    p.sample_rate, conf.lines)
+                # device scalar from the start: the carry stays on
+                # device (no host sync), stable packed-args spec
+                self._fm_r: dict[int, object] = {0: jnp.int32(0)}
 
         # complex frequency offset (src/video.c:4592-4605)
         self.offset_statics = None
@@ -188,9 +206,13 @@ class Encoder:
         if conf.colour_mode == ColourMode.SECAM:
             self.secam_statics = secam_mod.make_statics(
                 p, self.vframe_x, self.source.width)
-            self._secam_tail = jnp.zeros(secam_mod._IIR_TAIL,
-                                         dtype=jnp.float32)
+            # stream-carried float64 IIR state per block (the reference
+            # carries (ix, iy) doubles across the whole stream,
+            # src/fir.c:710-740)
+            self._secam_iir = {0: (0.0, 0.0)}
             self._secam_meta_cache: dict = {}
+            self._secam_lut = secam_mod.carrier_lut(self.secam_statics,
+                                                    p.pixel_rate)
 
         # Raw baseband replay input (src/video.c:2406-2445): replaces the
         # raster; the int16 sample file loops and is rescaled to the
@@ -206,6 +228,43 @@ class Encoder:
         self.passthru = None
         if passthru is not None:
             self.passthru = _PassthruReader(passthru)
+
+        # Reference output-ring size (src/video.c:3578, 4641-4688): at
+        # startup the un-rendered next slots keep width 0 for one ring
+        # cycle, so vbidata truncates the forward sync spill of the
+        # first (olines - 1) lines there (material for Baird 240, whose
+        # mid-line vsync spills half a line forward).
+        _SVC_NLINES = {"VITS": 1, "WSS": 1, "Videocrypt": 2,
+                       "VideocryptS": 126, "Syster": 345,
+                       "SysterCNR": 2, "D11": 2, "ACP": 1, "VITC": 1,
+                       "CC608": 1, "SiS": 1, "Teletext": 1}
+        from .config.standards import ColourMode as _CM2
+        procs = [(1 if raw_bb_file else 3, False)]
+        if conf.colour_mode == _CM2.SECAM:
+            procs.append((1, True))
+        for s in self.services:
+            procs.append((_SVC_NLINES.get(type(s).__name__, 1), False))
+        if self.resampler is not None:
+            procs.append((2, True))
+        if p.vfilter_taps is not None or p.vfilter_ctaps is not None:
+            procs.append((2, True))
+        procs.append((1, True))                  # audio (always, :4561)
+        if self.fm_video_statics is not None \
+                or self.fm_video_exact is not None:
+            procs.append((1, True))
+        if conf.swap_iq:
+            procs.append((1, False))
+        if conf.offset:
+            procs.append((1, True))
+        if self.passthru is not None:
+            procs.append((1, False))
+        procs.append((1, False))                 # output
+        olines = 0
+        prev_thread = True
+        for i, (nl, th) in enumerate(procs):
+            olines += nl - (0 if (i == 0 or th or prev_thread) else 1)
+            prev_thread = th
+        self._spill_warmup = olines - 1
 
         # Multi-device execution: contiguous line ranges of the output
         # block are partitioned over a 1-D mesh (the output timeline is
@@ -228,8 +287,7 @@ class Encoder:
                     f"over {len(darr)} devices; adjust frames_per_block")
             self.mesh = Mesh(darr, ("t",))
             n_aux = sum(x is not None for x in (
-                self.fm_video_statics, self.secam_statics,
-                self.nicam_statics))
+                self.fm_video_statics, self.nicam_statics))
             shard = NamedSharding(self.mesh, P("t", None))
             rep = NamedSharding(self.mesh, P())
             outs = (shard,) + (rep,) * n_aux if n_aux else shard
@@ -256,7 +314,21 @@ class Encoder:
         self.fm_statics = None
         self.nicam_statics = None
         self.am_statics = None
-        if self.audio.fm_mono is not None:
+        self.fm_exact = None
+        self.fm_win = None
+        from .config.standards import Modulation as _Mod
+        fm_video = self.conf.modulation == _Mod.FM
+        if self.audio.fm_mono is not None and fm_video:
+            # FM-video (satellite) modes integrate the audio carrier's
+            # sub-LSB truncation bias into a phase ramp, so the carrier
+            # must reproduce the reference's int32 recurrence exactly —
+            # serial, so it runs in the native runtime on the host
+            # (src/video.c:2218-2276; see rt_fm_carrier_exact)
+            from . import runtime
+            c = self.audio.fm_mono
+            self.fm_exact = runtime.FmCarrierExact(
+                c.frequency, c.deviation, p.sample_rate, c.level_int)
+        elif self.audio.fm_mono is not None:
             c = self.audio.fm_mono
             self.fm_statics = audio_synth.make_fm_statics(
                 c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
@@ -331,7 +403,8 @@ class Encoder:
                            vframe_interlaced=self.source.interlaced,
                            vframe_x=self.vframe_x, vframe_y=self.vframe_y,
                            vframe_w=self.source.width,
-                           vframe_h=self.source.height)
+                           vframe_h=self.source.height,
+                           spill_warmup=self._spill_warmup)
         dev = {k: jnp.asarray(meta[k]) for k in _META_KEYS}
         dev["cos0"] = jnp.asarray(meta["cos0"].astype(np.float32))
         dev["sin0"] = jnp.asarray(meta["sin0"].astype(np.float32))
@@ -386,6 +459,8 @@ class Encoder:
             y, u, v = raster.rgb_to_yuv_host(self.params, rgb, secam)
         dev = tuple(jax.device_put(jnp.asarray(a)) for a in (y, u, v))
         self._rgb_cache = (rgb, dev)
+        if secam:
+            self._rgb_host_uv = (u, v)
         return dev
 
     # ------------------------------------------------------------------
@@ -413,9 +488,9 @@ class Encoder:
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
-            block, secam_tail = secam_mod.render(
-                self.secam_statics, block, rgb[1], rgb[2],
-                audio_args["secam"], audio_args["secam_tail"])
+            block = secam_mod.render(
+                self.secam_statics, block, audio_args["secam_add"],
+                audio_args["secam"])
         if self.services:
             lut = ((jnp.asarray(self.statics.carrier_rows[0])[lut_row],
                     jnp.asarray(self.statics.carrier_rows[1])[lut_row])
@@ -483,6 +558,13 @@ class Encoder:
                 self.fm_statics, out_i, out_q,
                 *fm_args(audio_args["fm_mono"], self.fm_win,
                          self.fm_statics))
+        if self.fm_exact is not None:
+            # host-exact audio carrier for FM-video modes, packed
+            # (i & 0xFFFF) | (q << 16) per sample
+            fx = audio_args["fm_exact"]
+            out_i = out_i + (((fx & 0xFFFF) ^ 0x8000) - 0x8000
+                             ).astype(jnp.float32)
+            out_q = out_q + (fx >> 16).astype(jnp.float32)
         if self.fm_right_statics is not None:
             pp = audio_args["a2_pilot"]
             phi_extra = audio_synth.a2_pilot_phase(
@@ -660,6 +742,19 @@ class Encoder:
                                             nlines, self.fm_win)
                 if self.fm_win is not None else
                 self.audio.fm_block(self.audio.fm_mono, a_k0, nlines))
+        if self.fm_exact is not None:
+            W = self.out_params.width
+            n0, n1 = a_k0 * W, (a_k0 + nlines) * W
+            fx = self.fm_exact
+            if n0 < fx.n:
+                fx.reset()
+            if fx.n < n0:   # skipped warm-up samples: advance silently
+                gap = self.audio.fm_exact_stream(self.audio.fm_mono,
+                                                 fx.n, n0)
+                fx.process(gap, fx.n, emit=False)
+            stream = self.audio.fm_exact_stream(self.audio.fm_mono,
+                                                n0, n1)
+            args["fm_exact"] = fx.process(stream, n0).reshape(nlines, W)
         if self.fm_right_statics is not None:
             args["fm_right"] = (
                 self.audio.fm_compact_block(self.audio.fm_right, a_k0,
@@ -694,15 +789,29 @@ class Encoder:
             key = k0
             sm = self._secam_meta_cache.get(key)
             if sm is None:
-                sm = secam_mod.line_meta(p, k0 - 1,
+                nm = secam_mod.line_meta(p, k0 - 1,
                                          nlines + 1 + self.halo_after,
                                          self.vframe_y, self.source.height)
-                sm = {k: jnp.asarray(v) for k, v in sm.items()}
+                sm = (nm, {k: jnp.asarray(v) for k, v in nm.items()})
                 if len(self._secam_meta_cache) > 8:
                     self._secam_meta_cache.clear()
                 self._secam_meta_cache[key] = sm
-            args["secam"] = sm
-            args["secam_tail"] = self._secam_tail
+            nm, jm = sm
+            args["secam"] = jm
+            if block_no not in self._secam_iir:
+                raise RuntimeError(
+                    "SECAM blocks must be encoded sequentially "
+                    f"(no IIR state for block {block_no})")
+            self._device_rgb(block_no)   # refresh host u/v planes
+            u, v = self._rgb_host_uv
+            chroma, snap, _ = secam_mod.chroma_block_host(
+                self.secam_statics, self.out_params.width, nm, u, v,
+                k0 - 1, k0 + nlines - 1, self._secam_iir[block_no])
+            self._secam_iir[block_no + 1] = snap
+            self._secam_iir.pop(block_no - 2, None)
+            args["secam_add"] = secam_mod.carrier_addin_host(
+                self.secam_statics, self.out_params.width, nm, chroma,
+                self._secam_lut)
         if self.offset_statics is not None:
             from .rf import ops as rf_ops
             c0, s0, nz = rf_ops.offset_rotation(
@@ -734,8 +843,6 @@ class Encoder:
                 # next block's dispatch chains on it asynchronously
                 self._fm_r[block_no + 1] = aux.pop(0)
                 self._fm_r.pop(block_no - 2, None)   # keep it bounded
-            if self.secam_statics is not None:
-                self._secam_tail = aux.pop(0)
             if self.nicam_statics is not None:
                 self.audio.nicam_dev_dsym(aux.pop(0))
         return out
@@ -767,6 +874,21 @@ class Encoder:
         """Host int16 samples for one block: [n] for real output modes,
         interleaved [n, 2] I/Q for complex/audio modes."""
         a = np.asarray(self.encode_block_device(block_no))
+        if self.fm_video_exact is not None:
+            # device produced the pre-FM composite; run the reference's
+            # exact int32 FM recurrence on the host (frequency 0)
+            comp = a.reshape(-1).view(np.int16)[0::2]
+            n = self.frames_per_block * self.conf.lines * \
+                self.out_params.width
+            fx = self.fm_video_exact
+            n0 = block_no * n
+            if n0 < fx.n:
+                fx.reset()
+            if fx.n < n0:
+                raise RuntimeError("FM blocks must be encoded "
+                                   "sequentially")
+            iq = fx.process(np.ascontiguousarray(comp), n0)
+            return iq.view(np.int16).reshape(-1, 2)
         if a.dtype == np.int32:
             return a.reshape(-1).view(np.int16).reshape(-1, 2)
         return a.reshape(-1)

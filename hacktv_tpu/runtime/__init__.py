@@ -96,6 +96,14 @@ def _declare(lib) -> None:
                                        c.c_int]
     lib.rt_fl2k_dither_u8.argtypes = [c.c_void_p, c.c_size_t, c.c_size_t,
                                       c.c_void_p, c.c_void_p]
+    lib.rt_fm_carrier_exact.argtypes = [c.c_void_p, c.c_void_p, c.c_size_t,
+                                        c.c_void_p, c.c_int32, c.c_void_p]
+    lib.rt_iir1_exact.argtypes = [c.c_void_p, c.c_size_t, c.c_double,
+                                  c.c_double, c.c_double, c.c_void_p,
+                                  c.c_void_p]
+    lib.rt_secam_carrier_exact.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_long, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_int32, c.c_void_p, c.c_void_p]
 
     lib.rt_file_sink_open.restype = c.c_void_p
     lib.rt_file_sink_open.argtypes = [c.c_char_p, c.c_int, c.c_int,
@@ -204,6 +212,55 @@ class Fl2kDither:
         self._lib.rt_fl2k_dither_u8(_ptr(pcm), n, stride, _ptr(out),
                                     _ptr(self._err))
         return out
+
+
+class FmCarrierExact:
+    """Exact reference FM audio-carrier generator (src/video.c:2218-2276):
+    int32 phase times quantised per-sample-value LUT phasor, truncating
+    >>31 multiplies, atan2 renorm every 32767 samples.  Stateful and
+    strictly sequential in the absolute output-sample index."""
+
+    def __init__(self, frequency: float, deviation: float,
+                 sample_rate: int, level_int: int):
+        self._lib = load()
+        r = np.arange(-32768, 32768, dtype=np.float64)
+        d = 2.0 * np.pi / sample_rate * (frequency + r / 32767.0
+                                         * deviation)
+        M = 2147483647.0
+
+        def lround(x):
+            return np.where(x >= 0, np.floor(x + 0.5),
+                            -np.floor(-x + 0.5))
+        lut = np.empty((65536, 2), np.int32)
+        lut[:, 0] = lround(np.cos(d) * M)
+        lut[:, 1] = lround(np.sin(d) * M)
+        self._lut = np.ascontiguousarray(lut)
+        self.level = int(level_int)
+        # [phase_i, phase_q, counter] (src/video.c:2223-2226)
+        self._state = np.array([2147483647, 0, 32767], np.int64)
+        self.n = 0           # absolute sample index of the state
+
+    def process(self, samples: np.ndarray, n0: int,
+                emit: bool = True) -> np.ndarray | None:
+        """Generate the packed int32 (i | q<<16) carrier for output
+        samples [n0, n0+len).  n0 must continue the stream; a rewind
+        restarts from sample 0 (the caller re-feeds the prefix with
+        emit=False)."""
+        if n0 != self.n:
+            raise ValueError(f"carrier stream discontinuity: {n0} != "
+                             f"{self.n}")
+        samples = np.ascontiguousarray(samples, np.int16)
+        out = np.empty(len(samples), np.int32) if emit else None
+        self._lib.rt_fm_carrier_exact(
+            _ptr(self._state), _ptr(samples), len(samples),
+            _ptr(self._lut), self.level,
+            _ptr(out) if emit else None)
+        self.n += len(samples)
+        return out
+
+    def reset(self) -> None:
+        self._state[:] = (2147483647, 0, 32767)
+        self.n = 0
 
 
 class NativeFileSink:

@@ -228,6 +228,9 @@ class VideoParams:
             head[i] = acc[margin + width:margin + 2 * width]
 
         main += self.blanking_level
+        # one extra all-zero right_head row (index len(codes)): selected
+        # for startup lines whose forward spill the reference truncates
+        head = np.concatenate([head, np.zeros((1, head.shape[1]))])
         return SyncTemplates(codes=codes,
                              main=main.astype(np.float32),
                              left_tail=tail.astype(np.float32),
@@ -296,7 +299,8 @@ class VideoParams:
     def line_meta(self, k0: int, n: int, vframe_interlaced: int = 0,
                   vframe_x: int = 0, vframe_y: int = 0,
                   vframe_w: Optional[int] = None,
-                  vframe_h: Optional[int] = None) -> dict:
+                  vframe_h: Optional[int] = None,
+                  spill_warmup: int = 0) -> dict:
         """Host-side computation of everything that varies per line.
 
         `k` is the absolute stream line counter: k=0 is the first rendered
@@ -310,6 +314,12 @@ class VideoParams:
 
         codes = self.syncs.codes
         code_idx = {c: i for i, c in enumerate(codes)}
+        # row index len(codes) of right_head is all-zero: used to drop
+        # the forward sync spill of the first ring-cycle lines (the
+        # reference's un-rendered next slots still have width 0 at
+        # startup, so vbidata_render truncates there,
+        # src/vbidata.c:225-236 + src/video.c:4665)
+        zero_head = len(codes)
 
         base = np.zeros(n, dtype=np.int32)
         nxt = np.zeros(n, dtype=np.int32)
@@ -341,7 +351,15 @@ class VideoParams:
             nxt[j] = code_idx[ncode]
             pcode = sequence.line_sequence(
                 conf.type, conf.lines if line == 1 else line - 1)
-            prv[j] = code_idx[pcode]
+            # the previous line's forward spill is dropped for the first
+            # ring cycle: the reference's next-line buffers keep width 0
+            # until first rendered, truncating vbidata's continuation
+            # (observed: Baird 240 lines 2..olines lack the previous
+            # mid-line vsync spill; src/vbidata.c:225-236)
+            if 1 <= k <= spill_warmup:
+                prv[j] = zero_head
+            else:
+                prv[j] = code_idx[pcode]
 
             if conf.colour_mode in (ColourMode.PAL, ColourMode.NTSC):
                 pal = (code[1] == '0'

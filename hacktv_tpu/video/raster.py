@@ -303,9 +303,16 @@ def synth_block(st: RasterStatics,
                                - sin0[:, None] * st.carrier_sin) * 32767.0)
             sin_t = jnp.round((sin0[:, None] * st.carrier_cos
                                + cos0[:, None] * st.carrier_sin) * 32767.0)
-        sub = (cos_t * vc * vswitch[:, None] + sin_t * uc) * (1.0 / 32768.0)
-        # The reference truncates (>>15); floor instead of round
-        out = out + jnp.where(burst[:, None] > 0, jnp.floor(sub), 0.0)
+        # The reference's mix is integer: (lut.i*V*pal + lut.q*U) >> 15
+        # (src/video.c:3031-3041).  The products reach ~2^30, beyond
+        # f32's 24-bit mantissa — a float path floors +1 on ~1e-4 of
+        # samples, and FM-video modes integrate that bias into a phase
+        # ramp.  Do the multiply-accumulate-shift in int32 exactly.
+        sub = ((cos_t.astype(jnp.int32)
+                * (vc * vswitch[:, None]).astype(jnp.int32)
+                + sin_t.astype(jnp.int32) * uc.astype(jnp.int32))
+               >> 15).astype(jnp.float32)
+        out = out + jnp.where(burst[:, None] > 0, sub, 0.0)
 
     if st.fsc_mode is not None:
         # FSC ID flag pulses (src/video.c:3043-3063)

@@ -57,6 +57,15 @@ class SecamStatics:
     w0: float                   # rad/sample at centre frequency
     u_black: float
     v_black: float
+    # centre-frequency phase per in-span sample count, exact mod 2pi
+    # (f32 cumsum of w0 would reach ~1700 rad with ~1e-3 rad round-off,
+    # whose floor(cos) bias FM-video modes integrate into a phase ramp)
+    w0_tab: np.ndarray = None   # f32 [width+1]
+    # anti-cloche bell gain per chroma value, quantised exactly as the
+    # reference's 65536-entry cint16 LUT (src/video.c:4122-4128)
+    bell_i: np.ndarray = None   # int16 [65536], index chroma + 32768
+    bell_q: np.ndarray = None
+    _win_q: np.ndarray = None   # int16 [width]: burst window, zero tail
 
 
 def make_statics(p, vframe_x: int, frame_w: int) -> SecamStatics:
@@ -123,7 +132,45 @@ def make_statics(p, vframe_x: int, frame_w: int) -> SecamStatics:
         level_int=int(round(INT16_MAX * secam_level)),
         kd=2.0 * np.pi * SECAM_FM_DEV / (p.pixel_rate * INT16_MAX),
         w0=2.0 * np.pi * SECAM_FM_FREQ / p.pixel_rate,
-        u_black=float(u_black), v_black=float(v_black))
+        u_black=float(u_black), v_black=float(v_black),
+        w0_tab=_w0_table(p.pixel_rate, p.width),
+        bell_i=_bell_table(0), bell_q=_bell_table(1),
+        _win_q=_win_int16(win, p.width))
+
+
+def _win_int16(win: np.ndarray, width: int) -> np.ndarray:
+    wq = np.zeros(width, np.int16)
+    n = min(len(win), width)
+    wq[:n] = np.asarray(win[:n], np.int64).astype(np.int16)
+    return wq
+
+
+def _bell_table(comp: int) -> np.ndarray:
+    """The reference's fm_secam_bell LUT entry `comp` for every int16
+    chroma value (double math + lround, src/video.c:2172-2185,
+    4122-4128)."""
+    r = np.arange(-32768, 32768, dtype=np.float64)
+    f = SECAM_FM_FREQ + r * SECAM_FM_DEV / INT16_MAX
+    f0 = 4.286e6
+    ff = f / f0 - f0 / f
+    lq = 16.0 * ff
+    rq = 1.26 * ff
+    d = 1.0 + rq * rq
+    g = (0.115 * (1.0 + lq * rq) / d if comp == 0
+         else 0.115 * (lq - rq) / d)
+    v = g * INT16_MAX
+    q = np.where(v >= 0, np.floor(v + 0.5), -np.floor(-v + 0.5))
+    return q.astype(np.int16)
+
+
+def _w0_table(pixel_rate: int, width: int) -> np.ndarray:
+    """Exact centre-frequency phase (mod 2pi) after c in-span samples."""
+    from fractions import Fraction
+    fr = Fraction(SECAM_FM_FREQ).limit_denominator(1 << 24) / pixel_rate
+    c = np.arange(width + 1, dtype=np.int64)
+    ang = 2.0 * np.pi * ((c * fr.numerator) % fr.denominator
+                         ) / fr.denominator
+    return ang.astype(np.float32)
 
 
 def line_meta(p, k0: int, n: int, vframe_y: int, vframe_h: int) -> dict:
@@ -186,50 +233,144 @@ def line_meta(p, k0: int, n: int, vframe_y: int, vframe_h: int) -> dict:
 
 
 def _line_conv(taps, x):
+    """Q15 FIR over each line, bit-exact vs the reference's fir_int16
+    (src/fir.c:342-346): int32 accumulate of int16 x int16 products,
+    arithmetic >>15.  An f32 convolution here leaves a content-dependent
+    ~0.02-LSB mean bias (f32 partial sums round deterministically) that
+    FM-video modes integrate into a phase ramp.  `taps` are the
+    quantise_taps() floats (q15/32768); recover the integer taps."""
     n = taps.shape[0]
     pad = n // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    tq = jnp.round(taps * 32768.0).astype(jnp.int32)
+    xp = jnp.pad(x.astype(jnp.int32), ((0, 0), (pad, pad)))
     out = jax.lax.conv_general_dilated(
-        xp[:, None, :], taps[None, None, ::-1],
+        xp[:, None, :], tq[None, None, ::-1],
         window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-    return jnp.clip(jnp.floor(out), -32768, 32767)
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.int32)[:, 0, :]
+    return jnp.clip(out >> 15, -32768, 32767).astype(jnp.float32)
+
+
+def chroma_block_host(st: SecamStatics, W: int, meta: dict,
+                      u: np.ndarray, v: np.ndarray, k_first: int,
+                      k_snapshot: int, state):
+    """Host-exact SECAM chroma baseband for one block's rows.
+
+    Replicates the reference bit-for-bit: vertical averaging with C
+    truncation (src/video.c:3149-3196), Q15 chroma FIR with int32
+    accumulate >>15 (src/fir.c:342-346), the order-1 HF-preemphasis IIR
+    in float64 with stream-carried (ix, iy) state (src/fir.c:710-740 —
+    a truncated-impulse-response f32 approximation flips the lround on
+    ~1e-3 of samples, and a single early-line chroma LSB detunes the
+    whole line's FM carrier), lround and the deviation clamps.
+
+    Rows with stream index < 0 (block 0's leading halo) emit zeros and
+    do not advance the IIR.  Returns (chroma int16-valued f32 [B, W],
+    state_at_k_snapshot, state_out)."""
+    import ctypes as C
+
+    from .. import runtime
+    lib = runtime.load()
+    pp = lambda a: a.ctypes.data_as(C.c_void_p)
+
+    B = len(meta["dr"])
+    H = u.shape[0]
+    fw = u.shape[1]
+    tq = np.round(np.asarray(st.chroma_taps, np.float64) * 32768.0
+                  ).astype(np.int64)
+    nt = len(tq)
+    pad = nt // 2
+    b0, b1, a1 = 2.90456054, -2.80912108, -0.90456054
+    out = np.zeros((B, W), dtype=np.float32)
+    snap = state
+    iir_state = np.array(state, np.float64)
+    yq = np.empty(W, np.int16)
+    for j in range(B):
+        k = k_first + j
+        if k < 0:
+            continue
+        if k == k_snapshot:
+            snap = (float(iir_state[0]), float(iir_state[1]))
+        if not meta["active"][j]:
+            continue
+        dr = meta["dr"][j] > 0
+        comp = v if dr else u
+        black = st.v_black if dr else st.u_black
+        vy = int(meta["vy"][j])
+        cur = comp[vy] if 0 <= vy < H else np.full(fw, black)
+        if meta["prev_has"][j]:
+            pv = int(meta["vy_prev"][j])
+            prv = comp[pv] if 0 <= pv < H else np.full(fw, black)
+        else:
+            prv = np.zeros(fw)
+        avg = np.trunc((cur + prv) / 2.0)
+        line = np.full(W, black, dtype=np.int64)
+        line[st.col0:st.col0 + fw] = avg.astype(np.int64)
+        # Q15 FIR, zero edges (per-line block filter)
+        xp = np.zeros(W + 2 * pad, dtype=np.int64)
+        xp[pad:pad + W] = line
+        acc = np.zeros(W, dtype=np.int64)
+        for t in range(nt):
+            acc += tq[nt - 1 - t] * xp[t:t + W]
+        f = np.ascontiguousarray(np.clip(acc >> 15, -32768, 32767),
+                                 np.float64)
+        # order-1 IIR: exact C operation order in the native kernel
+        lib.rt_iir1_exact(pp(f), W, b0, b1, a1, pp(iir_state), pp(yq))
+        dmin = st.dmin[1] if dr else st.dmin[0]
+        dmax = st.dmax[1] if dr else st.dmax[0]
+        out[j] = np.clip(yq, dmin, dmax)
+    if k_snapshot >= k_first + B:
+        snap = (float(iir_state[0]), float(iir_state[1]))
+    return out, snap, (float(iir_state[0]), float(iir_state[1]))
+
+
+def carrier_lut(st: SecamStatics, pixel_rate: int) -> np.ndarray:
+    """The reference's per-chroma-value int32 phasor LUT
+    (src/video.c:2234-2240 built for the SECAM cgain modulator)."""
+    r = np.arange(-32768, 32768, dtype=np.float64)
+    d = 2.0 * np.pi / pixel_rate * (SECAM_FM_FREQ
+                                    + r * SECAM_FM_DEV / INT16_MAX)
+    M = 2147483647.0
+    q = lambda x: np.where(x >= 0, np.floor(x + 0.5),
+                           -np.floor(-x + 0.5))
+    lut = np.empty((65536, 2), np.int32)
+    lut[:, 0] = q(np.cos(d) * M)
+    lut[:, 1] = q(np.sin(d) * M)
+    return np.ascontiguousarray(lut)
+
+
+def carrier_addin_host(st: SecamStatics, W: int, meta: dict,
+                       chroma: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Exact SECAM chroma carrier contribution [B, W] int16 via the
+    native per-line int32 recurrence (rt_secam_carrier_exact)."""
+    from .. import runtime
+    lib = runtime.load()
+    B = chroma.shape[0]
+    sl = st.burst_left
+    sr = np.where(meta["active"] > 0,
+                  np.where(meta["half_only"] > 0, st.half_width,
+                           sl + st.burst_len), 0).astype(np.int32)
+    sign = np.where(meta["phase_pos"] > 0, 1, -1).astype(np.int8)
+    bell = np.ascontiguousarray(
+        np.stack([st.bell_i, st.bell_q], axis=-1))
+    ch = np.ascontiguousarray(chroma.astype(np.int16))
+    out = np.empty((B, W), np.int16)
+    import ctypes as C
+    p = lambda a: a.ctypes.data_as(C.c_void_p)
+    lib.rt_secam_carrier_exact(p(ch), B, W, sl, p(sr), p(sign), p(lut),
+                               p(bell), st.level_int,
+                               p(st._win_q), p(out))
+    return out
 
 
 def render(st: SecamStatics, out: jnp.ndarray,
-           u_img: jnp.ndarray, v_img: jnp.ndarray,   # [H, frame_w] int-val
-           meta: dict, tail_in: jnp.ndarray):
-    """Add SECAM chroma to the luma block [B, W].  Returns (out, tail_out)
-    where tail_out is the post-FIR chroma tail of the last SECAM row for
-    the next block's IIR continuity."""
+           carrier_add: jnp.ndarray,                # [B, W] int16 add-in
+           meta: dict):
+    """SECAM line processing on device: luma band-reject over the
+    active segment, plus the host-exact chroma carrier add-in."""
     B, W = out.shape
-    H = u_img.shape[0]
     cols = jnp.arange(W, dtype=jnp.int32)[None, :]
-
-    dr = meta["dr"][:, None]
     act = meta["active"][:, None]
-
-    # out-of-bounds source rows read as black (the reference's null-frame
-    # path uses the rgb=0 lookup, src/video.c:3139-3147)
-    ub = jnp.full((1, u_img.shape[1]), st.u_black, u_img.dtype)
-    vb = jnp.full((1, u_img.shape[1]), st.v_black, u_img.dtype)
-    up = jnp.concatenate([u_img, ub]);  vp = jnp.concatenate([v_img, vb])
-    vy = jnp.where(meta["vy"] >= 0, meta["vy"], H)
-    vyp = jnp.where(meta["vy_prev"] >= 0, meta["vy_prev"], H)
-
-    # component of this line and the previous line's same component
-    cur = jnp.where(dr > 0, vp[vy], up[vy])       # [B, frame_w]
-    prv = jnp.where(dr > 0, vp[vyp], up[vyp])
-    prv = prv * meta["prev_has"][:, None]
-
-    # average (C integer division truncates toward zero)
-    avg = jnp.trunc((cur + prv) / 2.0)
-
-    black = jnp.where(dr > 0, st.v_black, st.u_black)   # [B,1]
-    pad_r = W - st.col0 - st.frame_w
-    avg_full = jnp.pad(avg, ((0, 0), (st.col0, pad_r)))
-    in_frame = (cols >= st.col0) & (cols < st.col0 + st.frame_w)
-    chroma = jnp.where(in_frame, avg_full, black)
 
     # luma band-reject over the active segment (zero history at segment
     # start, real samples beyond its end — src/video.c:3206)
@@ -238,80 +379,4 @@ def render(st: SecamStatics, out: jnp.ndarray,
     luma_f = _line_conv(st.luma_taps, luma_masked)
     out = jnp.where(seg & (act > 0), luma_f, out)
 
-    # chroma low-pass (per line, zero edges) + IIR over the secam-line
-    # sequence with carried tails
-    chroma = _line_conv(st.chroma_taps, chroma)
-
-    prev_row = meta["prev_row"]
-    tails = chroma[:, W - _IIR_TAIL:]
-    prev_tail = jnp.where(
-        (prev_row >= 0)[:, None],
-        tails[jnp.clip(prev_row, 0, B - 1)],
-        jnp.broadcast_to(tail_in, (B, _IIR_TAIL)))
-    ext = jnp.concatenate([prev_tail, chroma], axis=1)
-    h = st.iir_h
-    n = h.shape[0]
-    iir = jax.lax.conv_general_dilated(
-        ext[:, None, :], h[None, None, ::-1],
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
-    # VALID output m aligns with input index m-1 (y[m] = sum h[j] *
-    # ext[m+n-1-j], chroma[i] = ext[n+i]); take columns 1..W
-    iir = iir[:, 1:W + 1]
-    chroma = jnp.clip(jnp.round(iir), -32768, 32767)
-
-    # deviation clamps
-    dmin = jnp.where(dr > 0, st.dmin[1], st.dmin[0])
-    dmax = jnp.where(dr > 0, st.dmax[1], st.dmax[0])
-    chroma = jnp.clip(chroma, dmin, dmax)
-
-    # subcarrier span
-    sl = st.burst_left
-    sr = jnp.where(meta["half_only"][:, None] > 0, st.half_width,
-                   sl + st.burst_len)
-    span = (cols >= sl) & (cols < sr) & (act > 0)
-    spanf = span.astype(jnp.float32)
-
-    # FM phase: reset per line, cumsum within the span
-    d = (np.float32(st.w0) + np.float32(st.kd) * chroma) * spanf
-    theta = jnp.cumsum(d, axis=1)
-    phase0 = jnp.where(meta["phase_pos"][:, None] > 0, 0.0, np.float32(np.pi))
-    theta = theta + phase0
-
-    # bell gain, evaluated analytically (src/video.c:2172-2185) and
-    # rounded to the int16 grid like the LUT
-    freq = np.float32(SECAM_FM_FREQ) + chroma * np.float32(
-        SECAM_FM_DEV / INT16_MAX)
-    f = freq * np.float32(1.0 / 4.286e6) - np.float32(4.286e6) / freq
-    lq = 16.0 * f
-    rq = 1.26 * f
-    dd = 1.0 + rq * rq
-    g_i = jnp.round(0.115 * (1.0 + lq * rq) / dd * INT16_MAX)
-    g_q = jnp.round(0.115 * (lq - rq) / dd * INT16_MAX)
-
-    # _fm_modulator_cgain: (((phase>>16)*level)>>15 * g) >> 15, real part
-    lvl = np.float32(st.level_int)
-    inv = np.float32(1.0 / 32768.0)
-    
-    ci = jnp.floor(jnp.clip(jnp.floor(jnp.cos(theta) * 32768.0),
-                            -32768, 32767) * lvl * inv)
-    cq = jnp.floor(jnp.clip(jnp.floor(jnp.sin(theta) * 32768.0),
-                            -32768, 32767) * lvl * inv)
-    mod = jnp.floor(ci * g_i * inv) - jnp.floor(cq * g_q * inv)
-
-    # envelope window: (mod * win[x - burst_left]) >> 15
-    win_full = jnp.zeros(W, dtype=jnp.float32)
-    win_full = jax.lax.dynamic_update_slice(win_full, st.burst_win,
-                                            (st.burst_left,))
-    contrib = jnp.floor(mod * win_full[None, :] * inv) * spanf
-    out = out + contrib
-
-    # next block's tail: post-FIR chroma of the LAST secam row... the
-    # convolution input tail, i.e. the pre-IIR chroma
-    last = jnp.argmax(jnp.arange(B) * (meta["active"] > 0))
-    tail_out = chroma_pre_tail(ext, last)
-    return out, tail_out
-
-
-def chroma_pre_tail(ext: jnp.ndarray, last_row):
-    return ext[last_row, -_IIR_TAIL:]
+    return out + carrier_add.astype(jnp.float32)

@@ -12,6 +12,7 @@
 // Built as a plain C ABI shared library, bound from Python with ctypes.
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -242,6 +243,107 @@ void rt_fl2k_dither_u8(const int16_t *pcm, size_t n, size_t stride,
         out[i] = v;
     }
     *err = e;
+}
+
+// ---------------------------------------------------------------------------
+// Exact emulation of the reference's per-sample FM audio-carrier
+// recurrence (src/video.c:2218-2276): the int32 complex phase is
+// multiplied by a per-sample-value quantised LUT phasor with >>31
+// truncation and renormalised by atan2 every 32767 samples.  The
+// truncation walk means the carrier's int16 output has a data-dependent
+// sub-LSB mean that FM-video modes integrate into a phase ramp — it
+// must be reproduced exactly, so this serial kernel runs on the host.
+// out_iq packs (i & 0xFFFF) | (q << 16) per sample.
+void rt_fm_carrier_exact(int64_t *state,          // [3]: pi, pq, counter
+                         const int16_t *samples, size_t n,
+                         const int32_t *lut,      // [65536][2]
+                         int32_t level, int32_t *out_iq) {
+    int64_t pi = state[0], pq = state[1];
+    long counter = (long)state[2];
+    for (size_t t = 0; t < n; t++) {
+        const int32_t *e = &lut[((int32_t)samples[t] + 32768) * 2];
+        int64_t ni = (pi * e[0] - pq * e[1]) >> 31;
+        int64_t nq = (pi * e[1] + pq * e[0]) >> 31;
+        pi = ni;
+        pq = nq;
+        if (out_iq) {
+            int32_t oi = (int32_t)(((pi >> 16) * level) >> 15);
+            int32_t oq = (int32_t)(((pq >> 16) * level) >> 15);
+            out_iq[t] = (oi & 0xFFFF) | ((uint32_t)oq << 16);
+        }
+        if (--counter == 0) {
+            double ra = atan2((double)pq, (double)pi);
+            pi = (int64_t)llround(cos(ra) * 2147483647.0);
+            pq = (int64_t)llround(sin(ra) * 2147483647.0);
+            counter = 32767;
+        }
+    }
+    state[0] = pi;
+    state[1] = pq;
+    state[2] = counter;
+}
+
+// ---------------------------------------------------------------------------
+// The reference's order-1 IIR (src/fir.c:722-734) with the exact double
+// operation order: iy = in*b0 + ix*b1 - iy*a1.  scipy's lfilter computes
+// the algebraically-equal direct-form-II-transposed order, whose +-1 ULP
+// differences flip the subsequent lround at .5-adjacent values.
+void rt_iir1_exact(const double *in, size_t n, double b0, double b1,
+                   double a1, double *state, int16_t *out) {
+    double ix = state[0], iy = state[1];
+    for (size_t i = 0; i < n; i++) {
+        iy = in[i] * b0 + ix * b1 - iy * a1;
+        ix = in[i];
+        double v = iy < -32768.0 ? -32768.0 : (iy > 32767.0 ? 32767.0
+                                                            : iy);
+        out[i] = (int16_t)llround(v);
+    }
+    state[0] = ix;
+    state[1] = iy;
+}
+
+// ---------------------------------------------------------------------------
+// Exact emulation of the reference's SECAM chroma carrier
+// (src/video.c:3196-3233 + _fm_modulator_cgain :2278-2297): per line the
+// int32 phase resets to +/-INT32_MAX and steps through the quantised
+// per-chroma-value LUT with >>31 truncation; the output chain is
+// ((((p>>16)*level)>>15)*g)>>15 per component, then the burst-window
+// >>15.  Lines are independent (per-line reset), the per-line loop is
+// serial.  chroma: clamped int16 [B*W]; sr: per-line span end; sign:
+// per-line +1/-1 initial phase; out: int16 add-in [B*W] (zeroed here).
+void rt_secam_carrier_exact(const int16_t *chroma, long B, long W,
+                            long sl, const int32_t *sr,
+                            const int8_t *sign,
+                            const int32_t *lut,     // [65536][2]
+                            const int16_t *bell,    // [65536][2]
+                            int32_t level,
+                            const int16_t *win,     // [>= W - sl]
+                            int16_t *out) {
+    memset(out, 0, sizeof(int16_t) * (size_t)(B * W));
+    for (long j = 0; j < B; j++) {
+        long r = sr[j];
+        if (r <= sl) continue;
+        // the reference's span can overshoot the line width by a couple
+        // of samples (sl + burst_width > width); those writes land past
+        // l->width in its oversized buffer and are never output
+        if (r > W) r = W;
+        int64_t pi = sign[j] >= 0 ? 2147483647LL : -2147483647LL;
+        int64_t pq = 0;
+        const int16_t *c = chroma + j * W;
+        int16_t *o = out + j * W;
+        for (long x = sl; x < r; x++) {
+            const int32_t *e = &lut[((int32_t)c[x] + 32768) * 2];
+            int64_t ni = (pi * e[0] - pq * e[1]) >> 31;
+            int64_t nq = (pi * e[1] + pq * e[0]) >> 31;
+            pi = ni;
+            pq = nq;
+            const int16_t *g = &bell[((int32_t)c[x] + 32768) * 2];
+            int32_t vi = (int32_t)(((pi >> 16) * level) >> 15);
+            int32_t vq = (int32_t)(((pq >> 16) * level) >> 15);
+            int32_t m = ((vi * g[0]) >> 15) - ((vq * g[1]) >> 15);
+            o[x] = (int16_t)((m * (int32_t)win[x - sl]) >> 15);
+        }
+    }
 }
 
 // ---------------------------------------------------------------------------

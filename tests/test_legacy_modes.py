@@ -18,17 +18,11 @@ CASES = [
     ("cbs405", 9_000_000, False, 40.0),
     ("819", 20_000_000, False, 40.0),
     ("e", 20_000_000, True, 40.0),
-    pytest.param("240", 2_000_000, False, 40.0, marks=XF(
-        reason="Baird 240 at 27.8 dB: the reference's first vsync "
-               "line of each block lacks its leading long pulse "
-               "(vbidata window edge behaviour not yet derived)",
-        strict=True)),
+    ("240", 2_000_000, False, 40.0),
     ("30", 100_000, False, 40.0),
     ("nbtv", 100_000, False, 40.0),
     ("apollo", 2_000_000, False, 40.0),
-    pytest.param("apollo-fm", 2_000_000, True, 40.0, marks=XF(
-        reason="Apollo FM at 14 dB: FM video phase parity at 2 MS/s "
-               "not yet matched", strict=True)),
+    ("apollo-fm", 2_000_000, True, 40.0),
     ("pal-m", 16_000_000, True, 40.0),
     ("pal-n", 16_000_000, True, 40.0),
     ("pal60", 16_000_000, True, 40.0),
@@ -60,12 +54,7 @@ def test_legacy_mode_snr(mode, rate, cplx, min_snr):
 
 
 MAC_AM_CASES = [
-    pytest.param("secam-fm", 20_250_000, 40.0, marks=pytest.mark.xfail(
-        reason="secam-fm at -2.7 dB overall but instantaneous-frequency "
-               "correlation 0.99994: a ~0.06-LSB mean bias in the SECAM "
-               "chroma baseband (reference int-truncation average not "
-               "yet matched) integrates to ~28 Hz of carrier offset "
-               "under FM", strict=True)),
+    ("secam-fm", 20_250_000, 40.0),
     ("d2mac-am", 20_250_000, 40.0),
     ("dmac-am", 20_250_000, 40.0),
 ]
