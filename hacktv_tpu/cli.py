@@ -371,6 +371,8 @@ def main(argv=None) -> int:
                       videocrypt2=args.videocrypt2,
                       videocrypts=args.videocrypts,
                       syster=args.syster, systercnr=args.systercnr,
+                      syster_key_table=(1 if args.key_table_1 else
+                                        2 if args.key_table_2 else 0),
                       d11=args.d11, systeraudio=args.systeraudio,
                       a2stereo=args.a2stereo, sis=args.sis,
                       passthru=args.passthru,
@@ -382,10 +384,27 @@ def main(argv=None) -> int:
 
     sink = _open_sink(args, complex_out)
     if args.verbose:
-        print(f"mode: {args.mode}, {sample_rate/1e6:g} MS/s, "
-              f"{'complex' if complex_out else 'real'} "
-              f"{frame_samples} samples/frame", file=sys.stderr)
+        # vid_info()-style mode report (src/video.c:4846-4860)
+        fr = conf.frame_rate
+        width = frame_samples // conf.lines
+        if conf.mac_mode is not None:
+            aw, al = type(enc).active_geometry(conf, sample_rate,
+                                               pixel_rate)
+        else:
+            aw, al = enc.params.active_width, conf.active_lines
+        print(f"Mode: {args.mode} ({REGISTRY[args.mode][1]})",
+              file=sys.stderr)
+        print(f"Video: {aw}x{al} {fr.num / fr.den:.2f} fps "
+              f"(full frame {width}x{conf.lines})", file=sys.stderr)
+        if pixel_rate and int(pixel_rate) != int(sample_rate):
+            print(f"Pixel rate: {int(pixel_rate)}", file=sys.stderr)
+        print(f"Sample rate: {int(sample_rate)} "
+              f"({'complex' if complex_out else 'real'} int16)",
+              file=sys.stderr)
 
+    import time as _time
+    t0 = _time.monotonic()
+    samples_out = 0
     block = 0
     frames_done = 0
     try:
@@ -400,6 +419,13 @@ def main(argv=None) -> int:
             if frames_wanted and frames_done + bf > frames_wanted:
                 out = out[: (frames_wanted - frames_done) * frame_samples]
             sink.write(out)
+            samples_out += len(out)
+            if args.verbose and block % 64 == 63:
+                dt = _time.monotonic() - t0
+                print(f"\r{samples_out} samples, "
+                      f"{samples_out / max(dt, 1e-9) / 1e6:.1f} MS/s "
+                      f"({samples_out / max(dt, 1e-9) / sample_rate:.1f}x "
+                      "realtime)", end="", file=sys.stderr)
             # sink audio side-channel (HackDAC interleave, FL2K
             # stereo/spdif channels; src/hacktv.c:1586)
             if hasattr(sink, "write_audio"):
@@ -417,6 +443,12 @@ def main(argv=None) -> int:
         sink.close()
         if source is not None and hasattr(source, "close"):
             source.close()
+        if args.verbose and samples_out:
+            dt = _time.monotonic() - t0
+            print(f"\n{samples_out} samples in {dt:.2f} s = "
+                  f"{samples_out / max(dt, 1e-9) / 1e6:.1f} MS/s "
+                  f"({samples_out / max(dt, 1e-9) / sample_rate:.1f}x "
+                  "realtime)", file=sys.stderr)
     return 0
 
 

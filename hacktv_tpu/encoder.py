@@ -43,6 +43,7 @@ class Encoder:
                  videocrypts: str | None = None,
                  syster: str | None = None,
                  systercnr: str | None = None,
+                 syster_key_table: int = 0,
                  d11: str | None = None,
                  systeraudio: bool = False,
                  a2stereo: bool = False,
@@ -120,10 +121,12 @@ class Encoder:
             self.services.append(_VCS(p, videocrypts))
         if syster:
             from .services.syster import Syster as _NG
-            self.services.append(_NG(p, syster, cnr=bool(systercnr)))
+            self.services.append(_NG(p, syster, cnr=bool(systercnr),
+                                     key_table=syster_key_table))
         elif systercnr:
             from .services.syster import SysterCNR as _SCNR
-            self.services.append(_SCNR(p, systercnr))
+            self.services.append(_SCNR(p, systercnr,
+                                       key_table=syster_key_table))
         if d11:
             from .services.syster import D11 as _D11
             self.services.append(_D11(p, d11))

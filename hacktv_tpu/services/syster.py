@@ -163,7 +163,7 @@ class _NGState:
     353-421)."""
 
     def __init__(self, mode: str, *, syster: bool, systercnr: bool,
-                 d11: bool = False):
+                 d11: bool = False, key_table: int = 0):
         if mode not in _NG_MODES:
             raise ValueError(f"unrecognised Syster mode {mode!r}")
         key, data4, date, vbioffset, t = _NG_MODES[mode]
@@ -171,7 +171,9 @@ class _NGState:
         self.data = list(data4) + [d & 0xFF, d >> 8, d & 0xFF, d >> 8]
         self.key = list(key)
         self.vbioffset = vbioffset
-        self.table = _KEY_TABLE1 if t == 1 else _KEY_TABLE2
+        # --key-table-1/2 overrides the provider default
+        # (src/hacktv.c:801-807, src/syster.c:509-514)
+        self.table = _KEY_TABLE1 if (key_table or t) == 1 else _KEY_TABLE2
 
         # STATIC_ECM table: all 64 entries identical (src/syster.c:443-458)
         ecm = [(i if (i < 4 or i > 11) else self.data[i - 4])
@@ -418,8 +420,10 @@ class Syster(SysterBase):
 
     lookahead = NG_DELAY_LINES
 
-    def __init__(self, p, mode: str = "premiere-fa", cnr: bool = False):
-        super().__init__(p, mode, syster=True, systercnr=cnr)
+    def __init__(self, p, mode: str = "premiere-fa", cnr: bool = False,
+                 key_table: int = 0):
+        super().__init__(p, mode, syster=True, systercnr=cnr,
+                         key_table=key_table)
         self.cnr = cnr
         if cnr:
             vs = _video_scale(p)
@@ -496,8 +500,10 @@ class SysterCNR(SysterBase):
 
     lookahead = 2
 
-    def __init__(self, p, mode: str = "premiere-fa"):
-        super().__init__(p, mode, syster=False, systercnr=True)
+    def __init__(self, p, mode: str = "premiere-fa",
+                 key_table: int = 0):
+        super().__init__(p, mode, syster=False, systercnr=True,
+                         key_table=key_table)
         vs = _video_scale(p)
         seq, _seq_shuffle = _load_sequences()
         self.seq = seq

@@ -104,6 +104,39 @@ def test_cli_mac_raw_input(tmp_path):
     assert snr > 60.0, snr
 
 
+def test_cli_key_table_override(tmp_path):
+    """--key-table-2 switches the Syster substitution table
+    (src/hacktv.c:801-807, src/syster.c:509-514): the shuffle order and
+    therefore the output must change."""
+    a = tmp_path / "t1.s16"
+    b = tmp_path / "t2.s16"
+    r = _run(["-o", str(a), "-m", "pal", "--frames", "1", "--syster",
+              "premiere-fa", "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    r = _run(["-o", str(b), "-m", "pal", "--frames", "1", "--syster",
+              "premiere-fa", "--key-table-2", "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert a.read_bytes() != b.read_bytes()
+    # --key-table-1 must equal the provider default (table 1)
+    c = tmp_path / "t3.s16"
+    r = _run(["-o", str(c), "-m", "pal", "--frames", "1", "--syster",
+              "premiere-fa", "--key-table-1", "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert a.read_bytes() == c.read_bytes()
+
+
+def test_cli_verbose_report(tmp_path):
+    """-v prints the vid_info()-style mode report and a samples/s
+    counter (src/video.c:4846-4860)."""
+    r = _run(["-o", str(tmp_path / "v.s16"), "-m", "pal", "--frames",
+              "1", "-v", "test"])
+    assert r.returncode == 0
+    err = r.stderr.decode()
+    assert "Video: 832x576 25.00 fps (full frame 1024x625)" in err
+    assert "Sample rate: 16000000" in err
+    assert "x realtime" in err
+
+
 def test_cli_passthru_and_rawbb(tmp_path):
     """--passthru adds an external IQ stream; --raw-bb-file replaces the
     raster (src/video.c:3517-3541, 2406-2445)."""
