@@ -27,16 +27,16 @@ _CONFIGS = {
 }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="i", choices=sorted(_CONFIGS))
-    ns = ap.parse_args()
-    cfg = _CONFIGS[ns.mode]
+def _bench_config(name, e2e=False):
+    cfg = _CONFIGS[name]
     mode = cfg["mode"]
     sample_rate = cfg["rate"]
     from hacktv_tpu import Encoder
 
-    fpb = 64
+    # MAC (host bit mux) and SECAM (host-exact serial IIR) pipeline
+    # better with smaller blocks; the PAL/NTSC device-only chains
+    # amortise dispatch best at 64 frames
+    fpb = 16 if mode.startswith(("dmac", "d2mac", "l", "secam")) else 64
     kw = {"vfilter": True} if cfg.get("vfilter") else {}
     if mode.startswith("dmac") or mode.startswith("d2mac"):
         from hacktv_tpu.video.mac import MacEncoder
@@ -47,10 +47,28 @@ def main():
         enc = Encoder(mode, sample_rate, frames_per_block=fpb, **kw)
     frame_samples = (enc.params.frame_samples if hasattr(enc, "params")
                      else enc.frame_samples)
+    complex_out = getattr(enc, "complex_out", True)
+
+    sink = None
+    if e2e:
+        # end-to-end: device -> host int16 -> native threaded file sink
+        from hacktv_tpu import runtime
+        sink = runtime.NativeFileSink("/dev/null", "int16", complex_out)
+
+    def run_block(b):
+        if e2e:
+            out = enc.encode_block(b)
+            if out.ndim == 1:
+                out = np.stack([out, np.zeros_like(out)], axis=-1)
+            sink.write(out)
+            return None
+        return enc.encode_block_device(b)
 
     # Warm-up: compile + populate meta cache, then until timing stabilises
     for b in range(5):
-        enc.encode_block_device(b).block_until_ready()
+        r = run_block(b)
+        if r is not None:
+            r.block_until_ready()
 
     # 3 trials of a sequential block stream; report the median (single
     # captures through the device tunnel can be cold/contended)
@@ -59,25 +77,45 @@ def main():
     b = 5              # continue past warm-up: blocks are a stream
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = []
+        last = None
         for _ in range(n_blocks):
-            outs.append(enc.encode_block_device(b))
+            last = run_block(b)
             b += 1
-        outs[-1].block_until_ready()
+        if last is not None:
+            last.block_until_ready()
         trials.append(time.perf_counter() - t0)
+    if sink is not None:
+        sink.close()
     dt = sorted(trials)[len(trials) // 2]
 
     sps = n_blocks * fpb * frame_samples / dt
     x_rt = sps / sample_rate
-    result = {
-        "metric": f"{cfg['label']} IQ samples/s/chip",
+    return {
+        "metric": (f"{cfg['label']} "
+                   f"{'end-to-end (D2H + sink)' if e2e else 'device'} "
+                   "IQ samples/s/chip"),
         "value": round(sps),
         "unit": "samples/s",
         "vs_baseline": round(x_rt / 100.0, 3),
         "x_realtime": round(x_rt, 1),
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="i",
+                    choices=sorted(_CONFIGS) + ["all"])
+    ap.add_argument("--e2e", action="store_true",
+                    help="include D2H copy + native threaded sink write")
+    ns = ap.parse_args()
+    if ns.mode == "all":
+        for name in ("i", "secam", "dmac", "ntsc-vsb"):
+            print(json.dumps(_bench_config(name)))
+            sys.stdout.flush()
+        print(json.dumps(_bench_config("i", e2e=True)))
+        return
+    print(json.dumps(_bench_config(ns.mode, e2e=ns.e2e)))
 
 
 if __name__ == "__main__":

@@ -99,11 +99,9 @@ class _FirInt16:
         x = np.asarray(x, dtype=np.int64)
         buf = np.concatenate([self.hist, x])
         n = len(x)
-        # y[t] = sum_j taps[j] * in[t-j] for t over the new samples
-        acc = np.zeros(n, dtype=np.int64)
         nt = len(self.taps)
-        for j in range(nt):
-            acc += self.taps[j] * buf[nt - 1 - j:nt - 1 - j + n]
+        # y[t] = sum_j taps[j] * in[t-j]: one C-level convolve call
+        acc = np.convolve(buf, self.taps, "valid")
         y = np.clip(acc >> 15, -32768, 32767)
         self.hist = buf[-(nt - 1):]
         if self.dec > 1:
@@ -126,12 +124,9 @@ def _l2_hamming(b: np.ndarray) -> np.ndarray:
 
 
 def _parity_bits(v: np.ndarray) -> np.ndarray:
-    v = v.astype(np.int64).copy()
-    p = np.zeros_like(v)
-    for _ in range(20):
-        p ^= v & 1
-        v >>= 1
-    return p
+    # parity over the low 20 bits = popcount parity (values are masked
+    # to < 2^20 by the callers)
+    return (np.bitwise_count(v.astype(np.uint64)) & 1).astype(np.int64)
 
 
 def calculate_audio_address(stereo, quality, protection, linear, index=0):
@@ -213,12 +208,9 @@ class MacAudioEnc:
     def _scale_factor(self, pcm: np.ndarray) -> tuple:
         """(src/mac.c:990-1014): smallest range covering the block."""
         s = np.where(pcm < 0, ~pcm, pcm)
-        b = 1
-        for v in s:
-            while b < 7 and (int(v) >> (b + 8)):
-                b += 1
-            if b >= 7:
-                break
+        m = int(s.max()) if len(s) else 0
+        # smallest b >= 1 with m >> (b + 8) == 0, capped at 7
+        b = max(1, min(7, m.bit_length() - 8))
         return _SCALE_FACTORS[b]
 
     def _encode_block(self, samples: np.ndarray) -> bytes:
@@ -264,8 +256,9 @@ class MacAudioEnc:
         if self.linear and self.protection:
             bits.append(np.zeros(18, dtype=np.uint8))
             bits.append(rbits_msb(sfc, 18))
-        for i in range(spb):
-            bits.append(bits_lsb(int(out_buf[i]), self.bits_per_sample))
+        sample_bits = ((out_buf[:, None] >> np.arange(self.bits_per_sample))
+                       & 1).astype(np.uint8).reshape(-1)
+        bits.append(sample_bits)
         return bits_to_bytes_lsb(np.concatenate(bits))
 
     # ------------------------------------------------------------------

@@ -789,7 +789,10 @@ class Encoder:
             args["fm_r0"] = self._fm_r[block_no]
         if self.secam_statics is not None:
             from .video import secam as secam_mod
-            key = k0
+            # the per-line metadata is periodic in the stream line with
+            # period 6 frames (dr parity: 2, carrier phase sign: 3);
+            # block 0 is special (clamped pre-stream rows)
+            key = k0 % (6 * self.conf.lines) if k0 > 0 else -1
             sm = self._secam_meta_cache.get(key)
             if sm is None:
                 nm = secam_mod.line_meta(p, k0 - 1,
@@ -807,9 +810,12 @@ class Encoder:
                     f"(no IIR state for block {block_no})")
             self._device_rgb(block_no)   # refresh host u/v planes
             u, v = self._rgb_host_uv
+            if not hasattr(self, "_secam_host_cache"):
+                self._secam_host_cache = {}
             chroma, snap, _ = secam_mod.chroma_block_host(
                 self.secam_statics, self.out_params.width, nm, u, v,
-                k0 - 1, k0 + nlines - 1, self._secam_iir[block_no])
+                k0 - 1, k0 + nlines - 1, self._secam_iir[block_no],
+                cache=self._secam_host_cache)
             self._secam_iir[block_no + 1] = snap
             self._secam_iir.pop(block_no - 2, None)
             args["secam_add"] = secam_mod.carrier_addin_host(

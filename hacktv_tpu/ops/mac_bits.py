@@ -137,12 +137,15 @@ def line_prbs_seeds(mac_mode_d: bool) -> np.ndarray:
 PRBS_CW_FA = (1 << 60) - 1
 
 
+_REV8 = [int(format(i, "08b")[::-1], 2) for i in range(256)]
+
+
 def _rev(b: int, x: int) -> int:
-    r = 0
-    for _ in range(x):
-        r = (r << 1) | (b & 1)
-        b >>= 1
-    return r
+    # byte-table bit reversal (hot: the PRBS1 update reverses two shift
+    # registers per output bit, 61 bits per packet)
+    r = (_REV8[b & 0xFF] << 24) | (_REV8[(b >> 8) & 0xFF] << 16) \
+        | (_REV8[(b >> 16) & 0xFF] << 8) | _REV8[(b >> 24) & 0xFF]
+    return r >> (32 - x)
 
 
 def prbs_generate_iw(cw: int, fcnt: int) -> int:

@@ -101,9 +101,16 @@ def _declare(lib) -> None:
     lib.rt_iir1_exact.argtypes = [c.c_void_p, c.c_size_t, c.c_double,
                                   c.c_double, c.c_double, c.c_void_p,
                                   c.c_void_p]
+    lib.rt_iir1_exact_i16.argtypes = [c.c_void_p, c.c_size_t, c.c_double,
+                                      c.c_double, c.c_double, c.c_void_p,
+                                      c.c_void_p]
+    lib.rt_fir_block_i16.argtypes = [c.c_void_p, c.c_long, c.c_long,
+                                     c.c_void_p, c.c_long, c.c_void_p,
+                                     c.c_int]
     lib.rt_secam_carrier_exact.argtypes = [
         c.c_void_p, c.c_long, c.c_long, c.c_long, c.c_void_p, c.c_void_p,
-        c.c_void_p, c.c_void_p, c.c_int32, c.c_void_p, c.c_void_p]
+        c.c_void_p, c.c_void_p, c.c_int32, c.c_void_p, c.c_void_p,
+        c.c_int]
 
     lib.rt_file_sink_open.restype = c.c_void_p
     lib.rt_file_sink_open.argtypes = [c.c_char_p, c.c_int, c.c_int,

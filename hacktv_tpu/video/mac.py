@@ -168,7 +168,7 @@ class MacMux:
 
         self.polarity = -1
         self.k = 0             # next iteration (stream line index)
-        self.line_sym: dict[int, np.ndarray] = {}
+        self.pol_start: dict[int, int] = {}
         self.line_bits: dict[int, np.ndarray] = {}
         # per line: (apply, xc_colour_or_single, xc_luma)
         self.scramble: dict[int, tuple] = {}
@@ -361,14 +361,11 @@ class MacMux:
                     bits[x + 720:x + 720 + 344] = pr[360:]
 
         self.line_bits[k] = bits
-        # duobinary polarity: flips on every 0 bit (src/mac.c:193-203)
-        zeros = (bits == 0)
-        flips = np.cumsum(zeros)
-        pol_before = np.where((flips - zeros) & 1, -self.polarity,
-                              self.polarity)
-        self.line_sym[k] = np.where(bits == 1, pol_before, 0
-                                    ).astype(np.int8)
-        if flips[-1] & 1:
+        # duobinary polarity flips on every 0 bit (src/mac.c:193-203);
+        # only the per-line start polarity is tracked here — the symbol
+        # expansion is batched per block (sym_block)
+        self.pol_start[k] = self.polarity
+        if (len(bits) - int(bits.sum())) & 1:
             self.polarity = -self.polarity
 
         # vision scrambling decision for the *previous* line
@@ -396,8 +393,24 @@ class MacMux:
 
         self.k += 1
 
+    def bits_block(self, k_lo: int, k_hi: int):
+        """Packed line bits + start polarity for stream lines
+        [k_lo, k_hi); missing lines are zero rows (their symbols expand
+        to zero regardless of polarity).  The duobinary symbol
+        expansion itself runs on device (mac_symbols)."""
+        n = k_hi - k_lo
+        packed = np.zeros((n, (self.nbits + 7) // 8), dtype=np.uint8)
+        pol0 = np.zeros(n, dtype=np.int8)
+        rows = [j for j in range(n)
+                if self.line_bits.get(k_lo + j) is not None]
+        if rows:
+            bits = np.stack([self.line_bits[k_lo + j] for j in rows])
+            packed[rows] = np.packbits(bits, axis=1, bitorder="little")
+            pol0[rows] = [self.pol_start[k_lo + j] for j in rows]
+        return packed, pol0
+
     def prune(self, below_k: int):
-        for d in (self.line_sym, self.line_bits, self.scramble):
+        for d in (self.pol_start, self.line_bits, self.scramble):
             for key in [x for x in d if x < below_k]:
                 del d[key]
 
@@ -531,7 +544,7 @@ class MacEncoder:
             self.fm_video_statics = rf_ops.make_fm_video_statics(
                 conf.fm_deviation, conf.fm_level * conf.level,
                 self.S, conf.lines)
-            self._fm_r = {0: 0}
+            self._fm_r = {0: jnp.int32(0)}
 
         self._meta = None
         self._step = jax.jit(self._step_impl)
@@ -614,12 +627,22 @@ class MacEncoder:
         return meta
 
     # ------------------------------------------------------------------
-    def _step_impl(self, sym, planes, meta, scr_apply, xc1, xc2, fm_r0,
-                   first):
+    def _step_impl(self, packed, pol0, planes, meta, scr_apply, xc1,
+                   xc2, fm_r0, first):
         y_img, u_img, v_img = planes
         n = self.frames_per_block * mb.MAC_LINES
         nrows = n + (2 if self.resampler is not None else 0)
         W = self.width
+        # unpack line bits and expand duobinary symbols on device
+        # (polarity flips on every 0 bit, src/mac.c:193-203)
+        bits = ((packed[:, :, None] >> jnp.arange(8, dtype=jnp.uint8))
+                & 1).reshape(packed.shape[0], -1)[:, :self.mux.nbits]
+        bits = bits.astype(jnp.int32)
+        zeros = 1 - bits
+        flips = jnp.cumsum(zeros, axis=1)
+        p0 = pol0.astype(jnp.int32)[:, None]
+        pol_before = jnp.where((flips - zeros) & 1, -p0, p0)
+        sym = (bits * pol_before).astype(jnp.float32)
         # duobinary laid down before this line's overwrites: own bits +
         # the previous line's forward spill.  The NEXT line's backward
         # spill (Bm) is rendered one call later in the reference
@@ -730,12 +753,8 @@ class MacEncoder:
         k0 = block_no * n
         self.mux.ensure(k0 + n + halo)
 
-        nbits = self.mux.nbits
-        sym = np.zeros((nrows + 2, nbits), dtype=np.float32)
-        for j in range(-1 - halo, n + 1 + halo):
-            s = self.mux.line_sym.get(k0 + j)
-            if s is not None:
-                sym[j + 1 + halo] = s
+        packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
+                                           k0 + n + 1 + halo)
         scr = [self.mux.scramble.get(k0 + j, (False, 282, 682))
                for j in range(-halo, n + halo)]
         scr_apply = np.array([1.0 if s[0] else 0.0 for s in scr],
@@ -746,15 +765,19 @@ class MacEncoder:
 
         planes = self._device_planes(block_no * self.frames_per_block)
         meta = self._line_meta()
-        fm_r0 = jnp.int32(self._fm_r[block_no]
-                          if self.fm_video_statics is not None else 0)
+        fm_r0 = (self._fm_r[block_no]
+                 if self.fm_video_statics is not None else jnp.int32(0))
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
-        out = self._step(jnp.asarray(sym), planes, meta,
+        out = self._step(jnp.asarray(packed), jnp.asarray(pol0),
+                         planes, meta,
                          jnp.asarray(scr_apply), jnp.asarray(xc1),
                          jnp.asarray(xc2), fm_r0, first)
         if self.fm_video_statics is not None:
             out, fm_carry = out
-            self._fm_r[block_no + 1] = int(fm_carry)
+            # carry stays a device scalar: no host sync, the next
+            # block's dispatch chains on it asynchronously
+            self._fm_r[block_no + 1] = fm_carry
+            self._fm_r.pop(block_no - 2, None)
         return out
 
     def encode_block(self, block_no: int) -> np.ndarray:

@@ -253,7 +253,7 @@ def _line_conv(taps, x):
 
 def chroma_block_host(st: SecamStatics, W: int, meta: dict,
                       u: np.ndarray, v: np.ndarray, k_first: int,
-                      k_snapshot: int, state):
+                      k_snapshot: int, state, cache: dict | None = None):
     """Host-exact SECAM chroma baseband for one block's rows.
 
     Replicates the reference bit-for-bit: vertical averaging with C
@@ -281,46 +281,93 @@ def chroma_block_host(st: SecamStatics, W: int, meta: dict,
     nt = len(tq)
     pad = nt // 2
     b0, b1, a1 = 2.90456054, -2.80912108, -0.90456054
-    out = np.zeros((B, W), dtype=np.float32)
-    snap = state
+
+    ks = k_first + np.arange(B)
+    rows = np.nonzero((meta["active"] > 0) & (ks >= 0))[0]
+    n_act = len(rows)
+    out = np.zeros((B, W), dtype=np.int16)
+    if n_act == 0:
+        return out, state, state
+
+    # the pre-IIR stage (gather/average/FIR) depends only on the source
+    # planes and the line-number phase (dr parity has a 2-frame period),
+    # so it is cached for static sources; only the IIR (stream-carried
+    # f64 state) runs per block
+    ckey = None
+    if cache is not None:
+        ckey = (id(u), id(v), k_first % (2 * 625), B)
+        hit = cache.get(ckey)
+        if hit is not None:
+            f, dr = hit[0], hit[1]
+            return _chroma_iir_finish(st, meta, W, out, rows, ks, f, dr,
+                                      k_snapshot, state)
+
+    # gather + vertical average for all active rows at once (single
+    # fancy-index into the stacked U/V planes, f32 exact for int16)
+    dr = meta["dr"][rows] > 0
+    blackv = np.where(dr, st.v_black, st.u_black).astype(np.float32)
+    P = np.concatenate([
+        np.asarray(u, np.float32),
+        np.full((1, fw), st.u_black, np.float32),
+        np.asarray(v, np.float32),
+        np.full((1, fw), st.v_black, np.float32)])
+    off = np.where(dr, H + 1, 0)
+    vy = np.where((meta["vy"][rows] >= 0) & (meta["vy"][rows] < H),
+                  meta["vy"][rows], H) + off
+    vyp = np.where((meta["vy_prev"][rows] >= 0)
+                   & (meta["vy_prev"][rows] < H),
+                   meta["vy_prev"][rows], H) + off
+    cur = P[vy]
+    prv = P[vyp] * (meta["prev_has"][rows] > 0)[:, None].astype(
+        np.float32)
+    avg = np.trunc((cur + prv) * np.float32(0.5))
+
+    lines = np.empty((n_act, W), np.int16)
+    lines[:] = blackv[:, None].astype(np.int16)
+    lines[:, st.col0:st.col0 + fw] = avg
+    # Q15 FIR with zero edges + the order-1 IIR in the exact C operation
+    # order: both in the native runtime (FIR threaded over rows; the
+    # IIR is a serial f64 recurrence carried across the stream).
+    import os
+    taps_i32 = np.ascontiguousarray(tq.astype(np.int32))
+    f = np.empty((n_act, W), np.int16)
+    lib.rt_fir_block_i16(pp(lines), n_act, W, pp(taps_i32), nt, pp(f),
+                         min(8, os.cpu_count() or 1))
+    if ckey is not None:
+        if len(cache) > 4:
+            cache.clear()
+        # keep refs to u/v so a freed plane's id is never reused while
+        # the cache entry is alive
+        cache[ckey] = (f, dr, u, v)
+    return _chroma_iir_finish(st, meta, W, out, rows, ks, f, dr,
+                              k_snapshot, state)
+
+
+def _chroma_iir_finish(st, meta, W, out, rows, ks, f, dr, k_snapshot,
+                       state):
+    import ctypes as C
+
+    from .. import runtime
+    lib = runtime.load()
+    pp = lambda a: a.ctypes.data_as(C.c_void_p)
+    b0, b1, a1 = 2.90456054, -2.80912108, -0.90456054
+    n_act = len(rows)
     iir_state = np.array(state, np.float64)
-    yq = np.empty(W, np.int16)
-    for j in range(B):
-        k = k_first + j
-        if k < 0:
-            continue
-        if k == k_snapshot:
-            snap = (float(iir_state[0]), float(iir_state[1]))
-        if not meta["active"][j]:
-            continue
-        dr = meta["dr"][j] > 0
-        comp = v if dr else u
-        black = st.v_black if dr else st.u_black
-        vy = int(meta["vy"][j])
-        cur = comp[vy] if 0 <= vy < H else np.full(fw, black)
-        if meta["prev_has"][j]:
-            pv = int(meta["vy_prev"][j])
-            prv = comp[pv] if 0 <= pv < H else np.full(fw, black)
-        else:
-            prv = np.zeros(fw)
-        avg = np.trunc((cur + prv) / 2.0)
-        line = np.full(W, black, dtype=np.int64)
-        line[st.col0:st.col0 + fw] = avg.astype(np.int64)
-        # Q15 FIR, zero edges (per-line block filter)
-        xp = np.zeros(W + 2 * pad, dtype=np.int64)
-        xp[pad:pad + W] = line
-        acc = np.zeros(W, dtype=np.int64)
-        for t in range(nt):
-            acc += tq[nt - 1 - t] * xp[t:t + W]
-        f = np.ascontiguousarray(np.clip(acc >> 15, -32768, 32767),
-                                 np.float64)
-        # order-1 IIR: exact C operation order in the native kernel
-        lib.rt_iir1_exact(pp(f), W, b0, b1, a1, pp(iir_state), pp(yq))
-        dmin = st.dmin[1] if dr else st.dmin[0]
-        dmax = st.dmax[1] if dr else st.dmax[0]
-        out[j] = np.clip(yq, dmin, dmax)
-    if k_snapshot >= k_first + B:
-        snap = (float(iir_state[0]), float(iir_state[1]))
+    yq = np.empty((n_act, W), np.int16)
+    n_before = int(np.searchsorted(ks[rows], k_snapshot))
+    if n_before:
+        lib.rt_iir1_exact_i16(pp(f), n_before * W, b0, b1, a1,
+                              pp(iir_state), pp(yq))
+    snap = (float(iir_state[0]), float(iir_state[1]))
+    if n_before < n_act:
+        f2 = f.reshape(-1)[n_before * W:]
+        y2 = yq.reshape(-1)[n_before * W:]
+        lib.rt_iir1_exact_i16(pp(f2), (n_act - n_before) * W, b0, b1,
+                              a1, pp(iir_state), pp(y2))
+    dmin = np.where(dr, st.dmin[1], st.dmin[0]).astype(np.int16)
+    dmax = np.where(dr, st.dmax[1], st.dmax[0]).astype(np.int16)
+    np.clip(yq, dmin[:, None], dmax[:, None], out=yq)
+    out[rows] = yq
     return out, snap, (float(iir_state[0]), float(iir_state[1]))
 
 
@@ -351,15 +398,20 @@ def carrier_addin_host(st: SecamStatics, W: int, meta: dict,
                   np.where(meta["half_only"] > 0, st.half_width,
                            sl + st.burst_len), 0).astype(np.int32)
     sign = np.where(meta["phase_pos"] > 0, 1, -1).astype(np.int8)
-    bell = np.ascontiguousarray(
-        np.stack([st.bell_i, st.bell_q], axis=-1))
-    ch = np.ascontiguousarray(chroma.astype(np.int16))
+    bell = getattr(st, "_bell_iq", None)
+    if bell is None:
+        bell = np.ascontiguousarray(
+            np.stack([st.bell_i, st.bell_q], axis=-1))
+        object.__setattr__(st, "_bell_iq", bell)
+    ch = np.ascontiguousarray(chroma, dtype=np.int16)
     out = np.empty((B, W), np.int16)
     import ctypes as C
     p = lambda a: a.ctypes.data_as(C.c_void_p)
+    import os
     lib.rt_secam_carrier_exact(p(ch), B, W, sl, p(sr), p(sign), p(lut),
                                p(bell), st.level_int,
-                               p(st._win_q), p(out))
+                               p(st._win_q), p(out),
+                               min(8, os.cpu_count() or 1))
     return out
 
 

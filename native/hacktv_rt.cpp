@@ -303,6 +303,62 @@ void rt_iir1_exact(const double *in, size_t n, double b0, double b1,
 }
 
 // ---------------------------------------------------------------------------
+// Per-line Q15 FIR with zero edges (the reference's fir_int16 block
+// semantics over each chroma line), int32 accumulate >>15, threaded
+// over independent rows.
+void rt_fir_block_i16(const int16_t *lines, long n_rows, long W,
+                      const int32_t *taps, long nt, int16_t *out,
+                      int nthreads) {
+    long pad = nt / 2;
+    auto work = [&](long r0, long r1) {
+        for (long r = r0; r < r1; r++) {
+            const int16_t *x = lines + r * W;
+            int16_t *o = out + r * W;
+            for (long i = 0; i < W; i++) {
+                int32_t acc = 0;
+                long lo = i - pad, hi = i + pad;
+                if (lo < 0) lo = 0;
+                if (hi >= W) hi = W - 1;
+                for (long k = lo; k <= hi; k++)
+                    acc += (int32_t)x[k] * taps[i + pad - k];
+                acc >>= 15;
+                o[i] = (int16_t)(acc < -32768 ? -32768
+                                              : (acc > 32767 ? 32767
+                                                             : acc));
+            }
+        }
+    };
+    if (nthreads <= 1 || n_rows < 16) {
+        work(0, n_rows);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long per = (n_rows + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        long r0 = t * per, r1 = r0 + per > n_rows ? n_rows : r0 + per;
+        if (r0 >= r1) break;
+        ts.emplace_back(work, r0, r1);
+    }
+    for (auto &th : ts) th.join();
+}
+
+// int16-input variant of rt_iir1_exact (saves the f64 conversion pass)
+void rt_iir1_exact_i16(const int16_t *in, size_t n, double b0, double b1,
+                       double a1, double *state, int16_t *out) {
+    double ix = state[0], iy = state[1];
+    for (size_t i = 0; i < n; i++) {
+        double x = (double)in[i];
+        iy = x * b0 + ix * b1 - iy * a1;
+        ix = x;
+        double v = iy < -32768.0 ? -32768.0 : (iy > 32767.0 ? 32767.0
+                                                            : iy);
+        out[i] = (int16_t)llround(v);
+    }
+    state[0] = ix;
+    state[1] = iy;
+}
+
+// ---------------------------------------------------------------------------
 // Exact emulation of the reference's SECAM chroma carrier
 // (src/video.c:3196-3233 + _fm_modulator_cgain :2278-2297): per line the
 // int32 phase resets to +/-INT32_MAX and steps through the quantised
@@ -318,32 +374,47 @@ void rt_secam_carrier_exact(const int16_t *chroma, long B, long W,
                             const int16_t *bell,    // [65536][2]
                             int32_t level,
                             const int16_t *win,     // [>= W - sl]
-                            int16_t *out) {
+                            int16_t *out, int nthreads) {
     memset(out, 0, sizeof(int16_t) * (size_t)(B * W));
-    for (long j = 0; j < B; j++) {
-        long r = sr[j];
-        if (r <= sl) continue;
-        // the reference's span can overshoot the line width by a couple
-        // of samples (sl + burst_width > width); those writes land past
-        // l->width in its oversized buffer and are never output
-        if (r > W) r = W;
-        int64_t pi = sign[j] >= 0 ? 2147483647LL : -2147483647LL;
-        int64_t pq = 0;
-        const int16_t *c = chroma + j * W;
-        int16_t *o = out + j * W;
-        for (long x = sl; x < r; x++) {
-            const int32_t *e = &lut[((int32_t)c[x] + 32768) * 2];
-            int64_t ni = (pi * e[0] - pq * e[1]) >> 31;
-            int64_t nq = (pi * e[1] + pq * e[0]) >> 31;
-            pi = ni;
-            pq = nq;
-            const int16_t *g = &bell[((int32_t)c[x] + 32768) * 2];
-            int32_t vi = (int32_t)(((pi >> 16) * level) >> 15);
-            int32_t vq = (int32_t)(((pq >> 16) * level) >> 15);
-            int32_t m = ((vi * g[0]) >> 15) - ((vq * g[1]) >> 15);
-            o[x] = (int16_t)((m * (int32_t)win[x - sl]) >> 15);
+    auto work = [&](long j0, long j1) {
+        for (long j = j0; j < j1; j++) {
+            long r = sr[j];
+            if (r <= sl) continue;
+            // the reference's span can overshoot the line width by a
+            // couple of samples (sl + burst_width > width); those
+            // writes land past l->width in its oversized buffer and
+            // are never output
+            if (r > W) r = W;
+            int64_t pi = sign[j] >= 0 ? 2147483647LL : -2147483647LL;
+            int64_t pq = 0;
+            const int16_t *c = chroma + j * W;
+            int16_t *o = out + j * W;
+            for (long x = sl; x < r; x++) {
+                const int32_t *e = &lut[((int32_t)c[x] + 32768) * 2];
+                int64_t ni = (pi * e[0] - pq * e[1]) >> 31;
+                int64_t nq = (pi * e[1] + pq * e[0]) >> 31;
+                pi = ni;
+                pq = nq;
+                const int16_t *g = &bell[((int32_t)c[x] + 32768) * 2];
+                int32_t vi = (int32_t)(((pi >> 16) * level) >> 15);
+                int32_t vq = (int32_t)(((pq >> 16) * level) >> 15);
+                int32_t m = ((vi * g[0]) >> 15) - ((vq * g[1]) >> 15);
+                o[x] = (int16_t)((m * (int32_t)win[x - sl]) >> 15);
+            }
         }
+    };
+    if (nthreads <= 1 || B < 16) {
+        work(0, B);
+        return;
     }
+    std::vector<std::thread> ts;
+    long per = (B + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        long j0 = t * per, j1 = j0 + per > B ? B : j0 + per;
+        if (j0 >= j1) break;
+        ts.emplace_back(work, j0, j1);
+    }
+    for (auto &th : ts) th.join();
 }
 
 // ---------------------------------------------------------------------------
