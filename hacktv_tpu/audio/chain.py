@@ -236,9 +236,11 @@ class AudioChain:
                                             start + count - lo)
             else:
                 raw = self.source.read_audio(lo, start + count - lo)
-            if self.volume_int == 256:
+            if self.volume_int == 256 and raw.dtype == np.int16:
                 # (v*256 + 128) >> 8 == v for any int16 v: skip the
-                # scale/clip pass at the default volume
+                # scale/clip pass at the default volume.  Sources must
+                # return int16-range values for this fast path; any
+                # other dtype goes through the scale/clip below.
                 out[lo - start:] = raw
             else:
                 v = (raw.astype(np.int64) * self.volume_int + 128) >> 8

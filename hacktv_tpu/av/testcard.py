@@ -101,11 +101,17 @@ class TestCardSource:
     def read_audio(self, start: int, count: int) -> np.ndarray:
         """Loop the ident tone forever; absolute sample addressing.
         Built from contiguous slices (a modulo fancy-index gather costs
-        ~0.3 ms per 41k-pair block and was a top host hot-spot)."""
+        ~0.3 ms per 41k-pair block and was a top host hot-spot).
+
+        The returned array may be a read-only VIEW of the tone buffer —
+        callers must not mutate it in place (all current consumers
+        copy)."""
         n = self.audio.shape[0]
         s = start % n
         if s + count <= n:
-            return self.audio[s:s + count]
+            out = self.audio[s:s + count]
+            out.flags.writeable = False
+            return out
         parts = [self.audio[s:]]
         remaining = count - (n - s)
         if remaining >= n:
