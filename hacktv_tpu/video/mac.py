@@ -148,9 +148,21 @@ class MacMux:
         # packet queues: per subframe list of (addr, cont, payload, scr)
         self.queues = [[], []]
         self.dummy_continuity = [0, 0]
-        # current in-flight packet per subframe: 751-bit array + consumed
-        self.cur_pkt = [None, None]
-        self.pkt_bits = [mb.MAC_PACKET_BITS, mb.MAC_PACKET_BITS]
+        # per-subframe encoded packet bit stream: appended on demand by
+        # the queue simulation, consumed sequentially (pos/len); the
+        # per-line bit assembly is deferred and batched (_materialize)
+        self._stream = [[], []]
+        self._slen = [0, 0]       # appended bits
+        self._spos = [0, 0]       # consumed bits
+        self._sbase = [0, 0]      # absolute offset of _stream[c][0]
+        self._pending: dict[int, tuple] = {}
+        nsub = 2 if self.mode_d else 1
+        self._wh_all = np.stack([
+            self.prbs15.seq(int(self.seeds[l]), 99 * nsub)
+            for l in range(mb.MAC_LINES)])
+        self._hs = np.stack([
+            mb.rbits_msb((~mb.MAC_LSW) & 0x3F, 6),
+            mb.rbits_msb(mb.MAC_LSW, 6)]).astype(np.uint8)
 
         self.audio = MacAudioEnc(
             high_quality=conf.mac_audio_quality,
@@ -216,25 +228,19 @@ class MacMux:
                 self._write_packet(0, addr, cont, payload, scr)
 
     # -- line content -----------------------------------------------------
-    def _data_line(self, frame: int, line: int) -> np.ndarray:
-        """Regular line: sync + packet burst(s) (src/mac.c:1375-1439)."""
-        g = self.prbs15
-        poly = int(self.seeds[line - 1])
-        out = np.zeros(self.nbits, dtype=np.uint8)
-        x = 0
-        if self.mode_d:
-            out[0] = 1
-            x = 1
-        out[x:x + 6] = mb.hsync_word_bits(frame, line)
-        x += 6
-        nsub = 2 if self.mode_d else 1
-        wh = g.seq(poly, 99 * nsub)
-        wi = 0
+    def _sim_data_line(self, frame: int, line: int):
+        """Queue simulation for a regular line (src/mac.c:1375-1439):
+        packets are pulled/encoded into the per-subframe bit stream on
+        demand; only the consumed (pos, len) range per subframe is
+        recorded — the per-line bit assembly happens batched in
+        _materialize."""
         sr5 = 0
-        for c in range(nsub):
+        segs = []
+        for c in range(2 if self.mode_d else 1):
+            pos = self._spos[c]
             i = 0
             while i < 99:
-                if self.pkt_bits[c] == mb.MAC_PACKET_BITS:
+                if self._spos[c] == self._slen[c]:
                     if line == 623:
                         break
                     addr, cont, payload, scr = self._read_packet(c)
@@ -244,22 +250,14 @@ class MacMux:
                         pb = bytearray(payload)
                         mb.scramble_packet(pb, sr5)
                         payload = bytes(pb)
-                    self.cur_pkt[c] = mb.encode_packet(addr, cont, payload)
-                    self.pkt_bits[c] = 0
-                take = min(99 - i, mb.MAC_PACKET_BITS - self.pkt_bits[c])
-                pb = self.cur_pkt[c][self.pkt_bits[c]:
-                                     self.pkt_bits[c] + take]
-                out[x + i:x + i + take] = pb ^ wh[wi + i:wi + i + take]
-                self.pkt_bits[c] += take
+                    self._stream[c].append(
+                        mb.encode_packet(addr, cont, payload))
+                    self._slen[c] += mb.MAC_PACKET_BITS
+                take = min(99 - i, self._slen[c] - self._spos[c])
+                self._spos[c] += take
                 i += take
-            if i < 99:   # line 623 PRBS fill
-                out[x + i:x + 99] = wh[wi + i:wi + 99]
-            x += 99
-            wi += 99
-        if self.mode_d:
-            out[x] = 1   # spare bit
-            x += 1
-        return out
+            segs.append((pos, i))
+        return segs
 
     def _line_625(self, frame: int, line: int) -> np.ndarray:
         out = np.zeros(self.nbits, dtype=np.uint8)
@@ -310,6 +308,88 @@ class MacMux:
         """Run iterations up to and including stream line k_through."""
         while self.k <= k_through:
             self._iterate()
+        self._materialize()
+
+    def _materialize(self):
+        """Batch-assemble the bit rows of all newly simulated lines:
+        static heads + sequential packet-stream slices XOR the per-line
+        PRBS whitening (src/mac.c:1375-1439), teletext overlays, and
+        the running duobinary start polarity."""
+        if not self._pending:
+            return
+        ks = sorted(self._pending)
+        n = len(ks)
+        nsub = 2 if self.mode_d else 1
+        x0 = 7 if self.mode_d else 6
+        Bits = np.zeros((n, self.nbits), dtype=np.uint8)
+
+        drows, dframes, dlines, dpos, dlen = [], [], [], [], []
+        for i, k in enumerate(ks):
+            kind, payload, _tt = self._pending[k]
+            if kind == "full":
+                Bits[i] = payload
+            else:
+                frame, line, segs = payload
+                drows.append(i)
+                dframes.append(frame)
+                dlines.append(line)
+                dpos.append([s[0] for s in segs])
+                dlen.append([s[1] for s in segs])
+        if drows:
+            drows = np.array(drows)
+            dframes = np.array(dframes)
+            dlines = np.array(dlines)
+            dpos = np.array(dpos)      # [nd, nsub]
+            dlen = np.array(dlen)
+            nd = len(drows)
+            D = np.zeros((nd, self.nbits), dtype=np.uint8)
+            if self.mode_d:
+                D[:, 0] = 1
+                D[:, x0 + 99 * nsub] = 1              # spare bit
+            hs = ((dframes + dlines) & 1) ^ (dlines == 623)
+            D[:, x0 - 6:x0] = self._hs[hs]
+            WH = self._wh_all[dlines - 1]              # [nd, 99*nsub]
+            j99 = np.arange(99)
+            for c in range(nsub):
+                stream = (np.concatenate(self._stream[c])
+                          if self._stream[c] else np.zeros(1, np.uint8))
+                idx = dpos[:, c, None] - self._sbase[c] + j99
+                valid = j99 < dlen[:, c, None]
+                np.minimum(idx, len(stream) - 1, out=idx)
+                vals = stream[idx]
+                whc = WH[:, 99 * c:99 * (c + 1)]
+                D[:, x0 + 99 * c:x0 + 99 * (c + 1)] = \
+                    np.where(valid, vals ^ whc, whc)
+            Bits[drows] = D
+        # teletext overlays (a handful of lines per frame)
+        for i, k in enumerate(ks):
+            _kind, _payload, tt = self._pending[k]
+            if tt is None:
+                continue
+            line, v = tt
+            if not self.mode_d:
+                Bits[i, 116:116 + 360] = v
+            else:
+                pr = self.prbs15.seq(int(self.seeds[line - 1]),
+                                     360 + 344)
+                Bits[i, 230:230 + 720:2] = v
+                Bits[i, 231:230 + 720:2] = pr[:360]
+                Bits[i, 950:950 + 344] = pr[360:]
+        # running start polarity (flips on every 0 bit, src/mac.c:193)
+        sums = Bits.sum(axis=1, dtype=np.int64)
+        for i, k in enumerate(ks):
+            self.line_bits[k] = Bits[i]
+            self.pol_start[k] = self.polarity
+            if (self.nbits - int(sums[i])) & 1:
+                self.polarity = -self.polarity
+        self._pending.clear()
+        # drop fully consumed packet chunks
+        for c in range(nsub):
+            st = self._stream[c]
+            while st and self._sbase[c] + mb.MAC_PACKET_BITS \
+                    <= self._spos[c]:
+                st.pop(0)
+                self._sbase[c] += mb.MAC_PACKET_BITS
 
     def _iterate(self):
         k = self.k
@@ -336,37 +416,22 @@ class MacMux:
             # UDT refresh every 25 frames is a no-op with pinned time
 
         if line == 625:
-            bits = self._line_625(frame, line)
+            self._pending[k] = ("full", self._line_625(frame, line),
+                                None)
         elif line == 624:
-            bits = self._line_624(frame, line)
+            self._pending[k] = ("full", self._line_624(frame, line),
+                                None)
         else:
-            bits = self._data_line(frame, line)
+            segs = self._sim_data_line(frame, line)
+            self._pending[k] = ("data", (frame, line, segs), None)
 
         # teletext packets on lines 1-22 / 313-334 (src/mac.c:1556-1602)
         if self.teletext is not None and \
                 (1 <= line <= 22 or 313 <= line <= 334):
             v = self.teletext.next_vbi_bits(frame, line)
             if v is not None:
-                if not self.mode_d:
-                    x = 116
-                    bits[x:x + 360] = v
-                else:
-                    # data bits interleaved with the line PRBS, then
-                    # 172*2 PRBS filler bits
-                    x = 230
-                    pr = self.prbs15.seq(int(self.seeds[line - 1]),
-                                         360 + 344)
-                    bits[x:x + 720:2] = v
-                    bits[x + 1:x + 720:2] = pr[:360]
-                    bits[x + 720:x + 720 + 344] = pr[360:]
-
-        self.line_bits[k] = bits
-        # duobinary polarity flips on every 0 bit (src/mac.c:193-203);
-        # only the per-line start polarity is tracked here — the symbol
-        # expansion is batched per block (sym_block)
-        self.pol_start[k] = self.polarity
-        if (len(bits) - int(bits.sum())) & 1:
-            self.polarity = -self.polarity
+                kind, payload, _ = self._pending[k]
+                self._pending[k] = (kind, payload, (line, v))
 
         # vision scrambling decision for the *previous* line
         # (src/mac.c:1836-1864: applied to lines[0] with the current
