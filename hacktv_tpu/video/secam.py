@@ -66,6 +66,8 @@ class SecamStatics:
     bell_i: np.ndarray = None   # int16 [65536], index chroma + 32768
     bell_q: np.ndarray = None
     _win_q: np.ndarray = None   # int16 [width]: burst window, zero tail
+    fsync_level: int = 0        # field-ID sawtooth deviation
+    pixel_rate: int = 0
 
 
 def make_statics(p, vframe_x: int, frame_w: int) -> SecamStatics:
@@ -135,7 +137,9 @@ def make_statics(p, vframe_x: int, frame_w: int) -> SecamStatics:
         u_black=float(u_black), v_black=float(v_black),
         w0_tab=_w0_table(p.pixel_rate, p.width),
         bell_i=_bell_table(0), bell_q=_bell_table(1),
-        _win_q=_win_int16(win, p.width))
+        _win_q=_win_int16(win, p.width),
+        fsync_level=round(350e3 / SECAM_FM_DEV * INT16_MAX),
+        pixel_rate=p.pixel_rate)
 
 
 def _win_int16(win: np.ndarray, width: int) -> np.ndarray:
@@ -207,12 +211,24 @@ def line_meta(p, k0: int, n: int, vframe_y: int, vframe_h: int) -> dict:
         if act:
             last_secam = k
 
+    nfid = conf.secam_field_id_lines
+    if conf.secam_field_id and not (1 <= nfid <= 9):
+        nfid = 9        # src/video.c:4131-4137
+    field_id = np.zeros(n, dtype=bool)
+
     for j in range(n):
         k = max(k0 + j, 0)
         act, v, code, line, frame = active_of(k)
         dr[j] = ((frame * conf.lines) + line) & 1
         phase_pos[j] = 1.0 if ((frame * conf.lines) + line) % 3 == 0 else -1.0
-        if act:
+        if conf.secam_field_id and (7 <= line < 7 + nfid
+                                    or 320 <= line < 320 + nfid):
+            # field-identification "bottle" lines: full-span sawtooth
+            # chroma, processed like active lines (src/video.c:3101-3136)
+            field_id[j] = True
+            active[j] = True
+            half_only[j] = False
+        elif act:
             active[j] = True
             half_only[j] = code[3] != 'a'
             vy[j] = v
@@ -229,7 +245,8 @@ def line_meta(p, k0: int, n: int, vframe_y: int, vframe_h: int) -> dict:
                 half_only=half_only.astype(np.float32),
                 vy=vy, vy_prev=vy_prev,
                 prev_has=prev_has.astype(np.float32),
-                phase_pos=phase_pos, prev_row=prev_row)
+                phase_pos=phase_pos, prev_row=prev_row,
+                field_id=field_id)
 
 
 def _line_conv(taps, x):
@@ -325,6 +342,20 @@ def chroma_block_host(st: SecamStatics, W: int, meta: dict,
     lines = np.empty((n_act, W), np.int16)
     lines[:] = blackv[:, None].astype(np.int16)
     lines[:, st.col0:st.col0 + fw] = avg
+    fid = meta["field_id"][rows]
+    if fid.any():
+        # field-ID sawtooth (src/video.c:3101-3136): level + dev*t with
+        # t = clip((x - active_left)/rate/rw, 0, 1); C assignment to
+        # int16 truncates toward zero
+        x = np.arange(W, dtype=np.float64) - st.active_left
+        for comp, rw in ((True, 15e-6), (False, 18e-6)):
+            rsel = fid & (dr == comp)
+            if not rsel.any():
+                continue
+            t = np.clip(x / st.pixel_rate / rw, 0.0, 1.0)
+            level = st.v_black if comp else st.u_black
+            dev = st.fsync_level if comp else -st.fsync_level
+            lines[rsel] = np.trunc(level + dev * t).astype(np.int16)
     # Q15 FIR with zero edges + the order-1 IIR in the exact C operation
     # order: both in the native runtime (FIR threaded over rows; the
     # IIR is a serial f64 recurrence carried across the stream).

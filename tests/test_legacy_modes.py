@@ -76,3 +76,22 @@ def test_fm_am_mode_snr(mode, rate, min_snr):
     e = ours.astype(np.float64) - ref
     snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
     assert snr > min_snr, f"{mode}: {snr:.1f} dB"
+
+
+def test_secam_field_id_golden():
+    """--secam-field-id renders the field-identification sawtooth
+    "bottles" on lines 7-15/320-328 (src/video.c:3101-3136)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    path = os.path.join(GOLDEN, "secaml_fid_2frames.c16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16).astype(np.float64)
+    conf = replace(get_mode("l"), secam_field_id=True)
+    enc = Encoder(conf, 16_000_000)
+    ours = np.concatenate([enc.encode_block(f).reshape(-1)
+                           for f in range(1)]).astype(np.float64)
+    n = min(len(ref), len(ours))
+    e = ours[:n] - ref[:n]
+    snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 40.0, snr
