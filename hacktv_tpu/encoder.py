@@ -163,7 +163,13 @@ class Encoder:
         self.halo_after = max([1] + [getattr(s, "lookahead", 1)
                                      for s in self.services])
 
-        self.complex_out = conf.output_type == OutputType.COMPLEX
+        # S-Video interleaves luma/chroma like a complex stream
+        # (src/video.c:3032: chroma written to the second channel)
+        self.complex_out = (conf.output_type == OutputType.COMPLEX
+                            or conf.s_video)
+        if conf.s_video and self.resampler is not None:
+            raise NotImplementedError(
+                "--pixelrate with --s-video is not supported")
         self._init_audio(systeraudio=systeraudio, a2stereo=a2stereo)
 
         # FM video modulation (src/video.c:4564-4585).  The reference's
@@ -481,8 +487,17 @@ class Encoder:
         nlines = self.frames_per_block * p.lines
         n = nlines * W
 
+        s_video = self.conf.s_video
+        cblock = None
         if self.raw_bb is not None:
             block = audio_args["rawbb"]
+        elif s_video:
+            # S-Video: luma and chroma on separate channels
+            # (src/video.c:3032, 3219)
+            block, cblock = raster.synth_block(
+                self.statics, rgb, base, nxt, burst, vswitch, vy, al,
+                ar, cos0, sin0, lut_row, fsc, fscf, prv,
+                split_chroma=True)
         else:
             block = raster.synth_block(self.statics, rgb, base, nxt,
                                        burst, vswitch, vy, al, ar, cos0,
@@ -491,9 +506,14 @@ class Encoder:
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
-            block = secam_mod.render(
-                self.secam_statics, block, audio_args["secam_add"],
-                audio_args["secam"])
+            if s_video:
+                # no luma band-reject; the carrier rides the C channel
+                # (src/video.c:3206, 3219)
+                cblock = cblock +                     audio_args["secam_add"].astype(jnp.float32)
+            else:
+                block = secam_mod.render(
+                    self.secam_statics, block, audio_args["secam_add"],
+                    audio_args["secam"])
         if self.services:
             lut = ((jnp.asarray(self.statics.carrier_rows[0])[lut_row],
                     jnp.asarray(self.statics.carrier_rows[1])[lut_row])
@@ -503,6 +523,8 @@ class Encoder:
                 block = svc.apply(block, arr, lut)
         block = block.at[0].multiply(first_mask)
         block = self._shard_hint(block)
+        if cblock is not None:
+            cblock = cblock.at[0].multiply(first_mask)
         x = block.reshape(-1)
 
         if self.resampler is not None:
@@ -537,8 +559,20 @@ class Encoder:
             y = stream_conv(p.vfilter_taps)
         else:
             y = x[W: W + n].reshape(nlines, W)
+        if cblock is not None:
+            # S-Video C channel, through the same LP filter when
+            # enabled (the reference's vfilter runs 2 channels,
+            # src/video.c:4366)
+            xl = x
+            x = cblock.reshape(-1)
+            if p.vfilter_taps is not None:
+                yq = stream_conv(p.vfilter_taps)
+            else:
+                yq = x[W: W + n].reshape(nlines, W)
+            x = xl
 
-        if not self.has_audio and not self.complex_out:
+        if not self.has_audio and not self.complex_out \
+                and cblock is None:
             if self.passthru is not None:
                 y = y + audio_args["passthru"][..., 0]
             yi = jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)

@@ -223,10 +223,12 @@ def synth_block(st: RasterStatics,
                 fsc: jnp.ndarray = None,       # i32 [B] FSC field channel
                 fscf: jnp.ndarray = None,      # i32 [B] FSC flag selector
                 prv: jnp.ndarray = None,       # i32 [B] previous line code
+                split_chroma: bool = False,
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
-    next line's leading sync tail."""
+    next line's leading sync tail.  With split_chroma (S-Video) the
+    subcarrier is returned as a second [B, width] channel instead."""
     B = base.shape[0]
     W = st.width
 
@@ -312,10 +314,20 @@ def synth_block(st: RasterStatics,
                 * (vc * vswitch[:, None]).astype(jnp.int32)
                 + sin_t.astype(jnp.int32) * uc.astype(jnp.int32))
                >> 15).astype(jnp.float32)
-        out = out + jnp.where(burst[:, None] > 0, sub, 0.0)
+        chroma_ch = jnp.where(burst[:, None] > 0, sub, 0.0)
+        if split_chroma:
+            # S-Video: the subcarrier goes to the second (C) channel
+            # instead of adding to the composite (src/video.c:3032)
+            pass
+        else:
+            out = out + chroma_ch
+    else:
+        chroma_ch = jnp.zeros_like(out)
 
     if st.fsc_mode is not None:
         # FSC ID flag pulses (src/video.c:3043-3063)
         out = out + jnp.asarray(st.fsc_tpl)[fscf]
 
+    if split_chroma:
+        return out, chroma_ch
     return out

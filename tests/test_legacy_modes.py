@@ -95,3 +95,27 @@ def test_secam_field_id_golden():
     e = ours[:n] - ref[:n]
     snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
     assert snr > 40.0, snr
+
+
+@pytest.mark.parametrize("mode,golden", [
+    ("pal", "pal_svideo_2frames.c16"),
+    ("secam", "secam_svideo_2frames.c16"),
+])
+def test_s_video_golden(mode, golden):
+    """--s-video splits luma and chroma onto separate channels
+    (src/video.c:3032, 3219)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    path = os.path.join(GOLDEN, golden)
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16).astype(np.float64)
+    conf = replace(get_mode(mode), s_video=True)
+    enc = Encoder(conf, 16_000_000)
+    assert enc.complex_out
+    ours = np.concatenate([enc.encode_block(f).reshape(-1)
+                           for f in range(2)]).astype(np.float64)
+    n = min(len(ref), len(ours))
+    e = ours[:n] - ref[:n]
+    snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 40.0, f"{mode}: {snr:.1f} dB"
