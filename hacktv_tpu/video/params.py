@@ -120,6 +120,17 @@ class VideoParams:
         slevel = 1.0 if conf.modulation == Modulation.FM else conf.level
         level = conf.video_level * slevel
         p.level = level
+        if conf.invert_video:
+            # swap sync and white, then mirror blanking/black through
+            # the new levels (src/video.c:3863-3876: computed after the
+            # swap, so the offsets use the OLD white as the new sync)
+            from dataclasses import replace as _replace
+            w, sy = conf.white_level, conf.sync_level
+            conf = _replace(
+                conf, white_level=sy, sync_level=w,
+                blanking_level=w - (conf.blanking_level - sy),
+                black_level=w - (conf.black_level - sy))
+            p.conf = conf
         p.white_level = _quant(conf.white_level * level)
         p.black_level = _quant(conf.black_level * level)
         p.blanking_level = _quant(conf.blanking_level * level)

@@ -119,3 +119,22 @@ def test_s_video_golden(mode, golden):
     e = ours[:n] - ref[:n]
     snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
     assert snr > 40.0, f"{mode}: {snr:.1f} dB"
+
+
+def test_invert_video_golden():
+    """--invert-video swaps sync/white and mirrors blanking/black
+    (src/video.c:3863-3876)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    path = os.path.join(GOLDEN, "pal_invert_2frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    ref = np.fromfile(path, dtype=np.int16).astype(np.float64)
+    conf = replace(get_mode("pal"), invert_video=True)
+    enc = Encoder(conf, 16_000_000)
+    ours = np.concatenate([enc.encode_block(f).reshape(-1)
+                           for f in range(2)]).astype(np.float64)
+    n = min(len(ref), len(ours))
+    e = ours[:n] - ref[:n]
+    snr = 10 * np.log10((ref[:n] ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 40.0, snr

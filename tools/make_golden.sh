@@ -118,6 +118,7 @@ capture palfm_16M_2frames.c16 5120000 -m pal-fm test
 capture secaml_16M_2frames.c16 5120000 -m l test
 capture secaml_fid_2frames.c16 2560000 -m l --secam-field-id test
 capture pal_svideo_2frames.c16 5120000 -m pal --s-video test
+capture pal_invert_2frames.s16 2560000 -m pal --invert-video test
 capture secam_svideo_2frames.c16 5120000 -m secam --s-video test
 capture secam_16M_2frames.s16 2560000 -m secam test
 
