@@ -504,7 +504,8 @@ class MacEncoder:
                  frames_per_block: int = 1,
                  scramble_video: int = 0, scramble_audio: bool = False,
                  eurocrypt=None, timestamp: int = 1_200_000_000,
-                 teletext: str | None = None, teletext_clock=None):
+                 teletext: str | None = None, teletext_clock=None,
+                 devices=None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         assert conf.mac_mode is not None
         self.conf = conf
@@ -612,7 +613,27 @@ class MacEncoder:
             self._fm_r = {0: jnp.int32(0)}
 
         self._meta = None
-        self._step = jax.jit(self._step_impl)
+        # mesh execution: partition the block's line axis (same scheme
+        # as Encoder(devices=...); the duobinary basis matmuls and the
+        # scramble gathers shard row-wise)
+        self.mesh = None
+        if devices is not None:
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            darr = np.asarray(list(devices))
+            nl = frames_per_block * mb.MAC_LINES
+            if nl % len(darr):
+                raise ValueError(
+                    f"block of {nl} lines does not divide over "
+                    f"{len(darr)} devices; adjust frames_per_block")
+            self.mesh = Mesh(darr, ("t",))
+            shard = NamedSharding(self.mesh, P("t", None))
+            rep = NamedSharding(self.mesh, P())
+            outs = ((shard, rep) if self.fm_video_statics is not None
+                    else shard)
+            self._step = jax.jit(self._step_impl, out_shardings=outs)
+        else:
+            self._step = jax.jit(self._step_impl)
         self._next_block = 0
 
     # ------------------------------------------------------------------
