@@ -24,6 +24,26 @@ CASES = [
     ("apollo", 2_000_000, False, 40.0),
     ("apollo-fm", 2_000_000, True, 40.0),
     ("pal-m", 16_000_000, True, 40.0),
+    ("b", 16_000_000, True, 40.0),
+    ("pal-d", 16_000_000, True, 40.0),
+    ("pal-k", 16_000_000, True, 40.0),
+    ("525pal", 13_500_000, False, 40.0),
+    ("d", 16_000_000, True, 40.0),
+    ("k", 16_000_000, True, 40.0),
+    ("secam-i", 16_000_000, True, 40.0),
+    ("secam-b", 16_000_000, True, 40.0),
+    ("secam-g", 16_000_000, True, 40.0),
+    ("ntsc-i", 13_500_000, True, 40.0),
+    ("ntsc-fm", 13_500_000, True, 40.0),
+    ("pal60-i", 13_500_000, True, 40.0),
+    ("a", 14_000_000, True, 40.0),
+    ("405-i", 14_000_000, True, 40.0),
+    ("ntsc-405", 14_000_000, False, 40.0),
+    ("240-am", 2_000_000, True, 40.0),
+    ("30-am", 100_000, True, 40.0),
+    ("nbtv-am", 100_000, True, 40.0),
+    ("apollo-fsc-fm", 13_500_000, True, 40.0),
+    ("m-cbs405", 14_000_000, True, 40.0),
     ("pal-n", 16_000_000, True, 40.0),
     ("pal60", 16_000_000, True, 40.0),
     ("ntsc-a", 16_000_000, True, 40.0),
@@ -57,6 +77,7 @@ MAC_AM_CASES = [
     ("secam-fm", 20_250_000, 40.0),
     ("d2mac-am", 20_250_000, 40.0),
     ("dmac-am", 20_250_000, 40.0),
+    ("d2mac-fm", 20_250_000, 40.0),
 ]
 
 

@@ -292,3 +292,24 @@ legacy 405 16000000 c 639900
 legacy secam-fm 20250000 c 810000
 legacy d2mac-am 20250000 c 810000
 legacy dmac-am 20250000 c 810000
+legacy b 16000000 c 640000
+legacy pal-d 16000000 c 640000
+legacy pal-k 16000000 c 640000
+legacy 525pal 13500000 r 450450
+legacy d 16000000 c 640000
+legacy k 16000000 c 640000
+legacy secam-i 16000000 c 640000
+legacy secam-b 16000000 c 640000
+legacy secam-g 16000000 c 640000
+legacy ntsc-i 13500000 c 450450
+legacy ntsc-fm 13500000 c 450450
+legacy pal60-i 13500000 c 450450
+legacy d2mac-fm 20250000 c 810000
+legacy a 14000000 c 560115
+legacy 405-i 14000000 c 560115
+legacy ntsc-405 14000000 r 560115
+legacy 240-am 2000000 c 79920
+legacy 30-am 100000 c 8010
+legacy nbtv-am 100000 c 8000
+legacy apollo-fsc-fm 13500000 c 450450
+legacy m-cbs405 14000000 c 194400
