@@ -148,6 +148,16 @@ def _rev(b: int, x: int) -> int:
     return r >> (32 - x)
 
 
+_REV8_ARR = np.array(_REV8, dtype=np.int64)
+
+
+def _rev_arr(b: np.ndarray, x: int) -> np.ndarray:
+    r = ((_REV8_ARR[b & 0xFF] << 24) | (_REV8_ARR[(b >> 8) & 0xFF] << 16)
+         | (_REV8_ARR[(b >> 16) & 0xFF] << 8)
+         | _REV8_ARR[(b >> 24) & 0xFF])
+    return r >> (32 - x)
+
+
 def prbs_generate_iw(cw: int, fcnt: int) -> int:
     """(src/mac.c:267-276): FCNT repeated 8 times, alternately inverted."""
     fcnt &= 0xFF
@@ -169,17 +179,26 @@ class CaPrbs1:
         self.sr2 = (iw >> 31) & ((1 << 29) - 1)
 
     def update(self) -> int:
-        code = 0
+        # generate the 61 LFSR states with cheap int steps, then derive
+        # the output bits vectorised (the reversals and muxes were the
+        # hot path at ~80 packets/frame)
         sr1, sr2 = self.sr1, self.sr2
-        for _ in range(61):
-            r2 = _rev(sr2, 29)
-            r1 = _rev(sr1, 31)
-            a = (r2 & 0x03) | ((r1 << 2) & 0x1C)
-            b = ((r2 >> 2) & 0x000000FF) | ((r1 << 5) & 0xFFFFFF00)
-            code = (code >> 1) | (((b >> a) & 1) << 60)
+        s1 = np.empty(61, np.int64)
+        s2 = np.empty(61, np.int64)
+        for i in range(61):
+            s1[i] = sr1
+            s2[i] = sr2
             sr1 = (sr1 >> 1) ^ (0x78810820 if sr1 & 1 else 0)
             sr2 = (sr2 >> 1) ^ (0x17121100 if sr2 & 1 else 0)
         self.sr1, self.sr2 = sr1, sr2
+        r1 = _rev_arr(s1, 31)
+        r2 = _rev_arr(s2, 29)
+        a = (r2 & 0x03) | ((r1 << 2) & 0x1C)
+        b = ((r2 >> 2) & 0x000000FF) | ((r1 << 5) & 0xFFFFFF00)
+        bits = (b >> a) & 1
+        code = 0
+        for i in range(60, -1, -1):
+            code = (code << 1) | int(bits[i])
         return code
 
 
