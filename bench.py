@@ -55,12 +55,19 @@ def _bench_config(name, e2e=False):
         from hacktv_tpu import runtime
         sink = runtime.NativeFileSink("/dev/null", "int16", complex_out)
 
+    pend = {}
+
     def run_block(b):
         if e2e:
-            out = enc.encode_block(b)
-            if out.ndim == 1:
-                out = np.stack([out, np.zeros_like(out)], axis=-1)
-            sink.write(out)
+            # one-block pipeline like the CLI: dispatch b, then collect
+            # and write b-1 (D2H/IO overlap the device compute)
+            pend[b] = enc.encode_block_device(b)
+            dev = pend.pop(b - 1, None)
+            if dev is not None:
+                out = enc.collect_block(b - 1, dev)
+                if out.ndim == 1:
+                    out = np.stack([out, np.zeros_like(out)], axis=-1)
+                sink.write(out)
             return None
         return enc.encode_block_device(b)
 

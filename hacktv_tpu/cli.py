@@ -408,33 +408,48 @@ def main(argv=None) -> int:
     block = 0
     frames_done = 0
     try:
+        # one-block pipeline: block b+1's device compute is dispatched
+        # before block b's device->host copy and sink write, so the
+        # transfer/IO overlap the synthesis (JAX dispatch is async)
+        bf = getattr(enc, "frames_per_block", 1)
+        dispatched = 0
+        pending = None
         while not stop["flag"]:
-            if source is not None and hasattr(source, "eof") \
-                    and source.eof(frames_done):
+            nxt = None
+            if not (frames_wanted and dispatched >= frames_wanted) \
+                    and not (source is not None
+                             and hasattr(source, "eof")
+                             and source.eof(dispatched)):
+                nxt = (block, enc.encode_block_device(block))
+                block += 1
+                dispatched += bf
+            if pending is not None:
+                b0, dev = pending
+                out = enc.collect_block(b0, dev)
+                if out.ndim == 1:
+                    out = np.stack([out, np.zeros_like(out)], axis=-1)
+                if frames_wanted and frames_done + bf > frames_wanted:
+                    out = out[: (frames_wanted - frames_done)
+                              * frame_samples]
+                sink.write(out)
+                samples_out += len(out)
+                if args.verbose and b0 % 64 == 63:
+                    dt = _time.monotonic() - t0
+                    print(f"\r{samples_out} samples, "
+                          f"{samples_out / max(dt, 1e-9) / 1e6:.1f} MS/s "
+                          f"({samples_out / max(dt, 1e-9) / sample_rate:.1f}x "
+                          "realtime)", end="", file=sys.stderr)
+                # sink audio side-channel (HackDAC interleave, FL2K
+                # stereo/spdif channels; src/hacktv.c:1586)
+                if hasattr(sink, "write_audio"):
+                    pcm = getattr(enc, "block_audio_pcm",
+                                  lambda _b: None)(b0)
+                    if pcm is not None and len(pcm):
+                        sink.write_audio(pcm)
+                frames_done += bf
+            pending = nxt
+            if pending is None:
                 break
-            out = enc.encode_block(block)
-            if out.ndim == 1:
-                out = np.stack([out, np.zeros_like(out)], axis=-1)
-            bf = getattr(enc, "frames_per_block", 1)
-            if frames_wanted and frames_done + bf > frames_wanted:
-                out = out[: (frames_wanted - frames_done) * frame_samples]
-            sink.write(out)
-            samples_out += len(out)
-            if args.verbose and block % 64 == 63:
-                dt = _time.monotonic() - t0
-                print(f"\r{samples_out} samples, "
-                      f"{samples_out / max(dt, 1e-9) / 1e6:.1f} MS/s "
-                      f"({samples_out / max(dt, 1e-9) / sample_rate:.1f}x "
-                      "realtime)", end="", file=sys.stderr)
-            # sink audio side-channel (HackDAC interleave, FL2K
-            # stereo/spdif channels; src/hacktv.c:1586)
-            if hasattr(sink, "write_audio"):
-                pcm = getattr(enc, "block_audio_pcm",
-                              lambda _b: None)(block)
-                if pcm is not None and len(pcm):
-                    sink.write_audio(pcm)
-            block += 1
-            frames_done += bf
             if frames_wanted and frames_done >= frames_wanted:
                 break
     except (BrokenPipeError, KeyboardInterrupt):

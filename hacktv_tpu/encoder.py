@@ -916,7 +916,14 @@ class Encoder:
     def encode_block(self, block_no: int) -> np.ndarray:
         """Host int16 samples for one block: [n] for real output modes,
         interleaved [n, 2] I/Q for complex/audio modes."""
-        a = np.asarray(self.encode_block_device(block_no))
+        return self.collect_block(block_no,
+                                  self.encode_block_device(block_no))
+
+    def collect_block(self, block_no: int, dev) -> np.ndarray:
+        """Device handle -> host int16 samples.  Splitting dispatch
+        (encode_block_device) from collection lets a caller overlap the
+        D2H copy of block b with the device compute of block b+1."""
+        a = np.asarray(dev)
         if self.fm_video_exact is not None:
             # device produced the pre-FM composite; run the reference's
             # exact int32 FM recurrence on the host (frequency 0)

@@ -869,7 +869,11 @@ class MacEncoder:
     def encode_block(self, block_no: int) -> np.ndarray:
         """Host int16 samples: [n] for real-baseband modes, interleaved
         [n, 2] I/Q for complex/FM modes."""
-        a = np.asarray(self.encode_block_device(block_no))
+        return self.collect_block(block_no,
+                                  self.encode_block_device(block_no))
+
+    def collect_block(self, block_no: int, dev) -> np.ndarray:
+        a = np.asarray(dev)
         if a.dtype == np.int32:
             return a.reshape(-1).view(np.int16).reshape(-1, 2)
         return a.reshape(-1)
