@@ -245,45 +245,3 @@ def device_resample_block(st: BlockResampleStatics, flat):
     y = jnp.swapaxes(acc, 0, 1).reshape(-1)[:st.n_out]
     y = jnp.clip(y >> 15, -32768, 32767)
     return y.astype(jnp.float32)
-
-
-def device_resample(rs: Resampler, x, m0: int, n_out: int):
-    """Device-side block resample: y[m0:m0+n_out] from the input window
-    x (jnp int32/f32 [NIN], x[0] = stream input i(m0) - A; the caller
-    supplies the A-1 halo).  Uses per-class dynamic-slice windows when
-    the class period is small, falling back to a gather."""
-    import jax
-    import jax.numpy as jnp
-
-    L, M, A = rs.L, rs.M, rs.A
-    P = L // math.gcd(L, M)
-    i0 = (m0 * M) // L + 1
-    base = i0 - A                      # stream input index of x[0]
-
-    m = m0 + np.arange(P, dtype=np.int64)
-    iP = (m * M) // L + 1
-    dP = (m * M) % L
-    stride = P * M // L                # inputs consumed per P outputs
-    G = -(-n_out // P)
-
-    Td = jnp.asarray(rs.T[dP].astype(np.int32))        # [P, A]
-    start0 = (iP - A - base).astype(np.int64)          # >= 0
-    x = x.astype(jnp.int32)
-
-    # pad x to a whole number of stride rows + window spill
-    rows = -(-(int(start0.max()) + (G - 1) * stride + A) // stride) + 1
-    need = rows * stride
-    x = jnp.concatenate([x, jnp.zeros(max(need - x.shape[0], 0),
-                                      jnp.int32)])[:need]
-    s2 = x.reshape(-1, stride)
-    X = jnp.concatenate([s2[:-1], s2[1:, :A]], axis=1)
-    offq = (start0 // stride).astype(np.int32)
-    offr = (start0 % stride).astype(np.int32)
-    wins = jnp.stack([
-        jax.lax.dynamic_slice(X, (int(offq[c]), int(offr[c])), (G, A))
-        for c in range(P)])                            # [P, G, A]
-    acc = jax.lax.dot_general(
-        wins, Td[:, :, None], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)[..., 0]      # [P, G]
-    y = jnp.swapaxes(acc, 0, 1).reshape(-1)[:n_out]
-    return jnp.clip(y >> 15, -32768, 32767)
