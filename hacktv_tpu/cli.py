@@ -316,6 +316,50 @@ def main(argv=None) -> int:
     if args.a2stereo and conf.mac_mode is not None:
         raise SystemExit("a2stereo is not available for MAC modes")
 
+    # service/mode cross-checks (src/hacktv.c:1184-1437)
+    scramblers = [s for s in (args.videocrypt, args.videocrypt2,
+                              args.videocrypts, args.syster, args.d11)
+                  if s]
+    pal625 = conf.lines == 625 and conf.colour_mode == ColourMode.PAL
+    if args.videocrypt and args.videocrypt2 and not (
+            args.videocrypt == "free" and args.videocrypt2 == "free"):
+        raise SystemExit("Videocrypt I and II cannot be used together "
+                         "except in free-access mode")
+    if len(scramblers) > 1 and not (
+            len(scramblers) == 2 and args.videocrypt
+            and args.videocrypt2):
+        raise SystemExit("Using multiple scrambling modes is not "
+                         "supported")
+    for flag, name in ((args.videocrypt, "Videocrypt I"),
+                       (args.videocrypt2, "Videocrypt II"),
+                       (args.videocrypts, "Videocrypt S"),
+                       (args.syster, "Nagravision Syster"),
+                       (args.d11, "Discret 11")):
+        if flag and not pal625:
+            raise SystemExit(f"{name} is only compatible with 625 line "
+                             "PAL modes")
+    if args.acp:
+        if conf.lines not in (525, 625):
+            raise SystemExit("Analogue Copy Protection is only "
+                             "compatible with 525 and 625 line modes")
+        if scramblers:
+            raise SystemExit("Analogue Copy Protection cannot be used "
+                             "with video scrambling enabled")
+    if args.teletext and conf.lines != 625:
+        raise SystemExit("Teletext is only available with 625 line "
+                         "modes")
+    if args.wss and conf.lines != 625:
+        raise SystemExit("WSS is only supported for 625 line modes")
+    if (args.vits or args.vitc or args.cc608) \
+            and conf.lines not in (525, 625):
+        raise SystemExit("VITS/VITC/CEA-608 are only supported for 625 "
+                         "and 525 line raster modes")
+    if args.sis and conf.lines != 625:
+        raise SystemExit("SiS is only available with 625 line modes")
+    if (args.ec_mat_rating or args.ec_ppv) and not args.eurocrypt:
+        raise SystemExit("Maturity rating / PPV options are only used "
+                         "in conjunction with Eurocrypt")
+
     frames_wanted = args.frames
     if args.seconds:
         fr = conf.frame_rate

@@ -184,3 +184,25 @@ def test_cli_hardware_sink_error_message():
     r = _run(["-o", "hackrf", "-m", "i", "--frames", "1", "test"])
     assert r.returncode != 0
     assert b"libhackrf" in r.stderr or b"hackrf" in r.stderr
+
+
+def test_cli_mode_service_validation():
+    """Cross-checks mirroring src/hacktv.c:1184-1437."""
+    bad = [
+        ["-m", "pal", "--acp", "--videocrypt", "free"],
+        ["-m", "pal", "--videocrypt", "conditional",
+         "--videocrypt2", "free"],
+        ["-m", "pal", "--syster", "premiere-fa", "--d11", "premiere-fa"],
+        ["-m", "ntsc", "--wss", "auto"],
+        ["-m", "ntsc", "--syster", "premiere-fa"],
+        ["-m", "405", "--vits"],
+        ["-m", "ntsc", "--sis", "dcsis"],
+        ["-m", "pal", "--ec-mat-rating", "3"],
+    ]
+    for argv in bad:
+        r = _run(argv + ["--frames", "1", "test"])
+        assert r.returncode != 0, argv
+    # allowed: VC1+VC2 both free, syster+systercnr
+    r = _run(["-o", "/dev/null", "-m", "pal", "--videocrypt", "free",
+              "--videocrypt2", "free", "--frames", "1", "test"])
+    assert r.returncode == 0, r.stderr.decode()

@@ -90,6 +90,24 @@ def test_acp_golden():
     assert snr >= 40.0, f"ACP SNR {snr:.2f} dB"
 
 
+def test_services_combo_golden():
+    """All 625-line VBI services stacked on one signal: the reference
+    composes them per-line with no interaction (src/hacktv.c:1184-1437
+    validates, src/video.c renders each independently)."""
+    snr = _svc_golden("pal_services_combo_2frames.s16", "pal", 16_000_000,
+                      wss="auto", vits=True, vitc=True, acp=True,
+                      cc608=True)
+    assert snr >= 40.0, f"combined-services SNR {snr:.2f} dB"
+
+
+def test_syster_vits_combo_golden():
+    """Scrambler + VBI service combination: VITS lines pass through the
+    Syster line shuffle like any other active line."""
+    snr = _svc_golden("pal_syster_vits_4frames.s16", "pal", 16_000_000,
+                      nb=4, syster="premiere-fa", vits=True)
+    assert snr >= 40.0, f"syster+vits SNR {snr:.2f} dB"
+
+
 def test_cc608_golden():
     snr = _svc_golden("ntsc_cc608_2frames.s16", "ntsc", 14318181,
                       cc608=True)

@@ -127,6 +127,10 @@ ls -la "$GOLDEN"
 capture pal_vits_vitc_2frames.s16 2560000 -m pal --vits --vitc test
 capture pal_acp_2frames.s16 2560000 -m pal --acp test
 capture ntsc_cc608_2frames.s16 1911600 -s 14318181 -m ntsc --cc608 test
+# Combined services: every 625-line VBI service stacked at once, and a
+# scrambler+VBI combination (src/hacktv.c:1184-1437 allows these)
+capture pal_services_combo_2frames.s16 2560000 -m pal --wss auto --vits --vitc --acp --cc608 test
+capture pal_syster_vits_4frames.s16 5120000 -m pal --syster premiere-fa --vits test
 # Scramblers
 capture pal_vc1_4frames.s16 5120000 -m pal --videocrypt free test
 capture pal_vc2_4frames.s16 5120000 -m pal --videocrypt2 free test
