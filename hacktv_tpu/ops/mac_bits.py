@@ -14,6 +14,23 @@ from __future__ import annotations
 
 import numpy as np
 
+_RT_UNSET = object()
+_RT = _RT_UNSET
+
+
+def _native():
+    """The C++ runtime library, or None; the PRBS1 keystream and packet
+    encoder below have native fast paths (native/hacktv_rt.cpp)."""
+    global _RT
+    if _RT is _RT_UNSET:
+        try:
+            from ..runtime import load
+            _RT = load()
+        except Exception:
+            _RT = None
+    return _RT
+
+
 MAC_WIDTH = 1296
 MAC_LINES = 625
 MAC_PACKET_BITS = 751
@@ -143,6 +160,11 @@ _REV8 = [int(format(i, "08b")[::-1], 2) for i in range(256)]
 def _rev(b: int, x: int) -> int:
     # byte-table bit reversal (hot: the PRBS1 update reverses two shift
     # registers per output bit, 61 bits per packet)
+    if x > 32:
+        r = 0
+        for i in range(8):
+            r = (r << 8) | _REV8[(b >> (8 * i)) & 0xFF]
+        return r >> (64 - x)
     r = (_REV8[b & 0xFF] << 24) | (_REV8[(b >> 8) & 0xFF] << 16) \
         | (_REV8[(b >> 16) & 0xFF] << 8) | _REV8[(b >> 24) & 0xFF]
     return r >> (32 - x)
@@ -172,13 +194,29 @@ class CaPrbs1:
     def __init__(self):
         self.sr1 = 0
         self.sr2 = 0
+        self._buf = None
+        self._bi = 0
 
     def reset(self, cw: int, fcnt: int):
         iw = prbs_generate_iw(cw, fcnt)
         self.sr1 = iw & ((1 << 31) - 1)
         self.sr2 = (iw >> 31) & ((1 << 29) - 1)
+        self._buf = None
 
     def update(self) -> int:
+        lib = _native()
+        if lib is not None:
+            # batch-generate ahead: codes are consumed in call order and
+            # any surplus is discarded on the next reset()
+            if self._buf is None or self._bi >= len(self._buf):
+                st = np.array([self.sr1, self.sr2], dtype=np.uint64)
+                out = np.empty(96, dtype=np.uint64)
+                lib.rt_mac_prbs1(st.ctypes.data, 96, out.ctypes.data)
+                self.sr1, self.sr2 = int(st[0]), int(st[1])
+                self._buf, self._bi = out, 0
+            v = int(self._buf[self._bi])
+            self._bi += 1
+            return v
         # generate the 61 LFSR states with cheap int steps, then derive
         # the output bits vectorised (the reversals and muxes were the
         # hot path at ~80 packets/frame)
@@ -333,6 +371,30 @@ def encode_packet(address: int, continuity: int, payload: bytes | None
         bits[23:23 + min(len(pb), 728)] = pb[:728]
     # interleave includes one extra (zero) bit to shift the final byte
     return bits[_INTERLEAVE][:751]
+
+
+def encode_packet_fast(address: int, continuity: int,
+                       payload: bytes | None, scramble: bool,
+                       iw: int) -> np.ndarray:
+    """encode_packet with the optional PRBS3 payload scramble folded in,
+    via the native kernel when available (src/mac.c:586-638)."""
+    lib = _native()
+    if lib is None or (scramble and payload is not None
+                       and len(payload) != MAC_PAYLOAD_BYTES):
+        if scramble and payload is not None:
+            pb = bytearray(payload)
+            scramble_packet(pb, iw)
+            payload = bytes(pb)
+        return encode_packet(address, continuity, payload)
+    out = np.empty(751, dtype=np.uint8)
+    if payload is None:
+        buf = None
+    else:
+        buf = payload.ljust(MAC_PAYLOAD_BYTES, b"\x00")
+    lib.rt_mac_encode_packet(address & 0x3FF, continuity & 3, buf,
+                             1 if scramble else 0, iw & ((1 << 61) - 1),
+                             out.ctypes.data)
+    return out
 
 
 # ----------------------------------------------------------------------

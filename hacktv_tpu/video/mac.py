@@ -246,12 +246,9 @@ class MacMux:
                     addr, cont, payload, scr = self._read_packet(c)
                     if c == 0:
                         sr5 = self.prbs1.update()
-                    if scr and payload is not None:
-                        pb = bytearray(payload)
-                        mb.scramble_packet(pb, sr5)
-                        payload = bytes(pb)
-                    self._stream[c].append(
-                        mb.encode_packet(addr, cont, payload))
+                    self._stream[c].append(mb.encode_packet_fast(
+                        addr, cont, payload,
+                        scr and payload is not None, sr5))
                     self._slen[c] += mb.MAC_PACKET_BITS
                 take = min(99 - i, self._slen[c] - self._spos[c])
                 self._spos[c] += take

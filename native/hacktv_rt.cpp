@@ -418,6 +418,108 @@ void rt_secam_carrier_exact(const int16_t *chroma, long B, long W,
 }
 
 // ---------------------------------------------------------------------------
+// MAC packet-mux bit kernels (reference: src/mac.c:279-336, 567-638).
+// The mux queue simulation stays in Python (it is branchy and cheap) but
+// the per-packet bit work — the 61-step PRBS1 keystream generator, the
+// PRBS3 payload scrambler and the BCH + interleave packet encoder — is
+// pure integer crunching that dominated the D-MAC host profile.
+
+static inline uint32_t rt_rev32(uint32_t v, int bits) {
+    v = ((v >> 1) & 0x55555555u) | ((v & 0x55555555u) << 1);
+    v = ((v >> 2) & 0x33333333u) | ((v & 0x33333333u) << 2);
+    v = ((v >> 4) & 0x0F0F0F0Fu) | ((v & 0x0F0F0F0Fu) << 4);
+    v = ((v >> 8) & 0x00FF00FFu) | ((v & 0x00FF00FFu) << 8);
+    v = (v >> 16) | (v << 16);
+    return v >> (32 - bits);
+}
+
+static inline uint64_t rt_rev64(uint64_t v, int bits) {
+    v = ((v >> 1) & 0x5555555555555555ull) |
+        ((v & 0x5555555555555555ull) << 1);
+    v = ((v >> 2) & 0x3333333333333333ull) |
+        ((v & 0x3333333333333333ull) << 2);
+    v = ((v >> 4) & 0x0F0F0F0F0F0F0F0Full) |
+        ((v & 0x0F0F0F0F0F0F0F0Full) << 4);
+    v = ((v >> 8) & 0x00FF00FF00FF00FFull) |
+        ((v & 0x00FF00FF00FF00FFull) << 8);
+    v = ((v >> 16) & 0x0000FFFF0000FFFFull) |
+        ((v & 0x0000FFFF0000FFFFull) << 16);
+    v = (v >> 32) | (v << 32);
+    return v >> (64 - bits);
+}
+
+// Generate n 61-bit PRBS1 codes (src/mac.c:310-336), advancing the
+// LFSR pair state[0]=sr1 (31 bit), state[1]=sr2 (29 bit) in place.
+void rt_mac_prbs1(uint64_t *state, long n, uint64_t *codes) {
+    uint32_t sr1 = (uint32_t)state[0], sr2 = (uint32_t)state[1];
+    for (long k = 0; k < n; k++) {
+        uint64_t code = 0;
+        for (int i = 0; i < 61; i++) {
+            uint32_t r1 = rt_rev32(sr1, 31);
+            uint32_t r2 = rt_rev32(sr2, 29);
+            uint32_t a = (r2 & 3u) | ((r1 << 2) & 0x1Cu);
+            uint32_t b = ((r2 >> 2) & 0xFFu) | ((r1 << 5) & 0xFFFFFF00u);
+            code |= (uint64_t)((b >> a) & 1u) << i;
+            sr1 = (sr1 >> 1) ^ ((sr1 & 1u) ? 0x78810820u : 0u);
+            sr2 = (sr2 >> 1) ^ ((sr2 & 1u) ? 0x17121100u : 0u);
+        }
+        codes[k] = code;
+    }
+    state[0] = sr1;
+    state[1] = sr2;
+}
+
+// 751-bit interleaved MAC packet (src/mac.c:567-638): BCH(23,12) header
+// from address+continuity, optional 91-byte payload (728 bits LSB-first),
+// optional PRBS3 scramble of payload bytes 1..90 keyed by the 61-bit iw,
+// then the j*94+d -> 8*d+j bit interleave.  out is uint8[751].
+void rt_mac_encode_packet(int address, int continuity,
+                          const uint8_t *payload, int scramble,
+                          uint64_t iw, uint8_t *out) {
+    uint8_t bits[752];
+    memset(bits, 0, sizeof(bits));
+    // header: 10 addr bits + 2 continuity bits, LSB first
+    uint32_t hdr = ((uint32_t)address & 0x3FFu) |
+                   (((uint32_t)continuity & 3u) << 10);
+    uint32_t code = 0;
+    for (int i = 0; i < 12; i++) {
+        uint32_t b = ((hdr >> i) ^ code) & 1u;
+        code >>= 1;
+        if (b) code ^= 0x0571u;
+        bits[i] = (hdr >> i) & 1u;
+    }
+    for (int i = 0; i < 11; i++) bits[12 + i] = (code >> i) & 1u;
+    if (payload) {
+        for (int x = 0; x < 91; x++) {
+            uint8_t byte = payload[x];
+            if (scramble && x >= 1) {
+                uint8_t c = 0;
+                for (int s = 0; s < 8; s++) {
+                    uint64_t r = rt_rev64(iw, 61);
+                    uint32_t a = (uint32_t)(((r >> 4) & 1) |
+                                            (((r >> 9) & 1) << 1) |
+                                            (((r >> 14) & 1) << 2) |
+                                            (((r >> 19) & 1) << 3) |
+                                            (((r >> 24) & 1) << 4));
+                    uint32_t b = (uint32_t)((r >> 29) & 0xFFFFFFFFull);
+                    c = (uint8_t)((c >> 1) | (((b >> a) & 1u) << 7));
+                    iw = (iw >> 1) ^ ((iw & 1) ? 0x163D23594C934051ull
+                                               : 0ull);
+                }
+                byte ^= c;
+            }
+            for (int i = 0; i < 8; i++)
+                bits[23 + x * 8 + i] = (byte >> i) & 1u;
+        }
+    }
+    for (int d = 0; d < 94; d++)
+        for (int j = 0; j < 8; j++) {
+            int o = 8 * d + j;
+            if (o < 751) out[o] = bits[j * 94 + d];
+        }
+}
+
+// ---------------------------------------------------------------------------
 // Threaded file sink: converts int16 IQ blocks into the requested byte
 // format, queues them on an rt_fifo, and drains the FIFO to a FILE* from a
 // writer thread so disk IO overlaps with device compute.

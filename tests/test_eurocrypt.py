@@ -98,3 +98,45 @@ def test_unknown_mode_raises():
     from hacktv_tpu.services.eurocrypt import Eurocrypt
     with pytest.raises(ValueError):
         Eurocrypt("nosuchprovider")
+
+
+def _mux_bits_exact(name, frames, scramble_audio, provider=None):
+    from hacktv_tpu.av.testcard import TestCardSource
+    from hacktv_tpu.config.standards import get_mode
+    from hacktv_tpu.video.mac import MacMux
+
+    path = _golden(name)
+    golden = np.fromfile(path, dtype=np.uint8).reshape(-1, 162)
+    gbits = np.unpackbits(golden, axis=1, bitorder="little")
+    ec = None
+    vsam = 1            # free access, unscrambled
+    if provider is not None:
+        from hacktv_tpu.services.eurocrypt import Eurocrypt
+        ec = Eurocrypt(provider, now=1_200_000_000)
+        vsam = 4 | 2    # default single-cut (src/hacktv.c:1332-1336)
+    mux = MacMux(get_mode("d2mac"), 1296, 20_250_000,
+                 TestCardSource(702, 576), vsam=vsam,
+                 scramble_audio=scramble_audio,
+                 timestamp=1_200_000_000, aspect_43=1, eurocrypt=ec)
+    n = frames * 625
+    step = 5 * 625
+    for hi in range(step, n + 1, step):
+        mux.ensure(hi)
+        for k in range(hi - step, hi):
+            mine = mux.line_bits[k]
+            assert np.array_equal(mine, gbits[k, :len(mine)]), \
+                f"line k={k} (frame {k // 625 + 1}) differs"
+        mux.prune(hi - 1)
+
+
+def test_scramble_audio_bits_exact():
+    """--scramble-audio in free access: PRBS3 keyed per packet by the
+    all-ones CW PRBS1 stream (src/mac.c:605-638)."""
+    _mux_bits_exact("d2mac_sa_bits_20f.bin", 20, True)
+
+
+def test_scramble_audio_eurocrypt_bits_exact():
+    """--scramble-audio under Eurocrypt CA: keystream follows the
+    encrypted CW schedule across ECM/EMM rounds."""
+    _mux_bits_exact("d2mac_ec_sa_bits_130f.bin", 130, True,
+                    provider="ctv")
