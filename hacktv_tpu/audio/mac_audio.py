@@ -173,12 +173,9 @@ class MacAudioEnc:
         self.j17x = 0
         self.pkt = bytearray(MAC_PAYLOAD_BYTES)
         self.pkt[0] = 0xC7       # BC1 sound coding block
-        self.pktx = 1
-        self.block = b""
-        self.x = self.block_len
         self.si_timer = 0
         self.si_pkt = self._si_packet()
-        self._pending = np.zeros(0, dtype=np.int64)  # int16 sample queue
+        self._bytes = bytearray()    # encoded coding-block byte stream
 
     # ------------------------------------------------------------------
     def _si_packet(self) -> bytes:
@@ -214,57 +211,88 @@ class MacAudioEnc:
         return _SCALE_FACTORS[b]
 
     def _encode_block(self, samples: np.ndarray) -> bytes:
-        """One sound coding block from src_samples_per_block int16
-        samples (interleaved stereo or sequential mono halves)."""
-        step = 2 if self.stereo else 1
+        """One sound coding block (kept for direct use/tests)."""
+        return self._encode_blocks(
+            np.asarray(samples, dtype=np.int64).reshape(1, -1))
+
+    def _encode_blocks(self, S: np.ndarray) -> bytes:
+        """Vectorised sound-coding-block encoder over S [nblk,
+        src_samples_per_block] (interleaved stereo or sequential mono
+        halves per row); returns nblk*block_len bytes in stream order.
+        The per-channel J.17 FIRs are stream-continuous, so feeding the
+        whole channel sample stream at once is exactly equivalent to the
+        reference's block-at-a-time loop (src/mac.c:1200-1354)."""
+        nblk = S.shape[0]
         spb = self.samples_per_block
-        j17 = samples.astype(np.int64).copy()
-        sfc = 0
-        out_buf = np.zeros(spb, dtype=np.int64)
+        bps = self.bits_per_sample
+        step = 2 if self.stereo else 1
+        out_buf = np.zeros((nblk, spb), dtype=np.int64)
+        sfc = np.zeros(nblk, dtype=np.int64)
+        if self.stereo:
+            ys_ch = [self.fir[b].process(S[:, b::2].reshape(-1))
+                     .reshape(nblk, self.ch_len) for b in range(2)]
+        else:
+            # mono halves are sequential within each block, so the flat
+            # stream through the single FIR preserves sample order
+            y = self.fir[0].process(S.reshape(-1)).reshape(
+                nblk, 2, self.ch_len)
+            ys_ch = [y[:, 0, :], y[:, 1, :]]
+        fac_t = np.array([f[0] for f in _SCALE_FACTORS], np.int64)
+        shf_t = np.array([f[1] for f in _SCALE_FACTORS], np.int64)
+        sfl = self.ch_sf_len
+        sfb_shift = (2 - np.arange(sfl) % 3)[None, :]
         for b in range(2):
-            # channel source: offset + step slicing
-            src_off = self.ch_offset[b] if self.stereo else \
-                (0 if b == 0 else self.ch_len * (1 if self.high_quality
-                                                 else 2))
-            src_len = self.ch_len * (1 if self.high_quality else 2)
-            xs = j17[src_off::step][:src_len]
-            ys = self.fir[b if self.stereo else 0].process(xs)
-            sf = self._scale_factor(ys)
-            factor, shift = sf[0], sf[1]
+            ys = ys_ch[b]
+            s = np.where(ys < 0, ~ys, ys)
+            m = s.max(axis=1) if ys.shape[1] else np.zeros(nblk, np.int64)
+            # frexp exponent == bit_length for the int16-range maxima
+            e = np.frexp(m.astype(np.float64))[1]
+            idx = np.clip(e - 8, 1, 7)
+            factor = fac_t[idx]
+            shift = shf_t[idx]
             sfc = ((sfc << 9) | (factor << 6) | (factor << 3) | factor) \
                 & 0x3FFFF
             if self.linear:
                 enc = (ys >> 2) & 0x3FFF
             else:
-                enc = (ys >> shift) & 0x3FF
+                enc = (ys >> shift[:, None]) & 0x3FF
             if self.protection:
                 h = _l2_hamming(enc >> 3 if self.linear
                                 else (enc << 1) & 0x7E0)
-                enc = enc | (h << (self.bits_per_sample - 5))
+                enc = enc | (h << (bps - 5))
             else:
                 p = _parity_bits(enc >> (3 if self.linear else 4))
-                enc = enc | (p << (self.bits_per_sample - 1))
+                enc = enc | (p << (bps - 1))
             # scale-factor signalling XOR on the protection bit
-            sfl = self.ch_sf_len
-            sfb = (factor >> (2 - np.arange(sfl) % 3)) & 1
-            enc[:sfl] ^= sfb << (self.bits_per_sample - 1)
-            out_buf[self.ch_offset[b]::step][:self.ch_len] = enc
+            sfb = (factor[:, None] >> sfb_shift) & 1
+            enc[:, :sfl] ^= sfb << (bps - 1)
+            out_buf[:, self.ch_offset[b]::step][:, :self.ch_len] = enc
         # pack
-        bits = []
+        parts = []
         if not self.linear and not self.protection:
-            bits.append(np.zeros(16, dtype=np.uint8))
+            parts.append(np.zeros((nblk, 16), dtype=np.uint8))
         if self.linear and self.protection:
-            bits.append(np.zeros(18, dtype=np.uint8))
-            bits.append(rbits_msb(sfc, 18))
-        sample_bits = ((out_buf[:, None] >> np.arange(self.bits_per_sample))
-                       & 1).astype(np.uint8).reshape(-1)
-        bits.append(sample_bits)
-        return bits_to_bytes_lsb(np.concatenate(bits))
+            parts.append(np.zeros((nblk, 18), dtype=np.uint8))
+            parts.append(((sfc[:, None] >> (17 - np.arange(18))[None, :])
+                          & 1).astype(np.uint8))
+        sample_bits = ((out_buf[:, :, None] >> np.arange(bps)[None, None])
+                       & 1).astype(np.uint8).reshape(nblk, -1)
+        parts.append(sample_bits)
+        bits = np.concatenate(parts, axis=1)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((nblk, pad), np.uint8)], axis=1)
+        return np.packbits(bits, axis=1, bitorder="little").tobytes()
 
     # ------------------------------------------------------------------
     def write_audio(self, pairs: np.ndarray) -> list:
         """`mac_write_audio` (src/mac.c:1041-1062): returns the packets
-        pushed, each (address, continuity, payload91, scramble)."""
+        pushed, each (address, continuity, payload91, scramble).  All
+        complete coding blocks available after this chunk are encoded in
+        one vectorised pass; the byte stream is then chopped into 90-byte
+        BC1 payloads exactly as the reference's incremental
+        mac_audioenc_read loop would (src/mac.c:1200-1354)."""
         out = []
         if self.si_timer <= 0:
             out.append((self.address, (self.continuity - 2) & 3,
@@ -273,52 +301,85 @@ class MacAudioEnc:
 
         # queue source samples (int16 units, stereo interleaved)
         if self.stereo:
-            samples = pairs.reshape(-1)
+            samples = pairs.reshape(-1).astype(np.int64)
         else:
             t = pairs[:, 0].astype(np.int64) + pairs[:, 1].astype(np.int64)
             # C integer division truncates toward zero
             samples = np.where(t < 0, -((-t) // 2), t // 2)
-        self._pending = np.concatenate([self._pending,
-                                        samples.astype(np.int64)])
 
-        while True:
-            pkt = self._read()
-            if pkt is None:
-                break
-            out.append((self.address, self.continuity & 3, pkt,
-                        self.scramble))
+        sspb = self.src_samples_per_block
+        buf = np.concatenate([self.j17[:self.j17x], samples])
+        nblk = len(buf) // sspb
+        if nblk:
+            self._bytes += self._encode_blocks(
+                buf[:nblk * sspb].reshape(nblk, sspb))
+            self.si_timer -= nblk * (self.samples_per_block if self.stereo
+                                     else self.samples_per_block // 2)
+        rem = buf[nblk * sspb:]
+        self.j17[:len(rem)] = rem
+        self.j17x = len(rem)
+
+        npkt = len(self._bytes) // (MAC_PAYLOAD_BYTES - 1)
+        for i in range(npkt):
+            self.pkt[1:] = self._bytes[i * 90:i * 90 + 90]
+            out.append((self.address, self.continuity & 3,
+                        bytes(self.pkt), self.scramble))
             self.continuity += 1
+        del self._bytes[:npkt * 90]
         return out
 
-    def _read(self):
-        """`mac_audioenc_read` (src/mac.c:1200-1354)."""
-        # top up the packet from block leftovers
-        take = min(MAC_PAYLOAD_BYTES - self.pktx, self.block_len - self.x)
-        if take > 0:
-            self.pkt[self.pktx:self.pktx + take] = \
-                self.block[self.x:self.x + take]
-            self.pktx += take
-            self.x += take
-        if self.pktx == MAC_PAYLOAD_BYTES:
-            self.pktx = 1
-            return bytes(self.pkt)
-        # fill the J.17 buffer
-        need = self.src_samples_per_block - self.j17x
-        got = min(need, len(self._pending))
-        if got:
-            self.j17[self.j17x:self.j17x + got] = self._pending[:got]
-            self._pending = self._pending[got:]
-            self.j17x += got
-        if self.j17x != self.src_samples_per_block:
-            return None
-        self.j17x = 0
-        self.block = self._encode_block(self.j17)
-        self.x = 0
-        self.si_timer -= self.samples_per_block if self.stereo \
+    def write_audio_batch(self, chunks: list) -> list:
+        """Batched write_audio over consecutive chunks: one vectorised
+        block-encode for the whole span, then an exact replay of the
+        per-chunk SI-timer / packet-emission schedule.  Returns one
+        packet list per chunk, identical to calling write_audio(chunk)
+        in sequence."""
+        if not chunks:
+            return []
+        if self.stereo:
+            conv = [c.reshape(-1).astype(np.int64) for c in chunks]
+        else:
+            conv = []
+            for c in chunks:
+                t = c[:, 0].astype(np.int64) + c[:, 1].astype(np.int64)
+                conv.append(np.where(t < 0, -((-t) // 2), t // 2))
+        lens = [len(c) for c in conv]
+        samples = np.concatenate(conv)
+        sspb = self.src_samples_per_block
+        buf = np.concatenate([self.j17[:self.j17x], samples])
+        nblk = len(buf) // sspb
+        enc = self._encode_blocks(
+            buf[:nblk * sspb].reshape(nblk, sspb)) if nblk else b""
+        per_blk = self.samples_per_block if self.stereo \
             else self.samples_per_block // 2
-        take = min(MAC_PAYLOAD_BYTES - self.pktx, self.block_len)
-        self.pkt[self.pktx:self.pktx + take] = self.block[:take]
-        self.pktx += take
-        self.x = take
-        self.pktx = 1
-        return bytes(self.pkt)
+        bl = self.block_len
+        out_all = []
+        avail = self.j17x
+        blocks_done = 0
+        stream = self._bytes
+        for n in lens:
+            out = []
+            if self.si_timer <= 0:
+                out.append((self.address, (self.continuity - 2) & 3,
+                            self.si_pkt, False))
+                self.si_timer = (32000 if self.high_quality
+                                 else 16000) // 3
+            avail += n
+            nb = avail // sspb - blocks_done
+            if nb:
+                stream += enc[blocks_done * bl:(blocks_done + nb) * bl]
+                blocks_done += nb
+                self.si_timer -= nb * per_blk
+            npkt = len(stream) // (MAC_PAYLOAD_BYTES - 1)
+            for p in range(npkt):
+                self.pkt[1:] = stream[p * 90:p * 90 + 90]
+                out.append((self.address, self.continuity & 3,
+                            bytes(self.pkt), self.scramble))
+                self.continuity += 1
+            del stream[:npkt * 90]
+            out_all.append(out)
+        rem = avail - blocks_done * sspb
+        if rem:
+            self.j17[:rem] = buf[len(buf) - rem:]
+        self.j17x = rem
+        return out_all

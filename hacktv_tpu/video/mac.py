@@ -175,6 +175,8 @@ class MacMux:
             # BSB receivers expect audio at address 128 (src/mac.c:930-935)
             self.audio.address = 128
         self.audio_pairs = 0   # pairs consumed so far
+        self._audio_pkts: dict[int, list] = {}
+        self._audio_m = 0      # chunks batch-encoded so far
         self.nicam_buf_pairs = 0
         self.audio_lag = 1     # lines the audio process trails macraster
 
@@ -223,9 +225,33 @@ class MacMux:
         first_chunk = c0 // NICAM_AUDIO_LEN
         last_chunk = c1 // NICAM_AUDIO_LEN
         for m in range(first_chunk, last_chunk):
-            pairs = self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN)
-            for addr, cont, payload, scr in self.audio.write_audio(pairs):
+            pkts = self._audio_pkts.pop(m, None)
+            if pkts is None:
+                pkts = self.audio.write_audio(
+                    self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN))
+            for addr, cont, payload, scr in pkts:
                 self._write_packet(0, addr, cont, payload, scr)
+
+    def _prefetch_audio(self, k_through: int):
+        """Batch-encode every 728-pair chunk whose packets will be
+        pushed while iterating through stream line k_through; exact
+        (write_audio_batch replays the per-chunk schedule) and much
+        cheaper than per-chunk calls."""
+        j_hi = k_through - self.audio_lag
+        if j_hi < 0:
+            return
+        m_hi = self._audio_pairs_through_line(j_hi) // NICAM_AUDIO_LEN
+        m0 = self._audio_m
+        if m_hi <= m0:
+            return
+        pcm = self._pcm(m0 * NICAM_AUDIO_LEN,
+                        (m_hi - m0) * NICAM_AUDIO_LEN)
+        chunks = [pcm[i * NICAM_AUDIO_LEN:(i + 1) * NICAM_AUDIO_LEN]
+                  for i in range(m_hi - m0)]
+        for m, o in zip(range(m0, m_hi),
+                        self.audio.write_audio_batch(chunks)):
+            self._audio_pkts[m] = o
+        self._audio_m = m_hi
 
     # -- line content -----------------------------------------------------
     def _sim_data_line(self, frame: int, line: int):
@@ -303,6 +329,7 @@ class MacMux:
     # -- main advance -------------------------------------------------------
     def ensure(self, k_through: int):
         """Run iterations up to and including stream line k_through."""
+        self._prefetch_audio(k_through)
         while self.k <= k_through:
             self._iterate()
         self._materialize()
@@ -372,13 +399,15 @@ class MacMux:
                 Bits[i, 230:230 + 720:2] = v
                 Bits[i, 231:230 + 720:2] = pr[:360]
                 Bits[i, 950:950 + 344] = pr[360:]
-        # running start polarity (flips on every 0 bit, src/mac.c:193)
+        # running start polarity (flips on every 0 bit, src/mac.c:193):
+        # a line flips the carry iff its zero-bit count is odd
         sums = Bits.sum(axis=1, dtype=np.int64)
-        for i, k in enumerate(ks):
-            self.line_bits[k] = Bits[i]
-            self.pol_start[k] = self.polarity
-            if (self.nbits - int(sums[i])) & 1:
-                self.polarity = -self.polarity
+        sign = np.where((self.nbits - sums) & 1, -1, 1)
+        pol = self.polarity * np.concatenate(
+            [[1], np.cumprod(sign)])
+        self.pol_start.update(zip(ks, pol[:-1].tolist()))
+        self.line_bits.update(zip(ks, Bits))
+        self.polarity = int(pol[-1])
         self._pending.clear()
         # drop fully consumed packet chunks
         for c in range(nsub):
