@@ -126,3 +126,20 @@ def test_pal_i_pixelrate_full_chain_snr():
     e = ours.astype(np.float64) - ref
     snr = 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-12))
     assert snr > 40.0, snr
+
+
+def test_pal_i_teletext_nicam_full_chain_snr():
+    """BASELINE config #3: PAL-I with teletext VBI + FM mono + NICAM-728
+    stereo in one signal (reference: -m i --teletext demo.tti)."""
+    path = os.path.join(GOLDEN, "i_tt_nicam_2frames.c16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing; run tools/make_golden.sh")
+    tti = "/root/repo/tests/data/demo.tti"
+    enc = Encoder("i", 16_000_000, teletext=tti,
+                  teletext_clock=lambda: 1_200_000_000)
+    ours = np.concatenate([enc.encode_frame(f).reshape(-1)
+                           for f in range(2)])
+    ref = np.fromfile(path, dtype=np.int16)[:len(ours)].astype(np.float64)
+    e = ours.astype(np.float64) - ref
+    snr = 10 * np.log10((ref ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr > 40.0, snr

@@ -248,6 +248,12 @@ if [ ! -s "$GOLDEN/pal_tt_2frames.s16" ] && [ -f "$TTI" ]; then
     timeout 60 "$HACKTV" -o - -m pal --teletext "$TTI" test 2>/dev/null \
         | head -c $((2 * 640000 * 2)) > "$GOLDEN/pal_tt_2frames.s16"
 fi
+# BASELINE config #3: PAL-I with teletext + FM audio + NICAM stereo
+if [ ! -s "$GOLDEN/i_tt_nicam_2frames.c16" ] && [ -f "$TTI" ]; then
+    echo "golden: i_tt_nicam_2frames.c16"
+    timeout 60 "$HACKTV" -o - -m i --teletext "$TTI" test 2>/dev/null \
+        | head -c $((2 * 640000 * 4)) > "$GOLDEN/i_tt_nicam_2frames.c16"
+fi
 for mode in d2mac dmac; do
     if [ ! -s "$GOLDEN/${mode}_tt_bits_10f.bin" ] && [ -f "$TTI" ]; then
         echo "golden: ${mode}_tt_bits_10f.bin"
