@@ -247,13 +247,27 @@ class CaPrbs2:
     def __init__(self):
         self.sr3 = 0
         self.sr4 = 0
+        self._buf = None
+        self._bi = 0
 
     def reset(self, cw: int, fcnt: int):
         iw = prbs_generate_iw(cw, fcnt)
         self.sr3 = iw & ((1 << 31) - 1)
         self.sr4 = (iw >> 31) & ((1 << 29) - 1)
+        self._buf = None
 
     def update(self) -> int:
+        lib = _native()
+        if lib is not None:
+            if self._buf is None or self._bi >= len(self._buf):
+                st = np.array([self.sr3, self.sr4], dtype=np.uint64)
+                out = np.empty(128, dtype=np.uint16)
+                lib.rt_mac_prbs2(st.ctypes.data, 128, out.ctypes.data)
+                self.sr3, self.sr4 = int(st[0]), int(st[1])
+                self._buf, self._bi = out, 0
+            v = int(self._buf[self._bi])
+            self._bi += 1
+            return v
         code = 0
         sr3, sr4 = self.sr3, self.sr4
         for _ in range(16):

@@ -156,6 +156,7 @@ class MacMux:
         self._spos = [0, 0]       # consumed bits
         self._sbase = [0, 0]      # absolute offset of _stream[c][0]
         self._pending: dict[int, tuple] = {}
+        self._dummy_cache: dict[tuple, np.ndarray] = {}
         nsub = 2 if self.mode_d else 1
         self._wh_all = np.stack([
             self.prbs15.seq(int(self.seeds[l]), 99 * nsub)
@@ -272,9 +273,19 @@ class MacMux:
                     addr, cont, payload, scr = self._read_packet(c)
                     if c == 0:
                         sr5 = self.prbs1.update()
-                    self._stream[c].append(mb.encode_packet_fast(
-                        addr, cont, payload,
-                        scr and payload is not None, sr5))
+                    if payload is None:
+                        # dummy packets: only (addr, continuity) vary —
+                        # 4 distinct bit patterns, cache them
+                        key = (addr, cont & 3)
+                        arr = self._dummy_cache.get(key)
+                        if arr is None:
+                            arr = mb.encode_packet_fast(
+                                addr, cont, None, False, 0)
+                            self._dummy_cache[key] = arr
+                    else:
+                        arr = mb.encode_packet_fast(
+                            addr, cont, payload, scr, sr5)
+                    self._stream[c].append(arr)
                     self._slen[c] += mb.MAC_PACKET_BITS
                 take = min(99 - i, self._slen[c] - self._spos[c])
                 self._spos[c] += take

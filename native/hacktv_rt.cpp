@@ -469,6 +469,25 @@ void rt_mac_prbs1(uint64_t *state, long n, uint64_t *codes) {
     state[1] = sr2;
 }
 
+// Generate n 16-bit PRBS2 vision-scrambling codes (src/mac.c:287-293,
+// 339-361), advancing state[0]=sr3 (31 bit), state[1]=sr4 (29 bit).
+void rt_mac_prbs2(uint64_t *state, long n, uint16_t *codes) {
+    uint32_t sr3 = (uint32_t)state[0], sr4 = (uint32_t)state[1];
+    for (long k = 0; k < n; k++) {
+        uint32_t code = 0;
+        for (int i = 0; i < 16; i++) {
+            uint32_t a = rt_rev32(sr4, 29) & 0x1Fu;
+            if (a == 31) a = 30;
+            code = (code >> 1) | (((rt_rev32(sr3, 31) >> a) & 1u) << 15);
+            sr3 = (sr3 >> 1) ^ ((sr3 & 1u) ? 0x7BB88888u : 0u);
+            sr4 = (sr4 >> 1) ^ ((sr4 & 1u) ? 0x17A2C100u : 0u);
+        }
+        codes[k] = (uint16_t)code;
+    }
+    state[0] = sr3;
+    state[1] = sr4;
+}
+
 // 751-bit interleaved MAC packet (src/mac.c:567-638): BCH(23,12) header
 // from address+continuity, optional 91-byte payload (728 bits LSB-first),
 // optional PRBS3 scramble of payload bytes 1..90 keyed by the 61-bit iw,
