@@ -32,6 +32,13 @@ VC_OVERLAP = 15
 VC_FIELD_1_START = 23
 VC_FIELD_2_START = 335
 VC_LINES_PER_FIELD = 287
+# lines whose iteration clocks the PRBS, in output order
+# (src/videocrypt.c:446-483)
+_CUT_LINES = np.array(
+    [l for l in range(1, 626)
+     if VC_FIELD_1_START <= l < VC_FIELD_1_START + VC_LINES_PER_FIELD
+     or VC_FIELD_2_START <= l < VC_FIELD_2_START + VC_LINES_PER_FIELD],
+    dtype=np.int64)
 VC_PRBS_CW_FA = (1 << 60) - 1
 VC2_VBI_FIELD_1_START = VC_VBI_FIELD_1_START - 4
 VC2_VBI_FIELD_2_START = VC_VBI_FIELD_2_START - 4
@@ -84,12 +91,13 @@ def _reverse8(b: int) -> int:
     return b
 
 
+_REV8 = [int(format(i, "08b")[::-1], 2) for i in range(256)]
+
+
 def _rev(b: int, x: int) -> int:
-    r = 0
-    for _ in range(x):
-        r = (r << 1) | (b & 1)
-        b >>= 1
-    return r
+    r = (_REV8[b & 0xFF] << 24) | (_REV8[(b >> 8) & 0xFF] << 16) \
+        | (_REV8[(b >> 16) & 0xFF] << 8) | _REV8[(b >> 24) & 0xFF]
+    return r >> (32 - x)
 
 
 def _rnibble(a: int) -> int:
@@ -235,12 +243,17 @@ class _VCState:
 
         # --- per-line cut bytes for lines 1..625, in output order
         cuts = np.full(626, -1, dtype=np.int32)
-        for line in range(1, 626):
-            f1 = VC_FIELD_1_START <= line < (VC_FIELD_1_START
-                                             + VC_LINES_PER_FIELD)
-            f2 = VC_FIELD_2_START <= line < (VC_FIELD_2_START
-                                             + VC_LINES_PER_FIELD)
-            if f1 or f2:
+        from ..ops.mac_bits import _native
+        lib = _native()
+        if lib is not None:
+            st = np.array([self.sr1, self.sr2, self.c], dtype=np.uint64)
+            xs = np.empty(len(_CUT_LINES), dtype=np.uint8)
+            lib.rt_vc_clock16(st.ctypes.data, len(xs), xs.ctypes.data)
+            self.sr1, self.sr2, self.c = int(st[0]), int(st[1]), int(st[2])
+            cuts[_CUT_LINES] = xs
+            cuts[23] = -1               # WSS hack (videocrypt.c:483)
+        else:
+            for line in _CUT_LINES:
                 x = self._clock16()
                 if line != 23:          # WSS hack (videocrypt.c:483)
                     cuts[line] = x

@@ -488,6 +488,29 @@ void rt_mac_prbs2(uint64_t *state, long n, uint16_t *codes) {
     state[1] = sr4;
 }
 
+// Generate n Videocrypt cut bytes (src/videocrypt.c:456-472): emit the
+// current (c >> 8) byte, then clock the dual-LFSR multiplexer generator
+// 16 steps (shift first, then extract — unlike the MAC PRBS2 order).
+// state = {sr1 (31 bit), sr2 (29 bit), c (16 bit)}.
+void rt_vc_clock16(uint64_t *state, long n, uint8_t *out) {
+    uint32_t sr1 = (uint32_t)state[0], sr2 = (uint32_t)state[1];
+    uint32_t c = (uint32_t)state[2];
+    for (long k = 0; k < n; k++) {
+        out[k] = (uint8_t)((c >> 8) & 0xFFu);
+        for (int i = 0; i < 16; i++) {
+            sr1 = (sr1 >> 1) ^ ((sr1 & 1u) ? 0x7BB88888u : 0u);
+            sr2 = (sr2 >> 1) ^ ((sr2 & 1u) ? 0x17A2C100u : 0u);
+            uint32_t a = rt_rev32(sr2, 29) & 0x1Fu;
+            if (a == 31) a = 30;
+            c = ((c >> 1) | (((rt_rev32(sr1, 31) >> a) & 1u) << 15))
+                & 0xFFFFu;
+        }
+    }
+    state[0] = sr1;
+    state[1] = sr2;
+    state[2] = c;
+}
+
 // 751-bit interleaved MAC packet (src/mac.c:567-638): BCH(23,12) header
 // from address+continuity, optional 91-byte payload (728 bits LSB-first),
 // optional PRBS3 scramble of payload bytes 1..90 keyed by the 61-bit iw,
