@@ -22,6 +22,7 @@ from ..ops.shapes import rc_window
 
 # grey-code tables (src/sis.c:167)
 _GC = ((3, 0, 2, 1), (0, 3, 1, 2))
+_GC_ARR = np.array(_GC, dtype=np.uint8)
 
 
 def _cos_bell(x: np.ndarray) -> np.ndarray:
@@ -39,18 +40,19 @@ class _SiSState:
         self.lag = audio_lag_lines
         self.W = width
         self.re = 0
-        self.frame_bit = nicam.NICAM_FRAME_BITS  # forces encode on first use
-        self.frame = np.zeros(nicam.NICAM_FRAME_BYTES, dtype=np.uint8)
         self.fnum = 0
         self.hist = np.zeros((nicam.J17_NTAPS - 1, 2), dtype=np.int64)
         self.cur_buf = -1          # last consumed audio buffer index
         self._bits: dict[int, np.ndarray] = {}
         self._next_j = 0
 
-        # First iteration state matches the reference exactly: frame
-        # bytes start zeroed and frame_bit = 0, so symbols come from the
-        # zero frame until 728 bits have been consumed.
-        self.frame_bit = 0
+        # First iteration state matches the reference exactly: the
+        # symbol queue starts with one zeroed frame (the reference's
+        # zeroed frame bytes with frame_bit = 0).
+        self._symq = np.zeros(nicam.NICAM_FRAME_BITS // 2, dtype=np.uint8)
+        self._symq_pos = 0
+        self._sim = (0, 0, 0)      # (line J, re, cumulative bits)
+        self._sim_e = 0            # encode events simulated so far
 
     def _visible_buffer(self, k: int) -> int:
         """Index (1-based) of the latest 32-pair buffer delivered before
@@ -68,52 +70,96 @@ class _SiSState:
             m -= 1
         return m
 
-    def _encode_next_frame(self, k: int):
-        m = self._visible_buffer(k)
-        if m <= 0:
-            buf = np.zeros((32, 2), dtype=np.int64)
-        else:
-            buf = self.chain._pcm(32 * (m - 1), 32)
-        pcm = np.concatenate([self.hist, buf])
-        self.frame = nicam.encode_frames(pcm, self.fnum,
-                                         nicam.MODE_STEREO, reserve=0)[0]
-        self.hist = pcm[-(nicam.J17_NTAPS - 1):]
-        self.fnum += 1
-        self.frame_bit = 0
+    def _trigger_lines(self, count: int) -> list:
+        """Iterate indices j at which the next `count` frame encodes
+        fire: replays the 48/44-bit line schedule from stream start, so
+        encode event e fires in the line consuming absolute bit
+        728*(e+1) (frame 0 is the initial zero frame)."""
+        out = []
+        J, re, cum = self._sim
+        target = nicam.NICAM_FRAME_BITS * (self._sim_e + 1)
+        while len(out) < count:
+            re += 44
+            nb = 50
+            if re >= 125:
+                nb, re = 46, re - 125
+            cum += nb - 2
+            if cum > target:
+                out.append(J)
+                self._sim_e += 1
+                target += nicam.NICAM_FRAME_BITS
+            J += 1
+        self._sim = (J, re, cum)
+        return out
 
-    def _iterate(self, j: int):
-        """One sis_render call; j=0 is warm-up, j>=1 is stream line j-1."""
-        k = j - 1
-        nb = 50
-        self.re += 44
-        if self.re >= 125:
-            nb -= 4
-            self.re -= 125
-        vbi = np.zeros(7, dtype=np.uint8)
-        vbi[0] = 0xC0
-        for x in range(2, nb, 2):
-            if self.frame_bit >= nicam.NICAM_FRAME_BITS:
-                self._encode_next_frame(max(k, 0))
-            fb = self.frame_bit
-            sym = (int(self.frame[fb >> 3]) >> (6 - (fb & 7))) & 3
-            sym = _GC[1 if x & 4 else 0][sym]
-            vbi[x >> 3] |= sym << (6 - (x & 7))
-            self.frame_bit += 2
-        # expand into the 50-entry basis-bit vector (MSB first, the burst
-        # right-aligned by the render offset 50-nb, src/sis.c:211)
-        bits = np.zeros(50, dtype=np.float32)
-        bvec = np.unpackbits(vbi)[:nb]
-        bits[50 - nb:50] = bvec
-        if k >= 0:
-            self._bits[k] = bits
-            if len(self._bits) > 2600:
-                for old in [x for x in self._bits if x < k - 1300]:
-                    del self._bits[old]
-        self._next_j = j + 1
+    def _refill_syms(self):
+        """Batch-encode the next 16 NICAM frames into the symbol queue:
+        the J.17 stream over the concatenated consumption-order buffers
+        is exactly the sequential per-frame encode with carried
+        history."""
+        ks = self._trigger_lines(16)
+        bufs = []
+        for J in ks:
+            m = self._visible_buffer(max(J - 1, 0))
+            bufs.append(np.zeros((32, 2), dtype=np.int64) if m <= 0
+                        else self.chain._pcm(32 * (m - 1), 32))
+        pcm = np.concatenate([self.hist] + bufs)
+        frames = np.asarray(nicam.encode_frames(
+            pcm, self.fnum, nicam.MODE_STEREO, reserve=0), dtype=np.uint8)
+        self.hist = pcm[-(nicam.J17_NTAPS - 1):]
+        self.fnum += len(ks)
+        syms = ((frames[:, :, None] >> np.array([6, 4, 2, 0])) & 3
+                ).astype(np.uint8).reshape(-1)
+        self._symq = np.concatenate([self._symq[self._symq_pos:], syms])
+        self._symq_pos = 0
+
+    def _take_syms(self, count: int) -> np.ndarray:
+        while len(self._symq) - self._symq_pos < count:
+            self._refill_syms()
+        s = self._symq[self._symq_pos:self._symq_pos + count]
+        self._symq_pos += count
+        return s
+
+    def _fill_through(self, j_hi: int):
+        """Vectorised run of iterations self._next_j .. j_hi: the 48/44
+        line schedule is re_i = (re0 + 44 i) mod 125 (shortened line iff
+        the previous residue is >= 81), symbols come off the queue in
+        order, and all rows scatter in one pass."""
+        j0 = self._next_j
+        n = j_hi - j0 + 1
+        if n <= 0:
+            return
+        i = np.arange(n, dtype=np.int64)
+        rprev = (self.re + 44 * i) % 125
+        nb = np.where(rprev >= 81, 46, 50)
+        self.re = int((self.re + 44 * n) % 125)
+        counts = (nb - 2) // 2
+        syms = self._take_syms(int(counts.sum()))
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        T = len(syms)
+        line_id = np.repeat(i, counts)
+        pos = np.arange(T, dtype=np.int64) - np.repeat(starts, counts)
+        syms = _GC_ARR[((2 + 2 * pos) & 4) >> 2, syms]
+        B = np.zeros((n, 50), dtype=np.float32)
+        off = 50 - nb
+        B[i, off] = 1.0                          # 0xC0 run-in
+        B[i, off + 1] = 1.0
+        col = off[line_id] + 2 + 2 * pos
+        B[line_id, col] = syms >> 1
+        B[line_id, col + 1] = syms & 1
+        for t in range(n):
+            k = j0 + t - 1
+            if k >= 0:
+                self._bits[k] = B[t]
+        # prune behind the fill *start*: everything at or past j0 - 1
+        # may still be read by the caller's gather loop
+        for old in [x for x in self._bits if x < j0 - 1301]:
+            del self._bits[old]
+        self._next_j = j_hi + 1
 
     def bits_for_line(self, k: int) -> np.ndarray:
-        while self._next_j <= k + 1:
-            self._iterate(self._next_j)
+        if self._next_j <= k + 1:
+            self._fill_through(k + 1)
         return self._bits[k]
 
 
@@ -156,6 +202,7 @@ class SiS:
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         bits = np.zeros((nlines, 50), dtype=np.float32)
+        self.state.bits_for_line(k0 + nlines - 1)   # one batched fill
         for i in range(nlines):
             k = k0 + i
             if k < 0:

@@ -39,15 +39,29 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
 
+def _crc16_byte(crc: int, byte: int) -> int:
+    """One byte of the ETS 300 706 9.6.1 page CRC, bit by bit
+    (src/teletext.c:89-107)."""
+    b = byte
+    for _ in range(8):
+        bit = ((crc >> 15) ^ (crc >> 11) ^ (crc >> 8) ^ (crc >> 6)
+               ^ (b >> 7)) & 1
+        crc = ((crc << 1) | bit) & 0xFFFF
+        b = (b << 1) & 0xFF
+    return crc
+
+
+# the per-byte step is linear over GF(2) in (crc, byte): decompose into
+# three 256-entry tables (high/low crc byte and data byte contributions)
+_CRC_HI = [_crc16_byte(h << 8, 0) for h in range(256)]
+_CRC_LO = [_crc16_byte(l, 0) for l in range(256)]
+_CRC_IN = [_crc16_byte(0, b) for b in range(256)]
+
+
 def crc16(data: bytes, crc: int = 0) -> int:
     """Page CRC per ETS 300 706 9.6.1 (src/teletext.c:89-107)."""
     for byte in data:
-        b = byte
-        for _ in range(8):
-            bit = ((crc >> 15) ^ (crc >> 11) ^ (crc >> 8) ^ (crc >> 6)
-                   ^ (b >> 7)) & 1
-            crc = ((crc << 1) | bit) & 0xFFFF
-            b = (b << 1) & 0xFF
+        crc = _CRC_HI[crc >> 8] ^ _CRC_LO[crc & 0xFF] ^ _CRC_IN[byte]
     return crc
 
 
