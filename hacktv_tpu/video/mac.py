@@ -155,7 +155,12 @@ class MacMux:
         self._slen = [0, 0]       # appended bits
         self._spos = [0, 0]       # consumed bits
         self._sbase = [0, 0]      # absolute offset of _stream[c][0]
-        self._pending: dict[int, tuple] = {}
+        self._pb = 0           # batch base line (set per ensure window)
+        self._pn = 0           # rows pending materialisation
+        self._ppos = np.zeros((0, 2), dtype=np.int64)
+        self._plen = np.zeros((0, 2), dtype=np.int64)
+        self._pfull_rows: dict[int, np.ndarray] = {}
+        self._ptt_rows: dict[int, tuple] = {}
         self._dummy_cache: dict[tuple, np.ndarray] = {}
         nsub = 2 if self.mode_d else 1
         self._wh_all = np.stack([
@@ -255,14 +260,13 @@ class MacMux:
         self._audio_m = m_hi
 
     # -- line content -----------------------------------------------------
-    def _sim_data_line(self, frame: int, line: int):
+    def _sim_data_line(self, row: int, line: int):
         """Queue simulation for a regular line (src/mac.c:1375-1439):
         packets are pulled/encoded into the per-subframe bit stream on
         demand; only the consumed (pos, len) range per subframe is
-        recorded — the per-line bit assembly happens batched in
-        _materialize."""
+        recorded (into the batch arrays at index `row`) — the per-line
+        bit assembly happens batched in _materialize."""
         sr5 = 0
-        segs = []
         for c in range(2 if self.mode_d else 1):
             pos = self._spos[c]
             i = 0
@@ -287,11 +291,13 @@ class MacMux:
                             addr, cont, payload, scr, sr5)
                     self._stream[c].append(arr)
                     self._slen[c] += mb.MAC_PACKET_BITS
-                take = min(99 - i, self._slen[c] - self._spos[c])
+                take = self._slen[c] - self._spos[c]
+                if take > 99 - i:
+                    take = 99 - i
                 self._spos[c] += take
                 i += take
-            segs.append((pos, i))
-        return segs
+            self._ppos[row, c] = pos
+            self._plen[row, c] = i
 
     def _line_625(self, frame: int, line: int) -> np.ndarray:
         out = np.zeros(self.nbits, dtype=np.uint8)
@@ -341,6 +347,16 @@ class MacMux:
     def ensure(self, k_through: int):
         """Run iterations up to and including stream line k_through."""
         self._prefetch_audio(k_through)
+        n = k_through - self.k + 1
+        if n > 0:
+            # per-batch arrays: lines simulate into row k - _pb
+            nsub = 2 if self.mode_d else 1
+            self._pb = self.k
+            self._pn = n
+            self._ppos = np.zeros((n, nsub), dtype=np.int64)
+            self._plen = np.zeros((n, nsub), dtype=np.int64)
+            self._pfull_rows = {}
+            self._ptt_rows = {}
         while self.k <= k_through:
             self._iterate()
         self._materialize()
@@ -350,32 +366,29 @@ class MacMux:
         static heads + sequential packet-stream slices XOR the per-line
         PRBS whitening (src/mac.c:1375-1439), teletext overlays, and
         the running duobinary start polarity."""
-        if not self._pending:
+        n = self._pn
+        if n <= 0:
             return
-        ks = sorted(self._pending)
-        n = len(ks)
+        base = self._pb
         nsub = 2 if self.mode_d else 1
         x0 = 7 if self.mode_d else 6
         Bits = np.zeros((n, self.nbits), dtype=np.uint8)
 
-        drows, dframes, dlines, dpos, dlen = [], [], [], [], []
-        for i, k in enumerate(ks):
-            kind, payload, _tt = self._pending[k]
-            if kind == "full":
-                Bits[i] = payload
+        full_rows = self._pfull_rows
+        for i, payload in full_rows.items():
+            Bits[i] = payload
+        if len(full_rows) < n:
+            kk = base + np.arange(n, dtype=np.int64)
+            if full_rows:
+                dmask = np.ones(n, dtype=bool)
+                dmask[list(full_rows)] = False
+                drows = np.nonzero(dmask)[0]
             else:
-                frame, line, segs = payload
-                drows.append(i)
-                dframes.append(frame)
-                dlines.append(line)
-                dpos.append([s[0] for s in segs])
-                dlen.append([s[1] for s in segs])
-        if drows:
-            drows = np.array(drows)
-            dframes = np.array(dframes)
-            dlines = np.array(dlines)
-            dpos = np.array(dpos)      # [nd, nsub]
-            dlen = np.array(dlen)
+                drows = np.arange(n, dtype=np.int64)
+            dframes = 1 + kk[drows] // mb.MAC_LINES
+            dlines = kk[drows] % mb.MAC_LINES + 1
+            dpos = self._ppos[drows]   # [nd, nsub]
+            dlen = self._plen[drows]
             nd = len(drows)
             D = np.zeros((nd, self.nbits), dtype=np.uint8)
             if self.mode_d:
@@ -397,11 +410,7 @@ class MacMux:
                     np.where(valid, vals ^ whc, whc)
             Bits[drows] = D
         # teletext overlays (a handful of lines per frame)
-        for i, k in enumerate(ks):
-            _kind, _payload, tt = self._pending[k]
-            if tt is None:
-                continue
-            line, v = tt
+        for i, (line, v) in self._ptt_rows.items():
             if not self.mode_d:
                 Bits[i, 116:116 + 360] = v
             else:
@@ -416,10 +425,11 @@ class MacMux:
         sign = np.where((self.nbits - sums) & 1, -1, 1)
         pol = self.polarity * np.concatenate(
             [[1], np.cumprod(sign)])
-        self.pol_start.update(zip(ks, pol[:-1].tolist()))
-        self.line_bits.update(zip(ks, Bits))
+        self.pol_start.update(zip(range(base, base + n),
+                                  pol[:-1].tolist()))
+        self.line_bits.update(zip(range(base, base + n), Bits))
         self.polarity = int(pol[-1])
-        self._pending.clear()
+        self._pn = 0
         # drop fully consumed packet chunks
         for c in range(nsub):
             st = self._stream[c]
@@ -452,23 +462,20 @@ class MacMux:
                 self._write_packet(0, 0x000, 0, pkt, False)
             # UDT refresh every 25 frames is a no-op with pinned time
 
+        row = k - self._pb
         if line == 625:
-            self._pending[k] = ("full", self._line_625(frame, line),
-                                None)
+            self._pfull_rows[row] = self._line_625(frame, line)
         elif line == 624:
-            self._pending[k] = ("full", self._line_624(frame, line),
-                                None)
+            self._pfull_rows[row] = self._line_624(frame, line)
         else:
-            segs = self._sim_data_line(frame, line)
-            self._pending[k] = ("data", (frame, line, segs), None)
+            self._sim_data_line(row, line)
 
         # teletext packets on lines 1-22 / 313-334 (src/mac.c:1556-1602)
         if self.teletext is not None and \
                 (1 <= line <= 22 or 313 <= line <= 334):
             v = self.teletext.next_vbi_bits(frame, line)
             if v is not None:
-                kind, payload, _ = self._pending[k]
-                self._pending[k] = (kind, payload, (line, v))
+                self._ptt_rows[row] = (line, v)
 
         # vision scrambling decision for the *previous* line
         # (src/mac.c:1836-1864: applied to lines[0] with the current
