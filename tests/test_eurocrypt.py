@@ -100,7 +100,8 @@ def test_unknown_mode_raises():
         Eurocrypt("nosuchprovider")
 
 
-def _mux_bits_exact(name, frames, scramble_audio, provider=None):
+def _mux_bits_exact(name, frames, scramble_audio, provider=None,
+                    **ec_kwargs):
     from hacktv_tpu.av.testcard import TestCardSource
     from hacktv_tpu.config.standards import get_mode
     from hacktv_tpu.video.mac import MacMux
@@ -112,7 +113,7 @@ def _mux_bits_exact(name, frames, scramble_audio, provider=None):
     vsam = 1            # free access, unscrambled
     if provider is not None:
         from hacktv_tpu.services.eurocrypt import Eurocrypt
-        ec = Eurocrypt(provider, now=1_200_000_000)
+        ec = Eurocrypt(provider, now=1_200_000_000, **ec_kwargs)
         vsam = 4 | 2    # default single-cut (src/hacktv.c:1332-1336)
     mux = MacMux(get_mode("d2mac"), 1296, 20_250_000,
                  TestCardSource(702, 576), vsam=vsam,
@@ -140,3 +141,16 @@ def test_scramble_audio_eurocrypt_bits_exact():
     encrypted CW schedule across ECM/EMM rounds."""
     _mux_bits_exact("d2mac_ec_sa_bits_130f.bin", 130, True,
                     provider="ctv")
+
+
+def test_eurocrypt_mat_rating_bits_exact():
+    """--ec-mat-rating embeds the rating in the ECM access criteria
+    (src/eurocrypt.c:939-1031)."""
+    _mux_bits_exact("d2mac_ec_mr_bits_20f.bin", 20, False,
+                    provider="ctv", mat_rating=13)
+
+
+def test_eurocrypt_ppv_bits_exact():
+    """--ec-ppv pnum,cost adds the PPV access criteria entry."""
+    _mux_bits_exact("d2mac_ec_ppv_bits_20f.bin", 20, False,
+                    provider="ctv", ppv="1234,5")

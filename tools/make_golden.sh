@@ -237,6 +237,9 @@ ec_bits dmac_ec_teletv_bits_130f.bin 130 -m dmac --eurocrypt teletv test
 # --scramble-audio: PRBS3 packet scrambling of the audio stream, keyed
 # by PRBS1 per packet (src/mac.c:605-638); free access + CA cases
 ec_bits d2mac_sa_bits_20f.bin 20 -m d2mac --scramble-audio test
+# ECM access-criteria variants: maturity rating + pay-per-view
+ec_bits d2mac_ec_mr_bits_20f.bin 20 -m d2mac --eurocrypt ctv --ec-mat-rating 13 test
+ec_bits d2mac_ec_ppv_bits_20f.bin 20 -m d2mac --eurocrypt ctv --ec-ppv 1234,5 test
 ec_bits d2mac_ec_sa_bits_130f.bin 130 -m d2mac --eurocrypt ctv --scramble-audio test
 # CW-keyed scrambling waveform (first 4 frames, initial CW from srand(1))
 capture d2mac_ec_dcut_4frames.s16 6480000 -s 20250000 -m d2mac --eurocrypt ctv --double-cut test
