@@ -15,6 +15,7 @@ testing; the reference uses wall time (src/teletext.c:605, 1183).
 from __future__ import annotations
 
 import os
+import sys
 import time as _time
 
 import numpy as np
@@ -56,6 +57,26 @@ def _crc16_byte(crc: int, byte: int) -> int:
 _CRC_HI = [_crc16_byte(h << 8, 0) for h in range(256)]
 _CRC_LO = [_crc16_byte(l, 0) for l in range(256)]
 _CRC_IN = [_crc16_byte(0, b) for b in range(256)]
+
+
+def _read_raw_packet(raw, state: list) -> bytes | None:
+    """42-byte raw packet read with the reference's feof semantics
+    (src/teletext.c:1185-1201): a rewind happens only on the call AFTER
+    end-of-file is hit, and a short read yields no packet for that line
+    (the stream's EOF line renders empty once per wrap).  state is a
+    1-element [eof_flag] list.  Unseekable streams (stdin) simply stop
+    at EOF like the reference's fseek(stdin) no-op."""
+    if state[0]:
+        try:
+            raw.seek(0)
+        except (OSError, ValueError):
+            pass
+        state[0] = False
+    data = raw.read(42)
+    if len(data) < 42:
+        state[0] = True
+        return None
+    return b"\x55\x55\x27" + data
 
 
 def crc16(data: bytes, crc: int = 0) -> int:
@@ -436,8 +457,10 @@ class Teletext:
                                        round(float(p.conf.frame_rate)),
                                        clock)
         self.raw = None
+        self._raw_eof = [False]
         if path.startswith("raw:"):
-            self.raw = open(path[4:], "rb") if path[4:] != "-" else None
+            self.raw = (sys.stdin.buffer if path[4:] == "-"
+                        else open(path[4:], "rb"))
         elif os.path.isdir(path):
             for name in sorted(os.listdir(path)):
                 if not name.startswith("."):
@@ -464,11 +487,7 @@ class Teletext:
             return None
         timecode = (frame - 1) * self.lines_total + line - 1
         if self.raw is not None:
-            data = self.raw.read(42)
-            if len(data) < 42:
-                self.raw.seek(0)
-                data = self.raw.read(42)
-            pkt = b"\x55\x55\x27" + data
+            pkt = _read_raw_packet(self.raw, self._raw_eof)
         else:
             pkt = self.service.next_packet(timecode)
         row = (vbidata.bytes_to_bits(bytes(pkt), 360, lsb_first=True)
@@ -505,8 +524,10 @@ class MacTeletext:
         self.lines_total = lines_per_frame
         self.service = TeletextService(lines_per_frame, frame_rate, clock)
         self.raw = None
+        self._raw_eof = [False]
         if path.startswith("raw:"):
-            self.raw = open(path[4:], "rb")
+            self.raw = (sys.stdin.buffer if path[4:] == "-"
+                        else open(path[4:], "rb"))
         elif os.path.isdir(path):
             for name in sorted(os.listdir(path)):
                 if not name.startswith("."):
@@ -522,11 +543,7 @@ class MacTeletext:
         None when no packet is ready."""
         timecode = (frame - 1) * self.lines_total + line - 1
         if self.raw is not None:
-            data = self.raw.read(42)
-            if len(data) < 42:
-                self.raw.seek(0)
-                data = self.raw.read(42)
-            pkt = b"\x55\x55\x27" + data
+            pkt = _read_raw_packet(self.raw, self._raw_eof)
         else:
             pkt = self.service.next_packet(timecode)
         if pkt is None:

@@ -289,3 +289,22 @@ def test_cc608_source_feed(tmp_path):
     y2 = enc2.encode_frame(0).reshape(-1, enc2.params.width)
     line = 21
     assert not np.array_equal(y1[line - 1], y2[line - 1])
+
+
+def test_teletext_raw_packets_golden():
+    """raw: 42-byte packet input incl. the partial-tail feof behaviour
+    (src/teletext.c:1081-1201): the wrap emits one empty line, a short
+    tail yields no packet."""
+    path = os.path.join(GOLDEN, "pal_ttraw_2frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16)
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "raw_tt_packets.bin")
+    enc = Encoder("pal", 16_000_000, teletext=f"raw:{fixture}")
+    ours = np.concatenate([enc.encode_frame(f) for f in range(2)])
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr >= 40.0, f"raw teletext SNR {snr:.2f} dB"

@@ -330,3 +330,11 @@ legacy 30-am 100000 c 8010
 legacy nbtv-am 100000 c 8000
 legacy apollo-fsc-fm 13500000 c 450450
 legacy m-cbs405 14000000 c 194400
+
+# Raw 42-byte teletext packet input (src/teletext.c:1081-1201), with a
+# partial tail exercising the feof/no-packet wrap behaviour
+if [ ! -s "$GOLDEN/pal_ttraw_2frames.s16" ] && [ -f "$REPO/tests/data/raw_tt_packets.bin" ]; then
+    echo "golden: pal_ttraw_2frames.s16"
+    timeout 60 "$HACKTV" -o - -m pal --teletext "raw:$REPO/tests/data/raw_tt_packets.bin" test 2>/dev/null \
+        | head -c $((2 * 640000 * 2)) > "$GOLDEN/pal_ttraw_2frames.s16"
+fi
