@@ -26,7 +26,11 @@ def vitc_payload(frame: int, fps: int, frame_drop: bool, second_field: bool,
     fn = frame
     if frame_drop:
         fn += (fn // 17982) * 18
-        fn += (fn % 18000 - 2) // 1798 * 2
+        # C division truncates toward zero: for the first two frames of
+        # each 10-minute block the numerator is negative and must give 0,
+        # not floor's -1 (src/vitc.c:135-140)
+        q = fn % 18000 - 2
+        fn += (q // 1798 if q >= 0 else -((-q) // 1798)) * 2
     tc = (fn % fps % 10) | ((fn % fps // 10) << 4)
     tc |= (1 << 6) if frame_drop else 0
     tc |= 1 << 7

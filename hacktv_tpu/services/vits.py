@@ -115,6 +115,9 @@ class VITS:
                               [a[0] for a in tpl]).astype(np.float32)
         self.c_tpl = np.stack([np.zeros(p.width)] +
                               [a[1] for a in tpl]).astype(np.float32)
+        # chroma phase against the line's carrier LUT: 60 deg from +(B-Y)
+        # for PAL; NTSC uses the burst phase constant {0, -INT16_MAX}
+        # exactly as the reference does (src/vits.c:245-258)
         if pal:
             ph = 60.0 * np.pi / 180.0
             self.cs = (round(np.cos(ph) * 32767), round(np.sin(ph) * 32767))

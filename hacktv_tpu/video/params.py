@@ -385,8 +385,10 @@ class VideoParams:
                 ang = 2.0 * np.pi * ph0[j] / self.cl_num
                 cos0[j] = np.cos(ang)
                 sin0[j] = np.sin(ang)
-                if self.cl_num % self.width == 0:
-                    lut_row[j] = (k * self.width % self.cl_num) // self.width
+                if self.cl_num // math.gcd(self.width, self.cl_num) \
+                        <= 4096:
+                    lut_row[j] = (k * self.width % self.cl_num) \
+                        // math.gcd(self.width, self.cl_num)
 
             if conf.colour_mode == ColourMode.APOLLO_FSC:
                 # one colour per field, green flagged on field line 18

@@ -72,19 +72,29 @@ def make_statics(p: VideoParams, vframe_x: int = 0,
     colour = conf.colour_mode in (ColourMode.PAL, ColourMode.NTSC)
     ccos = csin = rows = None
     if colour and p.cl_num:
-        if p.cl_num % p.width == 0:
-            # exact LUT rows: row r covers lut indices [r*W, (r+1)*W)
-            # separate cos/sin planes: interleaving the pair into a
+        import math as _m
+        g = _m.gcd(p.width, p.cl_num)
+        P = p.cl_num // g
+        if P <= 4096:
+            # exact LUT rows: line k starts at offset (k*W) mod cl_num,
+            # always a multiple of g, so P distinct rows cover every
+            # line.  The reference LUT entry is round(cos(d*c)*32767)
+            # with d*c accumulating f64 drift over the UNWRAPPED index c
+            # (the table is extended by one line rather than wrapped,
+            # src/video.c:3961-3985) — reproduce that exactly, with C's
+            # half-away-from-zero lround.
+            # Separate cos/sin planes: interleaving the pair into a
             # minor dim of 2 forces an XLA layout copy of the whole
             # gathered block (T(2,128) -> T(8,128))
-            P = p.cl_num // p.width
-            c = np.arange(p.cl_num, dtype=np.int64)
-            ang = 2.0 * np.pi * (p.cl_den / p.cl_num) * c
+            off = (np.arange(P, dtype=np.int64)[:, None] * g
+                   + np.arange(p.width, dtype=np.int64)[None, :]
+                   ).astype(np.float64)
+            d = 2.0 * np.pi * (p.cl_den / p.cl_num)
+            lr = lambda a: np.where(a >= 0, np.floor(a + 0.5),
+                                    np.ceil(a - 0.5))
             rows = (
-                np.round(np.cos(ang) * 32767.0)
-                .astype(np.float32).reshape(P, p.width),
-                np.round(np.sin(ang) * 32767.0)
-                .astype(np.float32).reshape(P, p.width))
+                lr(np.cos(d * off) * 32767.0).astype(np.float32),
+                lr(np.sin(d * off) * 32767.0).astype(np.float32))
         else:
             # angle(x) = 2*pi*((x*cl_den) mod cl_num)/cl_num, exact ints
             # evaluated in float64 on the host.

@@ -308,3 +308,17 @@ def test_teletext_raw_packets_golden():
     e = ours[:n].astype(np.float64) - r
     snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
     assert snr >= 40.0, f"raw teletext SNR {snr:.2f} dB"
+
+
+def test_vits_vitc_525_golden():
+    """525-line VITS/VITC placement (lines 17/280, 14/277+2)."""
+    snr = _svc_golden("ntsc_vits_vitc_2frames.s16", "ntsc", 13_500_000,
+                      vits=True, vitc=True)
+    assert snr >= 40.0, f"525 VITS+VITC SNR {snr:.2f} dB"
+
+
+def test_acp_525_golden():
+    """525-line ACP (lines 12-19 / 275-282)."""
+    snr = _svc_golden("ntsc_acp_2frames.s16", "ntsc", 13_500_000,
+                      acp=True)
+    assert snr >= 40.0, f"525 ACP SNR {snr:.2f} dB"
