@@ -515,9 +515,21 @@ class Encoder:
                     self.secam_statics, block, audio_args["secam_add"],
                     audio_args["secam"])
         if self.services:
-            lut = ((jnp.asarray(self.statics.carrier_rows[0])[lut_row],
-                    jnp.asarray(self.statics.carrier_rows[1])[lut_row])
-                   if self.statics.carrier_rows is not None else None)
+            if self.statics.carrier_rows is not None:
+                lut = (jnp.asarray(self.statics.carrier_rows[0])[lut_row],
+                       jnp.asarray(self.statics.carrier_rows[1])[lut_row])
+            elif self.statics.carrier_cos is not None:
+                # carrier period too long for exact LUT rows: per-line
+                # angle addition against the static column table, the
+                # same approximation the raster's subcarrier mix uses
+                cc = jnp.asarray(self.statics.carrier_cos)
+                cs = jnp.asarray(self.statics.carrier_sin)
+                lut = (jnp.round((cos0[:, None] * cc
+                                  - sin0[:, None] * cs) * 32767.0),
+                       jnp.round((sin0[:, None] * cc
+                                  + cos0[:, None] * cs) * 32767.0))
+            else:
+                lut = None
             for svc, arr in zip(self.services,
                                 audio_args.get("services", ())):
                 block = svc.apply(block, arr, lut)

@@ -322,3 +322,11 @@ def test_acp_525_golden():
     snr = _svc_golden("ntsc_acp_2frames.s16", "ntsc", 13_500_000,
                       acp=True)
     assert snr >= 40.0, f"525 ACP SNR {snr:.2f} dB"
+
+
+def test_vits_vitc_525_4xfsc_golden():
+    """14318181 Hz has a 17.5M-sample carrier period (no exact LUT
+    rows): the service chroma mixes via the angle-addition fallback."""
+    snr = _svc_golden("ntsc143_vits_vitc_2frames.s16", "ntsc", 14_318_181,
+                      vits=True, vitc=True)
+    assert snr >= 40.0, f"4xfsc VITS+VITC SNR {snr:.2f} dB"

@@ -131,6 +131,9 @@ capture ntsc_cc608_2frames.s16 1911600 -s 14318181 -m ntsc --cc608 test
 # VITC 14/277+2, ACP 12-19/275-282; src/vits.c, vitc.c:53-61, acp.c:95)
 capture ntsc_vits_vitc_2frames.s16 1801800 -s 13500000 -m ntsc --vits --vitc test
 capture ntsc_acp_2frames.s16 1801800 -s 13500000 -m ntsc --acp test
+# non-integer carrier-period rate: exercises the angle-addition carrier
+# fallback for the service chroma mix (4x fsc)
+capture ntsc143_vits_vitc_2frames.s16 1911600 -s 14318181 -m ntsc --vits --vitc test
 # Combined services: every 625-line VBI service stacked at once, and a
 # scrambler+VBI combination (src/hacktv.c:1184-1437 allows these)
 capture pal_services_combo_2frames.s16 2560000 -m pal --wss auto --vits --vitc --acp --cc608 test
