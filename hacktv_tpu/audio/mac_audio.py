@@ -241,6 +241,7 @@ class MacAudioEnc:
         shf_t = np.array([f[1] for f in _SCALE_FACTORS], np.int64)
         sfl = self.ch_sf_len
         sfb_shift = (2 - np.arange(sfl) % 3)[None, :]
+        factors = []
         for b in range(2):
             ys = ys_ch[b]
             s = np.where(ys < 0, ~ys, ys)
@@ -263,10 +264,17 @@ class MacAudioEnc:
             else:
                 p = _parity_bits(enc >> (3 if self.linear else 4))
                 enc = enc | (p << (bps - 1))
-            # scale-factor signalling XOR on the protection bit
-            sfb = (factor[:, None] >> sfb_shift) & 1
-            enc[:, :sfl] ^= sfb << (bps - 1)
+            factors.append(factor)
             out_buf[:, self.ch_offset[b]::step][:, :self.ch_len] = enc
+        # scale-factor signalling XOR on the protection bit, in ABSOLUTE
+        # sample positions: sf_offset is 0/1 (stereo) or 0/sf_len (mono)
+        # — the mono channel-1 region crosses the channel boundary and
+        # flips the last protection bits of channel 0's samples
+        # (src/mac.c:1151-1156, 1319-1323)
+        for b in range(2):
+            idx = self.ch_sf_offset[b] + step * np.arange(sfl)
+            sfb = (factors[b][:, None] >> sfb_shift) & 1
+            out_buf[:, idx] ^= sfb << (bps - 1)
         # pack
         parts = []
         if not self.linear and not self.protection:

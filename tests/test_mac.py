@@ -159,3 +159,29 @@ def test_mac_teletext_bits_exact(mode):
         mine = mux.line_bits[k]
         assert np.array_equal(mine, gbits[k, :len(mine)]), \
             f"line k={k} bits differ"
+
+
+def test_d2mac_mono_audio():
+    """--mac-audio-mono: downmixed single channel; the scale-factor
+    signalling region crosses the channel boundary (src/mac.c:1151-1156,
+    1319-1323)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    conf = replace(get_mode("d2mac"), mac_audio_stereo=False)
+    assert _wave_snr(conf, "d2mac_mono_4frames.s16") > 60.0
+
+
+def test_d2mac_companded_l2_audio():
+    """--mac-audio-l2-protection with companded samples."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    conf = replace(get_mode("d2mac"), mac_audio_protection=True)
+    assert _wave_snr(conf, "d2mac_compl2_4frames.s16") > 60.0
+
+
+def test_d2mac_linear_l1_audio():
+    """--mac-audio-linear without L2 protection (parity bits)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    conf = replace(get_mode("d2mac"), mac_audio_companded=False)
+    assert _wave_snr(conf, "d2mac_linl1_4frames.s16") > 60.0

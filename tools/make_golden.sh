@@ -181,6 +181,9 @@ capture d2mac_scut_4frames.s16 6480000 -s 20250000 -m d2mac --single-cut test
 capture dmacfm_2frames.c16 6480000 -s 20250000 -m dmac-fm test
 capture d2mac_mq_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-medium-quality test
 capture d2mac_lin_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-linear --mac-audio-l2-protection test
+capture d2mac_mono_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-mono test
+capture d2mac_compl2_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-l2-protection test
+capture d2mac_linl1_4frames.s16 6480000 -s 20250000 -m d2mac --mac-audio-linear test
 # MAC moving video: 4 distinct deterministic raw BGRA frames fed via
 # ffmpeg's rawvideo demuxer (sws BGRA->RGB32 is a byte identity), so
 # the capture must show a different frame every MAC frame.
