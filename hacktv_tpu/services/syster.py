@@ -208,6 +208,7 @@ class _NGState:
         self._vbi_lines: dict[int, bytes] = {}   # key: stream line index k
         self._src_rel: dict[int, np.ndarray] = {}
         self._done_frame = 0
+        self.retain = 8        # frames kept; widened per consumer block
 
     # -- PRBS ------------------------------------------------------------
     def _prbs_reset(self):
@@ -328,8 +329,12 @@ class _NGState:
                 self.vbi_seq = (self.vbi_seq + 1) % 10
         self._src_rel[frame] = src
         self._done_frame = frame
-        old = frame - 8
-        self._src_rel.pop(old, None)
+        # retain enough frames for the consumer's whole block: the
+        # encoder's lookahead advances generation past the block end
+        # before the early lines' VBI bytes are gathered
+        old = frame - self.retain
+        for f in [f for f in self._src_rel if f <= old]:
+            del self._src_rel[f]
         for k in [k for k in self._vbi_lines if k < (old - 1) * 625]:
             del self._vbi_lines[k]
 
@@ -400,6 +405,7 @@ class SysterBase:
         self.width = p.width
 
     def _vbi_arrays(self, k0: int, nlines: int, claimed):
+        self.state.retain = max(self.state.retain, nlines // 625 + 9)
         bits = np.zeros((nlines, NG_VBI_BYTES * 8), dtype=np.float32)
         for i in range(nlines):
             k = k0 + i
@@ -433,6 +439,7 @@ class Syster(SysterBase):
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         st = self.state
+        st.retain = max(st.retain, nlines // 625 + 9)
         src = np.zeros(nlines, dtype=np.int32)
         rot_shift = np.full(nlines, -1, dtype=np.int32)
         rot_blank = np.zeros(nlines, dtype=np.float32)
@@ -510,6 +517,7 @@ class SysterCNR(SysterBase):
         self.cols, self.rot_l, self.rot_r = _rotate_columns(p, vs)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
+        self.state.retain = max(self.state.retain, nlines // 625 + 9)
         rot_shift = np.full(nlines, -1, dtype=np.int32)
         rot_blank = np.zeros(nlines, dtype=np.float32)
         for i in range(nlines):
@@ -610,6 +618,7 @@ class D11(SysterBase):
         self.ng_delay = int((1.0 / 4433618.75) * 4 * p.pixel_rate)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
+        self.state.retain = max(self.state.retain, nlines // 625 + 9)
         delay = np.full(nlines, -1, dtype=np.int32)
         sync = np.zeros(nlines, dtype=np.float32)    # 0 none, else level
         sync_on = np.zeros(nlines, dtype=np.float32)

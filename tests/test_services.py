@@ -330,3 +330,42 @@ def test_vits_vitc_525_4xfsc_golden():
     snr = _svc_golden("ntsc143_vits_vitc_2frames.s16", "ntsc", 14_318_181,
                       vits=True, vitc=True)
     assert snr >= 40.0, f"4xfsc VITS+VITC SNR {snr:.2f} dB"
+
+
+def test_syster_providers_golden():
+    """Non-default Syster/D11 providers (different keys, dates, tables,
+    VBI offsets) — run with a 16-frame block to cover the lookahead
+    cache-retention path the CLI uses."""
+    for name, kw in [("pal_syster_pca_2frames.s16",
+                      dict(syster="premiere-ca")),
+                     ("pal_syster_cfrfa_2frames.s16", dict(syster="cfrfa")),
+                     ("pal_d11_cfrfa_2frames.s16", dict(d11="cfrfa"))]:
+        path = os.path.join(GOLDEN, name)
+        if not os.path.exists(path):
+            pytest.skip("golden missing")
+        ref = np.fromfile(path, dtype=np.int16)
+        enc = Encoder("pal", 16_000_000, frames_per_block=16, **kw)
+        ours = enc.encode_block(0).reshape(-1)
+        n = min(len(ref), len(ours))
+        r = ref[:n].astype(np.float64)
+        e = ours[:n].astype(np.float64) - r
+        snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
+        assert snr >= 40.0, f"{name}: {snr:.2f} dB"
+
+
+def test_syster_vbi_survives_large_blocks():
+    """The VBI byte cache must retain a whole encoder block: at
+    frames_per_block=16 the lookahead generates past the block before
+    the early VBI lines are gathered."""
+    path = os.path.join(GOLDEN, "pal_syster_4frames.s16")
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = np.fromfile(path, dtype=np.int16)
+    enc = Encoder("pal", 16_000_000, syster="premiere-fa",
+                  frames_per_block=16)
+    ours = enc.encode_block(0).reshape(-1)
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr >= 40.0, f"fpb=16 syster SNR {snr:.2f} dB"

@@ -143,6 +143,9 @@ capture pal_vc1_4frames.s16 5120000 -m pal --videocrypt free test
 capture pal_vc2_4frames.s16 5120000 -m pal --videocrypt2 free test
 capture pal_vc1c_4frames.s16 5120000 -m pal --videocrypt conditional test
 capture pal_syster_4frames.s16 5120000 -m pal --syster premiere-fa test
+capture pal_syster_pca_2frames.s16 2560000 -m pal --syster premiere-ca test
+capture pal_syster_cfrfa_2frames.s16 2560000 -m pal --syster cfrfa test
+capture pal_d11_cfrfa_2frames.s16 2560000 -m pal --d11 cfrfa test
 capture pal_d11_6frames.s16 7680000 -m pal --d11 premiere-fa test
 capture pal_systercnr_4frames.s16 5120000 -m pal --systercnr premiere-fa test
 capture pal_systerfull_4frames.s16 5120000 -m pal --syster premiere-fa --systercnr premiere-fa test
