@@ -659,13 +659,10 @@ class AudioChain:
         buf[1, spp:spp + m] = signs[:m, 1]
 
         n_line = np.arange(k0, k0 + nlines, dtype=np.int64) * self.W
-        rot = (n_line % den) * num % den
-        ang = 2.0 * np.pi * rot / den
         return dict(signs_i=buf[0], signs_q=buf[1],
                     offq=(off0 // spp).astype(np.int32),
                     offr=(off0 % spp).astype(np.int32),
-                    c0=np.cos(ang).astype(np.float32),
-                    s0=np.sin(ang).astype(np.float32))
+                    cc_off=(n_line % den).astype(np.int32))
 
     def nicam_block(self, k0: int, nlines: int, st) -> dict:
         """Per-line symbol amplitudes for lines [k0, k0+nlines)."""
@@ -718,18 +715,14 @@ class AudioChain:
         off0 = (kf0 - f0 * fs_ + spp).astype(np.int64)
         assert off0.min() >= 0 and off0.max() + (G - 1) * spp + S <= dst.L
 
-        from dataclasses import dataclass as _dc
-        class _C:
-            num, den = nt["num"], nt["den"]
-            deviation = 0.0
-        ctab, stab = self._carrier_tabs(_C, k0, nlines)
+        n_line = np.arange(k0, k0 + nlines, dtype=np.int64) * self.W
         return dict(pcm=self._nicam_pcm_win(fa, dst),
                     dsym_in=dsym,
                     meta=np.array([fa % 16, base_off, nkeep],
                                   dtype=np.int32),
                     offq=(off0 // spp).astype(np.int32),
                     offr=(off0 % spp).astype(np.int32),
-                    ctab=ctab, stab=stab)
+                    cc_off=(n_line % nt["den"]).astype(np.int32))
 
     def nicam_dev_dsym(self, dsym) -> None:
         """Store the differential-state carry (device scalar) produced by

@@ -294,8 +294,9 @@ def am_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
 @dataclass
 class NicamStatics:
     pulse: jnp.ndarray      # [P, NSLOT, W] static per-class pulse matrices
-    cos_x: jnp.ndarray      # [W] carrier table
-    sin_x: jnp.ndarray
+    lut_i: jnp.ndarray      # [den] int16 carrier LUT, exactly the
+    lut_q: jnp.ndarray      # reference's sin_cint16 table (common.c:209)
+    den: int                # LUT length (carrier period in samples)
     period: int             # P lines
     nslot: int
 
@@ -339,12 +340,18 @@ def make_nicam_statics(taps: np.ndarray, num: int, den: int, width: int,
             hi = min(width, off + ntaps)
             pulse[c, s, lo:hi] = taps[lo - off: hi - off]
 
-    x = np.arange(width, dtype=np.int64)
-    ang = 2.0 * np.pi * ((x * num) % den) / den
+    # the reference's carrier LUT: round(cos(d*i)*32767) over one full
+    # period, pointer wrapping at den (src/common.c:209-226,
+    # src/nicam728.c:312, src/dance.c:412-416) — built identically so
+    # the int32 mix below is bit-exact
+    d = 2.0 * np.pi / den * num
+    i = np.arange(den, dtype=np.float64)
+    lr = lambda a: np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5))
     st = NicamStatics(
         pulse=pulse,
-        cos_x=np.cos(ang).astype(np.float32),
-        sin_x=np.sin(ang).astype(np.float32),
+        lut_i=lr(np.cos(d * i) * 32767.0).astype(np.int16),
+        lut_q=lr(np.sin(d * i) * 32767.0).astype(np.int16),
+        den=den,
         period=period, nslot=nslot)
     st.kf = kf           # host-side: first symbol per class
     st.syms_per_period = syms_per_period
@@ -356,8 +363,7 @@ def nicam_add(st: NicamStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
               signs_q: jnp.ndarray,  # f32 [L] per-symbol Q signs
               offq: jnp.ndarray,     # i32 [P] window row per line class
               offr: jnp.ndarray,     # i32 [P] window column per line class
-              c0: jnp.ndarray,       # f32 [B]
-              s0: jnp.ndarray,
+              cc_off: jnp.ndarray,   # i32 [B] carrier LUT offset per line
               k0_mod,                # first line's class offset
               ):
     """Add the NICAM DQPSK burst to the (I, Q) block [B, W].
@@ -387,12 +393,17 @@ def nicam_add(st: NicamStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
     bb_i = matmul(signs_i)
     bb_q = matmul(signs_q)
 
-    cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
-    cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
-    cc = jnp.round(cc * 32767.0)
-    cs = jnp.round(cs * 32767.0)
-
-    inv = np.float32(1.0 / 32768.0)
-    out_i = out_i + jnp.floor((bb_i * cc - bb_q * cs) * inv)
-    out_q = out_q + jnp.floor((bb_i * cs + bb_q * cc) * inv)
+    # exact reference mix (cint16_mula, src/common.h:69-78): the
+    # baseband accumulators wrap to int16, the products are int32 and
+    # the shift is arithmetic.  f32 products overflow the 24-bit
+    # mantissa (|bb*cc| ~ 2^30) and their floors walk FM-video phase.
+    idx = (cc_off[:, None]
+           + jnp.arange(W, dtype=jnp.int32)[None, :]) % st.den
+    cci = jnp.asarray(st.lut_i)[idx].astype(jnp.int32)
+    ccq = jnp.asarray(st.lut_q)[idx].astype(jnp.int32)
+    wrap = lambda b: ((b.astype(jnp.int32) + 0x8000) & 0xFFFF) - 0x8000
+    bi = wrap(bb_i)
+    bq = wrap(bb_q)
+    out_i = out_i + ((bi * cci - bq * ccq) >> 15).astype(jnp.float32)
+    out_q = out_q + ((bi * ccq + bq * cci) >> 15).astype(jnp.float32)
     return out_i, out_q

@@ -637,16 +637,14 @@ class Encoder:
                 nc["meta"][0], nc["meta"][1], nc["meta"][2])
             out_i, out_q = audio_synth.nicam_add(
                 self.nicam_statics, out_i, out_q, signs_i,
-                signs_q, nc["offq"], nc["offr"],
-                audio_synth.tile_tab(nc["ctab"], nlines),
-                audio_synth.tile_tab(nc["stab"], nlines),
+                signs_q, nc["offq"], nc["offr"], nc["cc_off"],
                 audio_args["nicam_k0mod"])
         if self.dance_statics is not None:
             dc = audio_args["dance"]
             out_i, out_q = audio_synth.nicam_add(
                 self.dance_statics, out_i, out_q, dc["signs_i"],
-                dc["signs_q"], dc["offq"], dc["offr"], dc["c0"],
-                dc["s0"], audio_args["dance_k0mod"])
+                dc["signs_q"], dc["offq"], dc["offr"], dc["cc_off"],
+                audio_args["dance_k0mod"])
 
         fm_carry = None
         if self.fm_video_statics is not None:

@@ -46,23 +46,16 @@ def test_dance_prn_interleave_ranges():
 
 
 def test_ntsc_bs_waveform():
+    """Strict raw parity: the DANCE DQPSK mix runs the reference's
+    exact cint16 arithmetic (carrier LUT + int32 products), so the FM
+    carrier no longer walks and the capture matches byte-for-byte."""
     from hacktv_tpu import Encoder
-    ref = np.fromfile(_golden("ntscbs_16M_2frames.c16"),
-                      dtype=np.int16).reshape(-1, 2)
+    ref = np.fromfile(_golden("ntscbs_16M_2frames.c16"), dtype=np.int16)
     enc = Encoder("ntsc-bs", 16_000_000)
     ours = np.concatenate(
-        [enc.encode_block(b) for b in range(2)])
-    W = enc.params.width
-    n = (min(len(ref), len(ours)) // W) * W
-    r = (ref[:n, 0] + 1j * ref[:n, 1]).astype(np.complex128).reshape(-1, W)
-    o = (ours[:n, 0] + 1j * ours[:n, 1]).astype(np.complex128).reshape(-1, W)
-
-    d0 = np.angle((o[0, :W - 12] * np.conj(r[0, :W - 12])).sum())
-    assert abs(d0) < 0.05, f"initial FM phase differs by {d0:.3f} rad"
-
-    drift = np.angle((o[:, :W - 12] * np.conj(r[:, :W - 12])).sum(axis=1))
-    o = o * np.exp(-1j * drift)[:, None]
-    e = (o - r)[:, :W - 12]
-    rr = r[:, :W - 12]
-    snr = 10 * np.log10((np.abs(rr) ** 2).sum() / (np.abs(e) ** 2).sum())
-    assert snr >= 40.0, f"ntsc-bs conditional SNR {snr:.2f} dB"
+        [enc.encode_block(b) for b in range(2)]).reshape(-1)
+    n = min(len(ref), len(ours))
+    r = ref[:n].astype(np.float64)
+    e = ours[:n].astype(np.float64) - r
+    snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
+    assert snr >= 100.0, f"ntsc-bs raw SNR {snr:.2f} dB"
