@@ -38,20 +38,25 @@ AUDIO_RATE = 32000
 
 
 def _probe(binary, path, ffmt=None, fopts=None):
-    """Parse `ffmpeg -i` stream info: (par, has_audio)."""
+    """Parse `ffmpeg -i` stream info in ONE subprocess run:
+    (par, has_audio, native_width, native_height)."""
     cmd = list(binary) + ["-hide_banner"]
     cmd += _input_args(path, ffmt, fopts)
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=30)
         text = r.stderr.decode("utf-8", "replace")
     except Exception:
-        return Fraction(1, 1), True
+        return Fraction(1, 1), True, None, None
     par = Fraction(1, 1)
     m = re.search(r"Video:.*?\bSAR (\d+):(\d+)\b", text)
     if m and int(m.group(1)) > 0 and int(m.group(2)) > 0:
         par = Fraction(int(m.group(1)), int(m.group(2)))
     has_audio = re.search(r"Stream #.*Audio:", text) is not None
-    return par, has_audio
+    width = height = None
+    m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b", text)
+    if m:
+        width, height = int(m.group(1)), int(m.group(2))
+    return par, has_audio, width, height
 
 
 def _input_args(path, ffmt, fopts):
@@ -86,9 +91,9 @@ class FFmpegSource:
         num, den = (frame_rate.num, frame_rate.den) \
             if hasattr(frame_rate, "num") else frame_rate
 
-        self.pixel_aspect_ratio, has_audio = _probe(binary, path,
-                                                    ffmt, fopts)
-        # native decode size from the first frame; the fit geometry
+        self.pixel_aspect_ratio, has_audio, nat_w, nat_h = _probe(
+            binary, path, ffmt, fopts)
+        # native decode size from the probe; the fit geometry
         # (FitSource) letterboxes/scales downstream using the PAR
         inp = _input_args(path, ffmt, fopts)
         self._vproc = subprocess.Popen(
@@ -106,9 +111,8 @@ class FFmpegSource:
 
         # frame geometry: need the native size; probe text is the
         # authority but the caller's (width, height) is the fallback
-        self.width = width
-        self.height = height
-        self._native_probe(binary, path, ffmt, fopts)
+        self.width = nat_w if nat_w else width
+        self.height = nat_h if nat_h else height
 
         self._frame_no = -1
         self._frame = np.zeros((self.height, self.width, 3),
@@ -128,19 +132,6 @@ class FFmpegSource:
         if os.path.exists(cc):
             raw = np.fromfile(cc, dtype=np.uint8)
             self._cc = raw[: len(raw) // 2 * 2].reshape(-1, 2)
-
-    def _native_probe(self, binary, path, ffmt, fopts):
-        cmd = list(binary) + ["-hide_banner"] + _input_args(path, ffmt,
-                                                            fopts)
-        try:
-            r = subprocess.run(cmd, capture_output=True, timeout=30)
-            m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b",
-                          r.stderr.decode("utf-8", "replace"))
-            if m:
-                self.width = int(m.group(1))
-                self.height = int(m.group(2))
-        except Exception:
-            pass
 
     def read_video(self, frame_no: int) -> np.ndarray:
         nbytes = self.width * self.height * 3

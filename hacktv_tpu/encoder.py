@@ -305,6 +305,7 @@ class Encoder:
             self._step = jax.jit(self._step_impl)
         self._meta_cache: dict = {}
         self._rgb_cache: tuple | None = None
+        self._fpb_warned = False
         self._arg_spec = None
         self._arg_treedef = None
 
@@ -448,9 +449,20 @@ class Encoder:
         """Bit-exact host YUV conversion (f64, matching the reference's
         LUT build), uploaded once per distinct source frame."""
         from .config.standards import ColourMode
-        rgb = self.source.read_video(block_no)
+        rgb = self.source.read_video(block_no * self.frames_per_block)
         if self._rgb_cache is not None and self._rgb_cache[0] is rgb:
             return self._rgb_cache[1]
+        if (self.frames_per_block > 1 and self._rgb_cache is not None
+                and not self._fpb_warned):
+            # one frame's planes cover the whole block: a moving source
+            # with frames_per_block > 1 repeats the block's first frame
+            self._fpb_warned = True
+            import sys
+            print("hacktv_tpu: warning: frames_per_block="
+                  f"{self.frames_per_block} with a non-static source "
+                  "repeats each block's first frame; use "
+                  "--frames-per-block 1 for moving video",
+                  file=sys.stderr)
         secam = self.conf.colour_mode == ColourMode.SECAM
         if self.statics.fsc_mode is not None:
             # field-sequential colour: one grey plane per channel,

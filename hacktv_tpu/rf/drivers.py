@@ -157,9 +157,53 @@ class SoapySDRDriver:
     """Synchronous CS16 TX stream via the SoapySDR C API
     (src/rf_soapysdr.c:98-213)."""
 
+    # ctypes prototypes: handle-returning calls must be c_void_p (the
+    # default c_int restype truncates 64-bit pointers), and writeStream's
+    # timeout is a long long.  Applied only to real ctypes libraries —
+    # test doubles don't carry FUNCFLAG attributes.
+    _PROTOTYPES = {
+        "SoapySDRDevice_makeStrArgs": (C.c_void_p, [C.c_char_p]),
+        "SoapySDRDevice_setSampleRate":
+            (C.c_int, [C.c_void_p, C.c_int, C.c_size_t, C.c_double]),
+        "SoapySDRDevice_setFrequency":
+            (C.c_int, [C.c_void_p, C.c_int, C.c_size_t, C.c_double,
+                       C.c_void_p]),
+        "SoapySDRDevice_setGain":
+            (C.c_int, [C.c_void_p, C.c_int, C.c_size_t, C.c_double]),
+        "SoapySDRDevice_setAntenna":
+            (C.c_int, [C.c_void_p, C.c_int, C.c_size_t, C.c_char_p]),
+        "SoapySDRDevice_setupStream":
+            (C.c_void_p, [C.c_void_p, C.c_int, C.c_char_p, C.c_void_p,
+                          C.c_size_t, C.c_void_p]),
+        "SoapySDRDevice_activateStream":
+            (C.c_int, [C.c_void_p, C.c_void_p, C.c_int, C.c_longlong,
+                       C.c_size_t]),
+        "SoapySDRDevice_writeStream":
+            (C.c_int, [C.c_void_p, C.c_void_p, C.POINTER(C.c_void_p),
+                       C.c_size_t, C.POINTER(C.c_int), C.c_longlong,
+                       C.c_long]),
+        "SoapySDRDevice_deactivateStream":
+            (C.c_int, [C.c_void_p, C.c_void_p, C.c_int, C.c_longlong]),
+        "SoapySDRDevice_closeStream": (C.c_int, [C.c_void_p, C.c_void_p]),
+        "SoapySDRDevice_unmake": (C.c_int, [C.c_void_p]),
+    }
+
+    @classmethod
+    def _declare(cls, lib):
+        if not isinstance(lib, C.CDLL):
+            return
+        for name, (restype, argtypes) in cls._PROTOTYPES.items():
+            try:
+                fn = getattr(lib, name)
+            except AttributeError:
+                continue
+            fn.restype = restype
+            fn.argtypes = argtypes
+
     def __init__(self, lib, device=None, sample_rate=16_000_000,
                  frequency=0, gain=0, antenna=None):
         self.lib = lib
+        self._declare(lib)
         self.calls = []
         self.calls.append("SoapySDRDevice_makeStrArgs")
         dev = lib.SoapySDRDevice_makeStrArgs(
