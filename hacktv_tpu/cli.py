@@ -100,6 +100,10 @@ def _build_parser() -> argparse.ArgumentParser:
     a("--raw-bb-white", type=int, default=0x300)
     a("--secam-field-id", action="store_true")
     a("--secam-field-id-lines", type=int, default=None)
+    a("--secam-exact", action="store_true",
+      help="bit-exact host SECAM chroma path (parity oracle; the "
+           "default is the TPU-native chroma program, ~1 LSB on rare "
+           "round-boundary samples)")
     a("-t", "--type", default="int16",
       choices=["uint8", "int8", "uint16", "int16", "int32", "float"])
     a("-f", "--frequency", type=float, default=0,
@@ -422,7 +426,8 @@ def main(argv=None) -> int:
                       passthru=args.passthru,
                       raw_bb_file=args.raw_bb_file,
                       raw_bb_blanking=args.raw_bb_blanking,
-                      raw_bb_white=args.raw_bb_white)
+                      raw_bb_white=args.raw_bb_white,
+                      secam_exact=(True if args.secam_exact else None))
         complex_out = enc.complex_out
         frame_samples = enc.frame_samples
 

@@ -53,6 +53,7 @@ class Encoder:
                  raw_bb_file: str | None = None,
                  raw_bb_blanking: int = 0,
                  raw_bb_white: int = 0x300,
+                 secam_exact: bool | None = None,
                  devices=None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
@@ -212,16 +213,30 @@ class Encoder:
         from .config.standards import ColourMode
         from .video import secam as secam_mod
         self.secam_statics = None
+        self.secam_device = False
         if conf.colour_mode == ColourMode.SECAM:
             self.secam_statics = secam_mod.make_statics(
                 p, self.vframe_x, self.source.width)
-            # stream-carried float64 IIR state per block (the reference
-            # carries (ix, iy) doubles across the whole stream,
-            # src/fir.c:710-740)
-            self._secam_iir = {0: (0.0, 0.0)}
+            # TPU-native chroma path by default; the host-exact path
+            # stays as the parity oracle (secam_exact=True) and as the
+            # default for FM-video modes, where the device path's rare
+            # 1-LSB round flips would integrate into the outer FM phase
+            if secam_exact is None:
+                secam_exact = (self.fm_video_statics is not None
+                               or self.fm_video_exact is not None)
+            self.secam_device = not secam_exact
             self._secam_meta_cache: dict = {}
-            self._secam_lut = secam_mod.carrier_lut(self.secam_statics,
-                                                    p.pixel_rate)
+            if self.secam_device:
+                # cross-block IIR carry: z at the last active line's end
+                # (a single f32 scalar; see secam.device_chroma_carrier)
+                self._secam_z = {0: jnp.float32(0.0)}
+            else:
+                # stream-carried float64 IIR state per block (the
+                # reference carries (ix, iy) doubles across the whole
+                # stream, src/fir.c:710-740)
+                self._secam_iir = {0: (0.0, 0.0)}
+                self._secam_lut = secam_mod.carrier_lut(
+                    self.secam_statics, p.pixel_rate)
 
         # Raw baseband replay input (src/video.c:2406-2445): replaces the
         # raster; the int16 sample file loops and is rescaled to the
@@ -296,7 +311,8 @@ class Encoder:
                     f"over {len(darr)} devices; adjust frames_per_block")
             self.mesh = Mesh(darr, ("t",))
             n_aux = sum(x is not None for x in (
-                self.fm_video_statics, self.nicam_statics))
+                self.fm_video_statics, self.nicam_statics)) \
+                + (1 if self.secam_device else 0)
             shard = NamedSharding(self.mesh, P("t", None))
             rep = NamedSharding(self.mesh, P())
             outs = (shard,) + (rep,) * n_aux if n_aux else shard
@@ -518,13 +534,20 @@ class Encoder:
         secam_tail = None
         if self.secam_statics is not None:
             from .video import secam as secam_mod
+            if self.secam_device:
+                carrier_add, secam_tail = secam_mod.device_chroma_carrier(
+                    self.secam_statics, self.out_params.width,
+                    audio_args["secam"], rgb[1], rgb[2],
+                    audio_args["secam_z0"])
+            else:
+                carrier_add = audio_args["secam_add"]
             if s_video:
                 # no luma band-reject; the carrier rides the C channel
                 # (src/video.c:3206, 3219)
-                cblock = cblock +                     audio_args["secam_add"].astype(jnp.float32)
+                cblock = cblock + carrier_add.astype(jnp.float32)
             else:
                 block = secam_mod.render(
-                    self.secam_statics, block, audio_args["secam_add"],
+                    self.secam_statics, block, carrier_add,
                     audio_args["secam"])
         if self.services:
             if self.statics.carrier_rows is not None:
@@ -854,29 +877,53 @@ class Encoder:
                 nm = secam_mod.line_meta(p, k0 - 1,
                                          nlines + 1 + self.halo_after,
                                          self.vframe_y, self.source.height)
+                B = len(nm["dr"])
+                ks = (k0 - 1) + np.arange(B)
+                nm["valid"] = (ks >= 0).astype(np.float32)
+                # serial IIR chain over active rows (incl. field-ID
+                # bottles) in stream order, and the row whose end-state
+                # seeds the next block (stream line k0 + nlines - 1)
+                iir_prev = np.full(B, -1, np.int32)
+                snap_row = -1
+                last = -1
+                for j in range(B):
+                    if nm["active"][j] > 0 and ks[j] >= 0:
+                        iir_prev[j] = last
+                        last = j
+                        if j < nlines:
+                            snap_row = j
+                nm["iir_prev"] = iir_prev
+                nm["snap_row"] = np.int32(snap_row)
                 sm = (nm, {k: jnp.asarray(v) for k, v in nm.items()})
                 if len(self._secam_meta_cache) > 8:
                     self._secam_meta_cache.clear()
                 self._secam_meta_cache[key] = sm
             nm, jm = sm
             args["secam"] = jm
-            if block_no not in self._secam_iir:
-                raise RuntimeError(
-                    "SECAM blocks must be encoded sequentially "
-                    f"(no IIR state for block {block_no})")
-            self._device_rgb(block_no)   # refresh host u/v planes
-            u, v = self._rgb_host_uv
-            if not hasattr(self, "_secam_host_cache"):
-                self._secam_host_cache = {}
-            chroma, snap, _ = secam_mod.chroma_block_host(
-                self.secam_statics, self.out_params.width, nm, u, v,
-                k0 - 1, k0 + nlines - 1, self._secam_iir[block_no],
-                cache=self._secam_host_cache)
-            self._secam_iir[block_no + 1] = snap
-            self._secam_iir.pop(block_no - 2, None)
-            args["secam_add"] = secam_mod.carrier_addin_host(
-                self.secam_statics, self.out_params.width, nm, chroma,
-                self._secam_lut)
+            if self.secam_device:
+                if block_no not in self._secam_z:
+                    raise RuntimeError(
+                        "SECAM blocks must be encoded sequentially "
+                        f"(no IIR carry for block {block_no})")
+                args["secam_z0"] = self._secam_z[block_no]
+            else:
+                if block_no not in self._secam_iir:
+                    raise RuntimeError(
+                        "SECAM blocks must be encoded sequentially "
+                        f"(no IIR state for block {block_no})")
+                self._device_rgb(block_no)   # refresh host u/v planes
+                u, v = self._rgb_host_uv
+                if not hasattr(self, "_secam_host_cache"):
+                    self._secam_host_cache = {}
+                chroma, snap, _ = secam_mod.chroma_block_host(
+                    self.secam_statics, self.out_params.width, nm, u, v,
+                    k0 - 1, k0 + nlines - 1, self._secam_iir[block_no],
+                    cache=self._secam_host_cache)
+                self._secam_iir[block_no + 1] = snap
+                self._secam_iir.pop(block_no - 2, None)
+                args["secam_add"] = secam_mod.carrier_addin_host(
+                    self.secam_statics, self.out_params.width, nm,
+                    chroma, self._secam_lut)
         if self.offset_statics is not None:
             from .rf import ops as rf_ops
             c0, s0, nz = rf_ops.offset_rotation(
@@ -908,6 +955,9 @@ class Encoder:
                 # next block's dispatch chains on it asynchronously
                 self._fm_r[block_no + 1] = aux.pop(0)
                 self._fm_r.pop(block_no - 2, None)   # keep it bounded
+            if self.secam_device:
+                self._secam_z[block_no + 1] = aux.pop(0)
+                self._secam_z.pop(block_no - 2, None)
             if self.nicam_statics is not None:
                 self.audio.nicam_dev_dsym(aux.pop(0))
         return out

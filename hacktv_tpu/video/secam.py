@@ -402,6 +402,195 @@ def _chroma_iir_finish(st, meta, W, out, rows, ks, f, dr, k_snapshot,
     return out, snap, (float(iir_state[0]), float(iir_state[1]))
 
 
+_IIR_B0, _IIR_B1, _IIR_A1 = 2.90456054, -2.80912108, -0.90456054
+_IIR_R = -_IIR_A1                      # y[n] = b0 x[n] + c1 z[n-1]
+_IIR_C1 = _IIR_B1 - _IIR_A1 * _IIR_B0  # z[n] = x[n] + r z[n-1]
+
+
+def _fid_rows(st: SecamStatics, W: int) -> np.ndarray:
+    """Static field-ID sawtooth rows [2, W] (f64-exact, the device
+    path's replacement for the per-block host loop): row 0 = D'b
+    (18 us ramp down), row 1 = D'r (15 us ramp up)
+    (src/video.c:3101-3136)."""
+    x = np.arange(W, dtype=np.float64) - st.active_left
+    rows = np.empty((2, W), np.float32)
+    for comp, rw in ((False, 18e-6), (True, 15e-6)):
+        t = np.clip(x / st.pixel_rate / rw, 0.0, 1.0)
+        level = st.v_black if comp else st.u_black
+        dev = st.fsync_level if comp else -st.fsync_level
+        rows[int(comp)] = np.trunc(level + dev * t).astype(np.float32)
+    return rows
+
+
+def _device_consts(st: SecamStatics, W: int) -> dict:
+    """Host numpy closure constants for the device chroma program
+    (kept out of SecamStatics so the host-exact path never builds
+    them)."""
+    c = getattr(st, "_dev_consts", None)
+    if c is not None and c["W"] == W:
+        return c
+    sl = st.burst_left
+    r_pow = np.power(np.float64(_IIR_R),
+                     np.arange(1, W + 1, dtype=np.float64))
+    r_pow[r_pow < 1e-38] = 0.0
+    w0_col = np.zeros(W, np.float32)
+    n = np.arange(sl, W) - sl + 1
+    w0_col[sl:] = st.w0_tab[n]
+    win_col = np.zeros(W, np.float32)
+    win_col[sl:] = np.asarray(st._win_q[: W - sl], np.float32)
+    c = dict(W=W, r_pow=r_pow.astype(np.float32), w0_col=w0_col,
+             win_col=win_col, fid=_fid_rows(st, W))
+    object.__setattr__(st, "_dev_consts", c)
+    return c
+
+
+def _slice_fir_int(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Q15 FIR over each row with zero edges, bit-exact vs
+    rt_fir_block_i16 (int32 accumulate, arithmetic >>15, int16
+    saturate), built from shifted slices (a single-feature lax.conv
+    lowers to layout-copy pipelines on TPU — PERF.md)."""
+    B, W = x.shape
+    nt = len(taps)
+    pad = nt // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    acc = jnp.zeros((B, W), jnp.int32)
+    for t in range(nt):
+        # out[i] = sum_k x[k] * taps[i + pad - k]  ->  slice offset
+        acc = acc + np.int32(taps[nt - 1 - t]) * xp[:, t: t + W]
+    return jnp.clip(acc >> 15, -32768, 32767)
+
+
+def device_chroma_carrier(st: SecamStatics, W: int, meta: dict,
+                          u: jnp.ndarray, v: jnp.ndarray, z_prev):
+    """TPU-native SECAM chroma + FM carrier for one block of rows.
+
+    The reference's serial stages are reformulated as parallel device
+    programs (the round-3 verdict's top item — the host-exact path in
+    chroma_block_host/carrier_addin_host remains the parity oracle):
+
+      - vertical averaging / field-ID bottles: row gathers + static rows
+      - chroma low-pass: exact int32 Q15 FIR (shifted slices)
+      - HF pre-emphasis IIR (f64 serial in the reference,
+        src/fir.c:710-740): y[n] = b0 x[n] + c1 z[n-1] with
+        z[n] = x[n] + r z[n-1] — an order-1 linear recurrence computed
+        as a log-depth doubling scan; the cross-line/cross-block carry
+        is the single scalar z at the previous active line's end (r^W
+        underflows to 0, so row ends are local)
+      - FM carrier (int32 phasor LUT walk, src/video.c:2278-2297):
+        closed form — phase = w0*(n+1) [exact mod-2pi table] +
+        kd*cumsum(chroma) [exact int32], with the reference's
+        >>16/>>15 floor chain emulated in f32
+      - anti-cloche bell: evaluated analytically per sample (the
+        reference's 65536-entry LUT is a pure function of the chroma
+        value, src/video.c:2172-2185)
+
+    Accuracy is ~1 LSB of chroma on rare round-boundary samples
+    (f32 scan vs the reference's f64 IIR), far inside the 40 dB
+    contract; FM-video SECAM modes keep the host-exact path where a
+    sub-LSB composite bias would integrate into a phase ramp.
+
+    Returns (carrier_add f32 [B, W], z_snap f32 scalar)."""
+    dc = _device_consts(st, W)
+    B = meta["dr"].shape[0]
+    H = u.shape[0]
+    fw = u.shape[1]
+    dr = meta["dr"] > 0
+    act = (meta["active"] > 0) & (meta["valid"] > 0)
+
+    # ---- vertical average (trunc) --------------------------------------
+    black_u = jnp.full((1, fw), st.u_black, jnp.float32)
+    black_v = jnp.full((1, fw), st.v_black, jnp.float32)
+    P = jnp.concatenate([u.astype(jnp.float32), black_u,
+                         v.astype(jnp.float32), black_v])
+    off = jnp.where(dr, H + 1, 0).astype(jnp.int32)
+    vy = meta["vy"]
+    vyp = meta["vy_prev"]
+    vy_s = jnp.where((vy >= 0) & (vy < H), vy, H) + off
+    vyp_s = jnp.where((vyp >= 0) & (vyp < H), vyp, H) + off
+    cur = P[vy_s]
+    prv = P[vyp_s] * (meta["prev_has"] > 0)[:, None]
+    avg = jnp.trunc((cur + prv) * np.float32(0.5))
+
+    blackv = jnp.where(dr, st.v_black, st.u_black).astype(jnp.float32)
+    pad_r = W - st.col0 - fw
+    if pad_r < 0:
+        avg = avg[:, : fw + pad_r]
+        pad_r = 0
+    lines = jnp.pad(avg - blackv[:, None], ((0, 0), (st.col0, pad_r))) \
+        + blackv[:, None]
+    fid = meta["field_id"] > 0
+    fid_rows = jnp.asarray(dc["fid"])
+    lines = jnp.where(fid[:, None],
+                      fid_rows[dr.astype(jnp.int32)], lines)
+
+    # ---- chroma low-pass FIR (exact int32) -----------------------------
+    tq = np.round(np.asarray(st.chroma_taps, np.float64) * 32768.0
+                  ).astype(np.int32)
+    x = _slice_fir_int(lines.astype(jnp.int32), tq).astype(jnp.float32)
+
+    # ---- HF pre-emphasis IIR as a doubling scan ------------------------
+    z = x
+    shift, rr = 1, _IIR_R
+    while shift < min(W, 1024) and rr > 1e-30:
+        z = z + np.float32(rr) * jnp.pad(z, ((0, 0), (shift, 0)))[:, :W]
+        rr *= rr
+        shift *= 2
+    z_end = z[:, -1]
+    iir_prev = meta["iir_prev"]
+    zp = jnp.where(iir_prev >= 0,
+                   z_end[jnp.clip(iir_prev, 0, B - 1)],
+                   jnp.float32(z_prev))
+    r_pow = jnp.asarray(dc["r_pow"])
+    zc = z + r_pow[None, :] * zp[:, None]
+    z_nm1 = jnp.concatenate([zp[:, None], zc[:, :-1]], axis=1)
+    y = np.float32(_IIR_B0) * x + np.float32(_IIR_C1) * z_nm1
+    y = jnp.clip(y, -32768.0, 32767.0)
+    y = jnp.where(y >= 0, jnp.floor(y + 0.5), -jnp.floor(0.5 - y))
+    dmin = jnp.where(dr, st.dmin[1], st.dmin[0]).astype(jnp.float32)
+    dmax = jnp.where(dr, st.dmax[1], st.dmax[0]).astype(jnp.float32)
+    c = jnp.clip(y, dmin[:, None], dmax[:, None])
+
+    snap = meta["snap_row"]
+    z_snap = jnp.where(snap >= 0, z_end[jnp.clip(snap, 0, B - 1)],
+                       jnp.float32(z_prev))
+
+    # ---- FM carrier (closed-form phase) --------------------------------
+    sl = st.burst_left
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    sr = jnp.where(act,
+                   jnp.where(meta["half_only"] > 0, st.half_width,
+                             min(sl + st.burst_len, W)), 0)
+    span = (cols >= sl) & (cols < sr[:, None])
+    ci = c.astype(jnp.int32)
+    S = jnp.cumsum(jnp.where(cols >= sl, ci, 0), axis=1)
+    phase = jnp.asarray(dc["w0_col"])[None, :] \
+        + np.float32(st.kd) * S.astype(jnp.float32)
+    sign = jnp.where(meta["phase_pos"] > 0, 1.0, -1.0)[:, None]
+    pi_ = jnp.minimum(jnp.floor(sign * jnp.cos(phase) * 32768.0),
+                      32767.0)
+    pq_ = jnp.minimum(jnp.floor(sign * jnp.sin(phase) * 32768.0),
+                      32767.0)
+    lvl = np.float32(st.level_int / 32768.0)
+    vi = jnp.floor(pi_ * lvl)
+    vq = jnp.floor(pq_ * lvl)
+    # analytic anti-cloche bell, lround-quantised like the LUT
+    f = np.float32(SECAM_FM_FREQ) \
+        + c * np.float32(SECAM_FM_DEV / INT16_MAX)
+    ff = f * np.float32(1.0 / 4.286e6) - np.float32(4.286e6) / f
+    rq = np.float32(1.26) * ff
+    den = np.float32(0.115) * INT16_MAX / (1.0 + rq * rq)
+    gi_f = (1.0 + np.float32(16.0) * ff * rq) * den
+    gq_f = (np.float32(16.0) * ff - rq) * den
+    lround = lambda a: jnp.where(a >= 0, jnp.floor(a + 0.5),
+                                 -jnp.floor(0.5 - a))
+    gi = lround(gi_f)
+    gq = lround(gq_f)
+    inv15 = np.float32(1.0 / 32768.0)
+    m = jnp.floor(vi * gi * inv15) - jnp.floor(vq * gq * inv15)
+    o = jnp.floor(m * jnp.asarray(dc["win_col"])[None, :] * inv15)
+    return jnp.where(span, o, 0.0), z_snap
+
+
 def carrier_lut(st: SecamStatics, pixel_rate: int) -> np.ndarray:
     """The reference's per-chroma-value int32 phasor LUT
     (src/video.c:2234-2240 built for the SECAM cgain modulator)."""
