@@ -239,6 +239,30 @@ class CaPrbs1:
             code = (code << 1) | int(bits[i])
         return code
 
+    def take(self, n: int) -> np.ndarray:
+        """Drain n IW codes in bulk (one native call for the tail
+        instead of n update() round-trips)."""
+        out = np.empty(n, dtype=np.uint64)
+        i = 0
+        while i < n:
+            if self._buf is None or self._bi >= len(self._buf):
+                lib = _native()
+                if lib is None:
+                    for j in range(i, n):
+                        out[j] = self.update()
+                    return out
+                want = max(96, n - i)
+                st = np.array([self.sr1, self.sr2], dtype=np.uint64)
+                buf = np.empty(want, dtype=np.uint64)
+                lib.rt_mac_prbs1(st.ctypes.data, want, buf.ctypes.data)
+                self.sr1, self.sr2 = int(st[0]), int(st[1])
+                self._buf, self._bi = buf, 0
+            c = min(n - i, len(self._buf) - self._bi)
+            out[i:i + c] = self._buf[self._bi:self._bi + c]
+            self._bi += c
+            i += c
+        return out
+
 
 class CaPrbs2:
     """Vision-scrambling cut-point generator PRBS2 (src/mac.c:287-293,
@@ -279,6 +303,29 @@ class CaPrbs2:
             sr4 = (sr4 >> 1) ^ (0x17A2C100 if sr4 & 1 else 0)
         self.sr3, self.sr4 = sr3, sr4
         return code
+
+    def take(self, n: int) -> np.ndarray:
+        """Drain n cut-point codes in bulk."""
+        out = np.empty(n, dtype=np.uint16)
+        i = 0
+        while i < n:
+            if self._buf is None or self._bi >= len(self._buf):
+                lib = _native()
+                if lib is None:
+                    for j in range(i, n):
+                        out[j] = self.update()
+                    return out
+                want = max(128, n - i)
+                st = np.array([self.sr3, self.sr4], dtype=np.uint64)
+                buf = np.empty(want, dtype=np.uint16)
+                lib.rt_mac_prbs2(st.ctypes.data, want, buf.ctypes.data)
+                self.sr3, self.sr4 = int(st[0]), int(st[1])
+                self._buf, self._bi = buf, 0
+            c = min(n - i, len(self._buf) - self._bi)
+            out[i:i + c] = self._buf[self._bi:self._bi + c]
+            self._bi += c
+            i += c
+        return out
 
 
 def scramble_packet(pkt: bytearray, iw: int):

@@ -116,6 +116,9 @@ def _declare(lib) -> None:
     lib.rt_vc_clock16.argtypes = [c.c_void_p, c.c_long, c.c_void_p]
     lib.rt_mac_encode_packet.argtypes = [c.c_int, c.c_int, c.c_void_p,
                                          c.c_int, c.c_uint64, c.c_void_p]
+    lib.rt_mac_encode_packets.argtypes = [
+        c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
 
     lib.rt_file_sink_open.restype = c.c_void_p
     lib.rt_file_sink_open.argtypes = [c.c_char_p, c.c_int, c.c_int,

@@ -109,6 +109,31 @@ def mac_yuv_host(conf: VidConfig, rgb: np.ndarray, level: float):
 # ----------------------------------------------------------------------
 # The sequential bit-domain multiplex
 
+class _LineBitsView:
+    """Read-only mapping k -> unpacked line bits, backed by the mux's
+    packed window cache (lines are materialised packed; this view
+    exists for the parity tests and the bits_block fallback)."""
+
+    def __init__(self, mux):
+        self._m = mux
+
+    def get(self, k, default=None):
+        for base, pk, _pl in getattr(self._m, "_packed_wins", ()):
+            if base <= k < base + len(pk):
+                return np.unpackbits(
+                    pk[k - base], bitorder="little")[:self._m.nbits]
+        return default
+
+    def __getitem__(self, k):
+        v = self.get(k)
+        if v is None:
+            raise KeyError(k)
+        return v
+
+    def __contains__(self, k):
+        return self.get(k) is not None
+
+
 class MacMux:
     """Replays the reference's per-line packet multiplex deterministically
     (golden build: audio lineprocess synchronous, trailing the raster by
@@ -161,7 +186,7 @@ class MacMux:
         self._plen = np.zeros((0, 2), dtype=np.int64)
         self._pfull_rows: dict[int, np.ndarray] = {}
         self._ptt_rows: dict[int, tuple] = {}
-        self._dummy_cache: dict[tuple, np.ndarray] = {}
+        self._dummy_cycle: np.ndarray | None = None
         nsub = 2 if self.mode_d else 1
         self._wh_all = np.stack([
             self.prbs15.seq(int(self.seeds[l]), 99 * nsub)
@@ -189,7 +214,7 @@ class MacMux:
         self.polarity = -1
         self.k = 0             # next iteration (stream line index)
         self.pol_start: dict[int, int] = {}
-        self.line_bits: dict[int, np.ndarray] = {}
+        self.line_bits = _LineBitsView(self)
         # per line: (apply, xc_colour_or_single, xc_luma)
         self.scramble: dict[int, tuple] = {}
 
@@ -223,21 +248,6 @@ class MacMux:
         v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
         return np.clip(v, -32768, 32767)
 
-    def _audio_line(self, j: int):
-        """Audio lineprocess for stream line j: push packets on each
-        completed 728-pair block (src/video.c:3352-3377)."""
-        c0 = self._audio_pairs_through_line(j - 1)
-        c1 = self._audio_pairs_through_line(j)
-        first_chunk = c0 // NICAM_AUDIO_LEN
-        last_chunk = c1 // NICAM_AUDIO_LEN
-        for m in range(first_chunk, last_chunk):
-            pkts = self._audio_pkts.pop(m, None)
-            if pkts is None:
-                pkts = self.audio.write_audio(
-                    self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN))
-            for addr, cont, payload, scr in pkts:
-                self._write_packet(0, addr, cont, payload, scr)
-
     def _prefetch_audio(self, k_through: int):
         """Batch-encode every 728-pair chunk whose packets will be
         pushed while iterating through stream line k_through; exact
@@ -258,46 +268,6 @@ class MacMux:
                         self.audio.write_audio_batch(chunks)):
             self._audio_pkts[m] = o
         self._audio_m = m_hi
-
-    # -- line content -----------------------------------------------------
-    def _sim_data_line(self, row: int, line: int):
-        """Queue simulation for a regular line (src/mac.c:1375-1439):
-        packets are pulled/encoded into the per-subframe bit stream on
-        demand; only the consumed (pos, len) range per subframe is
-        recorded (into the batch arrays at index `row`) — the per-line
-        bit assembly happens batched in _materialize."""
-        sr5 = 0
-        for c in range(2 if self.mode_d else 1):
-            pos = self._spos[c]
-            i = 0
-            while i < 99:
-                if self._spos[c] == self._slen[c]:
-                    if line == 623:
-                        break
-                    addr, cont, payload, scr = self._read_packet(c)
-                    if c == 0:
-                        sr5 = self.prbs1.update()
-                    if payload is None:
-                        # dummy packets: only (addr, continuity) vary —
-                        # 4 distinct bit patterns, cache them
-                        key = (addr, cont & 3)
-                        arr = self._dummy_cache.get(key)
-                        if arr is None:
-                            arr = mb.encode_packet_fast(
-                                addr, cont, None, False, 0)
-                            self._dummy_cache[key] = arr
-                    else:
-                        arr = mb.encode_packet_fast(
-                            addr, cont, payload, scr, sr5)
-                    self._stream[c].append(arr)
-                    self._slen[c] += mb.MAC_PACKET_BITS
-                take = self._slen[c] - self._spos[c]
-                if take > 99 - i:
-                    take = 99 - i
-                self._spos[c] += take
-                i += take
-            self._ppos[row, c] = pos
-            self._plen[row, c] = i
 
     def _line_625(self, frame: int, line: int) -> np.ndarray:
         out = np.zeros(self.nbits, dtype=np.uint8)
@@ -345,162 +315,383 @@ class MacMux:
 
     # -- main advance -------------------------------------------------------
     def ensure(self, k_through: int):
-        """Run iterations up to and including stream line k_through."""
+        """Advance the multiplex through stream line k_through.
+
+        The reference iterates a per-line state machine
+        (src/mac.c:1622-1873).  Here the advance is split into three
+        phases (the per-line Python walk was the D-MAC throughput bound,
+        round-3 verdict item 2):
+
+        A. *read scheduling* — packet-read times are fully deterministic
+           (every data line consumes exactly 99 bits per subframe, line
+           623 drains without refill), so per-line (pos, len) and the
+           line of every packet read come from closed-form arithmetic;
+        B. *queue replay* — pushes (frame SI/Eurocrypt at line 1, audio
+           packets at line ends) and reads are merged in line order;
+           between push events the queue can only drain, so each gap's
+           reads resolve to a FIFO prefix plus a run of dummies;
+        C. *batched side state* — scramble cut points (PRBS2 in bulk),
+           teletext rows, 624/625 frame rows.
+        """
         self._prefetch_audio(k_through)
-        n = k_through - self.k + 1
-        if n > 0:
-            # per-batch arrays: lines simulate into row k - _pb
-            nsub = 2 if self.mode_d else 1
-            self._pb = self.k
-            self._pn = n
-            self._ppos = np.zeros((n, nsub), dtype=np.int64)
-            self._plen = np.zeros((n, nsub), dtype=np.int64)
-            self._pfull_rows = {}
-            self._ptt_rows = {}
-        while self.k <= k_through:
-            self._iterate()
+        if k_through < self.k:
+            self._materialize()
+            return
+        k0 = self.k
+        n = k_through - k0 + 1
+        nsub = 2 if self.mode_d else 1
+        self._pb = k0
+        self._pn = n
+        self._ppos = np.zeros((n, nsub), dtype=np.int64)
+        self._plen = np.zeros((n, nsub), dtype=np.int64)
+        self._pfull_rows = {}
+        self._ptt_rows = {}
+
+        ks = np.arange(k0, k0 + n, dtype=np.int64)
+        lines = (ks % mb.MAC_LINES + 1).astype(np.int64)
+        ML = mb.MAC_LINES
+
+        # ---- phase A: deterministic consumption / read schedule ----
+        read_ks = []
+        self._pruns = []       # per subframe: full-99 runs (row0, nrows)
+        self._ppart = []       # per subframe: partial (line-623) rows
+        for c in range(nsub):
+            avail = self._slen[c] - self._spos[c]
+            pos0 = self._spos[c]
+            cons = np.zeros(n, dtype=np.int64)
+            rl = []
+            runs = []
+            parts = []
+            j = 0
+            while j < n:
+                line = int(lines[j])
+                if line <= 622:
+                    run = min(623 - line, n - j)
+                    need = 99 * run
+                    if avail < need:
+                        R = -((avail - need) // mb.MAC_PACKET_BITS)
+                        r = np.arange(R, dtype=np.int64)
+                        rl.append(ks[j] + (avail + mb.MAC_PACKET_BITS
+                                           * r) // 99)
+                        avail += mb.MAC_PACKET_BITS * R
+                    avail -= need
+                    cons[j:j + run] = 99
+                    runs.append((j, run))
+                    j += run
+                elif line == 623:
+                    c623 = min(99, avail)
+                    avail -= c623
+                    cons[j] = c623
+                    if c623:
+                        parts.append(j)
+                    j += 1
+                else:
+                    j += 1
+            read_ks.append(np.concatenate(rl) if rl
+                           else np.zeros(0, np.int64))
+            self._pruns.append(runs)
+            self._ppart.append(parts)
+            cum = np.cumsum(cons)
+            self._ppos[:, c] = pos0 + cum - cons
+            self._plen[:, c] = cons
+            self._spos[c] = pos0 + int(cum[-1])
+
+        # ---- phase B: event-ordered queue replay ----
+        # events: (k, phase, kind, arg); phase 0 = frame pushes (before
+        # the line's reads), phase 2 = audio pushes (after them)
+        events = [(int(k), 0, "f", 1 + int(k) // ML)
+                  for k in ks[lines == 1]]
+        lag = self.audio_lag
+        j_lo, j_hi = k0 - lag, k_through - lag
+        if j_hi >= 0:
+            jarr = np.arange(max(j_lo, 0), j_hi + 1, dtype=np.int64)
+            PT = (jarr + 1) * self.W * AUDIO_RATE // self.S
+            m0 = self._audio_pairs_through_line(j_lo - 1) \
+                // NICAM_AUDIO_LEN
+            m1 = int(PT[-1]) // NICAM_AUDIO_LEN
+            if m1 > m0:
+                ms = np.arange(m0, m1, dtype=np.int64)
+                jm = jarr[np.searchsorted(
+                    PT, (ms + 1) * NICAM_AUDIO_LEN, side="left")]
+                events += [(int(j) + lag, 2, "a", int(m))
+                           for j, m in zip(jm, ms)]
+        events.sort(key=lambda e: (e[0], e[1]))
+
+        ri = [0] * nsub
+        pend = []              # deferred packet encodes (batched below)
+
+        def _drain(c, hi):
+            """Resolve reads ri[c]..hi of subframe c: FIFO prefix, then
+            dummies (no push can occur inside the gap)."""
+            q = hi - ri[c]
+            if q <= 0:
+                return
+            ri[c] = hi
+            queue = self.queues[c]
+            nreal = min(len(queue), q)
+            st = self._stream[c]
+            if c == 0:
+                iws = self.prbs1.take(q)   # one update per read
+            for t in range(nreal):
+                addr, cont, payload, scr = queue.pop(0)
+                if scr and c != 0:
+                    # sr5 for a subframe-1 read comes from the same
+                    # line's last subframe-0 read; no scrambled
+                    # packet is ever queued on subframe 1 (SI/dummy
+                    # only, src/mac.c:930-935)
+                    raise NotImplementedError(
+                        "scrambled packet on subframe 1")
+                st.append(None)
+                pend.append((c, len(st) - 1, addr, cont, payload, scr,
+                             int(iws[t]) if c == 0 else 0))
+            ndum = q - nreal
+            if ndum:
+                cont0 = self.dummy_continuity[c]
+                self.dummy_continuity[c] += ndum
+                cyc = self._dummy_cycle
+                if cyc is None:
+                    cyc = np.concatenate([
+                        mb.encode_packet_fast(0x3FF, t, None, False, 0)
+                        for t in range(4)] * 2)
+                    self._dummy_cycle = cyc
+                # dummies cycle with period 4; append one entry for the
+                # whole run (stream entries may hold several packets)
+                o = (cont0 & 3) * mb.MAC_PACKET_BITS
+                if ndum <= 8 - (cont0 & 3):
+                    st.append(cyc[o:o + ndum * mb.MAC_PACKET_BITS])
+                else:
+                    st.append(np.resize(
+                        np.roll(cyc[:4 * mb.MAC_PACKET_BITS], -o),
+                        ndum * mb.MAC_PACKET_BITS))
+            self._slen[c] += q * mb.MAC_PACKET_BITS
+
+        if not hasattr(self, "_cw_hist"):
+            self._cw_hist = {}
+        for k_e, phase, kind, arg in events:
+            for c in range(nsub):
+                hi = int(np.searchsorted(
+                    read_ks[c], k_e, side="right" if phase == 2
+                    else "left"))
+                _drain(c, hi)
+            if kind == "f":
+                frame = arg
+                if self.eurocrypt is not None:
+                    self.eurocrypt.next_frame(self, frame)
+                self.prbs1.reset(self.cw, frame - 1)
+                self._cw_hist[frame] = self.cw
+                if len(self._cw_hist) > 8:
+                    for f in sorted(self._cw_hist)[:-4]:
+                        del self._cw_hist[f]
+                if (frame & 3) == 0:
+                    pkt = mb.si_dg0_packet(self.audio.address)
+                    self._write_packet(0, 0x000, 0, pkt, False)
+                    if self.mode_d:
+                        self._write_packet(1, 0x000, 0, pkt, False)
+                elif (frame & 3) == 1:
+                    ec = None
+                    if self.eurocrypt is not None:
+                        ec = self.eurocrypt.si_info()
+                    pkt = mb.si_dg3_packet(self.audio.address,
+                                           self.vsam, self.ratio,
+                                           self.teletext is not None,
+                                           ec)
+                    self._write_packet(0, 0x000, 0, pkt, False)
+            else:
+                m = arg
+                pkts = self._audio_pkts.pop(m, None)
+                if pkts is None:
+                    pkts = self.audio.write_audio(
+                        self._pcm(m * NICAM_AUDIO_LEN,
+                                  NICAM_AUDIO_LEN))
+                for addr, cont, payload, scr in pkts:
+                    self._write_packet(0, addr, cont, payload, scr)
+        for c in range(nsub):
+            _drain(c, len(read_ks[c]))
+
+        # resolve the deferred packet encodes in one native call
+        if pend:
+            lib = mb._native()
+            R = len(pend)
+            ok = np.ones(R, dtype=bool)
+            pays = np.zeros((R, mb.MAC_PAYLOAD_BYTES), np.uint8)
+            hasp = np.zeros(R, np.uint8)
+            scrs = np.zeros(R, np.uint8)
+            for i, (_c, _si, _a, _ct, pl, sc, _iw) in enumerate(pend):
+                if pl is not None:
+                    b = np.frombuffer(pl, np.uint8)
+                    if sc and len(b) != mb.MAC_PAYLOAD_BYTES:
+                        ok[i] = False      # python fallback path
+                        continue
+                    pays[i, :len(b)] = b[:mb.MAC_PAYLOAD_BYTES]
+                    hasp[i] = 1
+                scrs[i] = 1 if sc else 0
+            if lib is None:
+                ok[:] = False
+            out = np.empty((R, 751), np.uint8)
+            if ok.any():
+                import ctypes as C
+                import os as _os
+                addrs = np.array([p[2] for p in pend], np.int32)
+                conts = np.array([p[3] & 3 for p in pend], np.int32)
+                iws = np.array(
+                    [p[6] & ((1 << 61) - 1) for p in pend], np.uint64)
+                pp = lambda a: a.ctypes.data_as(C.c_void_p)
+                lib.rt_mac_encode_packets(
+                    R, pp(addrs), pp(conts), pp(pays), pp(hasp),
+                    pp(scrs), pp(iws), pp(out),
+                    min(8, _os.cpu_count() or 1))
+            for i, (c, si, a, ct, pl, sc, iw) in enumerate(pend):
+                self._stream[c][si] = out[i] if ok[i] else \
+                    mb.encode_packet_fast(a, ct, pl, sc, iw)
+
+        # ---- phase C: scramble cut points, teletext, frame rows ----
+        # one PRBS2 code is drawn per iteration; the entry applies to
+        # line k-1 and resets happen when that line is a frame's line 1
+        # (src/mac.c:1836-1864 via _iterate's prev-line handling)
+        if (self.vsam & 1) == 0:
+            vals = np.empty(n, dtype=np.uint16)
+            resets = np.nonzero((ks >= 1) & ((ks - 1) % ML == 0))[0]
+            start = 0
+            for p in resets:
+                p = int(p)
+                if p > start:
+                    vals[start:p] = self.prbs2.take(p - start)
+                pf = 1 + (int(ks[p]) - 1) // ML
+                self.prbs2.reset(self._cw_hist.get(pf, self.cw),
+                                 pf - 1)
+                start = p
+            if n > start:
+                vals[start:] = self.prbs2.take(n - start)
+            y_valid = ((lines >= 24) & (lines <= 310)) \
+                | ((lines >= 336) & (lines <= 622))
+            xc1 = (282 + ((vals.astype(np.int64) & 0xFF00) >> 8)
+                   ).astype(np.int32)
+            xc2 = (682 + ((vals.astype(np.int64) & 0x00FF) << 1)
+                   ).astype(np.int32)
+            win = (k0 - 1, y_valid.astype(np.float32), xc1, xc2)
+        else:
+            win = (k0 - 1,
+                   np.zeros(n, np.float32),
+                   np.full(n, 282, np.int32),
+                   np.full(n, 682, np.int32))
+        self._scr_wins = ([win]
+                          + getattr(self, "_scr_wins", []))[:2]
+
+        if self.teletext is not None:
+            tsel = np.nonzero(((lines >= 1) & (lines <= 22))
+                              | ((lines >= 313) & (lines <= 334)))[0]
+            for j in tsel:
+                j = int(j)
+                v = self.teletext.next_vbi_bits(
+                    1 + int(ks[j]) // ML, int(lines[j]))
+                if v is not None:
+                    self._ptt_rows[j] = (int(lines[j]), v)
+
+        for j in np.nonzero(lines >= 624)[0]:
+            j = int(j)
+            frame = 1 + int(ks[j]) // ML
+            line = int(lines[j])
+            self._pfull_rows[j] = (self._line_625(frame, line)
+                                   if line == 625 else
+                                   self._line_624(frame, line))
+
+        self.k = k_through + 1
         self._materialize()
 
     def _materialize(self):
-        """Batch-assemble the bit rows of all newly simulated lines:
-        static heads + sequential packet-stream slices XOR the per-line
-        PRBS whitening (src/mac.c:1375-1439), teletext overlays, and
-        the running duobinary start polarity."""
+        """Batch-assemble the bit rows of all newly simulated lines
+        directly in PACKED form: static heads + sequential packet-stream
+        slices XOR the per-line PRBS whitening (src/mac.c:1375-1439),
+        teletext overlays, and the running duobinary start polarity.
+
+        A regular line's content is only the x0 + 99*nsub (+spare)
+        data-burst bits — 206 of 1296 for D-MAC — so only that prefix
+        is assembled and packed; the wide rows (624/625 frame rows,
+        teletext overlays into the vision region) are packed
+        individually.  line_bits stays available as a lazy unpacking
+        view for the parity tests."""
         n = self._pn
         if n <= 0:
             return
         base = self._pb
         nsub = 2 if self.mode_d else 1
         x0 = 7 if self.mode_d else 6
-        Bits = np.zeros((n, self.nbits), dtype=np.uint8)
+        nbytes = self.nbits // 8
+        sb = x0 + 99 * nsub + (1 if self.mode_d else 0)
+        sbb = (sb + 7) // 8
 
-        full_rows = self._pfull_rows
-        for i, payload in full_rows.items():
-            Bits[i] = payload
-        if len(full_rows) < n:
-            kk = base + np.arange(n, dtype=np.int64)
-            if full_rows:
-                dmask = np.ones(n, dtype=bool)
-                dmask[list(full_rows)] = False
-                drows = np.nonzero(dmask)[0]
-            else:
-                drows = np.arange(n, dtype=np.int64)
-            dframes = 1 + kk[drows] // mb.MAC_LINES
-            dlines = kk[drows] % mb.MAC_LINES + 1
-            dpos = self._ppos[drows]   # [nd, nsub]
-            dlen = self._plen[drows]
-            nd = len(drows)
-            D = np.zeros((nd, self.nbits), dtype=np.uint8)
-            if self.mode_d:
-                D[:, 0] = 1
-                D[:, x0 + 99 * nsub] = 1              # spare bit
-            hs = ((dframes + dlines) & 1) ^ (dlines == 623)
-            D[:, x0 - 6:x0] = self._hs[hs]
-            WH = self._wh_all[dlines - 1]              # [nd, 99*nsub]
-            j99 = np.arange(99)
-            for c in range(nsub):
-                stream = (np.concatenate(self._stream[c])
-                          if self._stream[c] else np.zeros(1, np.uint8))
-                idx = dpos[:, c, None] - self._sbase[c] + j99
-                valid = j99 < dlen[:, c, None]
-                np.minimum(idx, len(stream) - 1, out=idx)
-                vals = stream[idx]
-                whc = WH[:, 99 * c:99 * (c + 1)]
-                D[:, x0 + 99 * c:x0 + 99 * (c + 1)] = \
-                    np.where(valid, vals ^ whc, whc)
-            Bits[drows] = D
-        # teletext overlays (a handful of lines per frame)
-        for i, (line, v) in self._ptt_rows.items():
-            if not self.mode_d:
-                Bits[i, 116:116 + 360] = v
-            else:
-                pr = self.prbs15.seq(int(self.seeds[line - 1]),
-                                     360 + 344)
-                Bits[i, 230:230 + 720:2] = v
-                Bits[i, 231:230 + 720:2] = pr[:360]
-                Bits[i, 950:950 + 344] = pr[360:]
+        kk = base + np.arange(n, dtype=np.int64)
+        frames = 1 + kk // mb.MAC_LINES
+        dlines = kk % mb.MAC_LINES + 1
+        S = np.zeros((n, sbb * 8), dtype=np.uint8)
+        if self.mode_d:
+            S[:, 0] = 1
+            S[:, x0 + 99 * nsub] = 1                  # spare bit
+        hs = ((frames + dlines) & 1) ^ (dlines == 623)
+        S[:, x0 - 6:x0] = self._hs[hs]
+        # the consumed stream range is CONTIGUOUS and lines partition it
+        # sequentially, so the body is whitening XOR reshaped slices of
+        # the concatenated packet stream (no per-bit gather)
+        for c in range(nsub):
+            seg = S[:, x0 + 99 * c:x0 + 99 * (c + 1)]
+            seg[:] = self._wh_all[dlines - 1, 99 * c:99 * (c + 1)]
+            stream = (np.concatenate(self._stream[c])
+                      if self._stream[c] else np.zeros(0, np.uint8))
+            sbase = self._sbase[c]
+            for j0, nrows in self._pruns[c]:
+                a = int(self._ppos[j0, c]) - sbase
+                seg[j0:j0 + nrows] ^= \
+                    stream[a:a + 99 * nrows].reshape(nrows, 99)
+            for j in self._ppart[c]:
+                a = int(self._ppos[j, c]) - sbase
+                ln = int(self._plen[j, c])
+                seg[j, :ln] ^= stream[a:a + ln]
+        packed = np.zeros((n, nbytes), dtype=np.uint8)
+        packed[:, :sbb] = np.packbits(S, axis=1, bitorder="little")
+
+        # wide rows: teletext overlays + 624/625 frame rows
+        tt = self._ptt_rows
+        if tt:
+            rows = sorted(tt)
+            F = np.zeros((len(rows), self.nbits), dtype=np.uint8)
+            F[:, :sbb * 8] = S[rows]
+            for t, i in enumerate(rows):
+                line, v = tt[i]
+                if not self.mode_d:
+                    F[t, 116:116 + 360] = v
+                else:
+                    pr = self.prbs15.seq(int(self.seeds[line - 1]),
+                                         360 + 344)
+                    F[t, 230:230 + 720:2] = v
+                    F[t, 231:230 + 720:2] = pr[:360]
+                    F[t, 950:950 + 344] = pr[360:]
+            packed[rows] = np.packbits(F, axis=1, bitorder="little")
+        for i, payload in self._pfull_rows.items():
+            packed[i] = np.packbits(payload, bitorder="little")
+
         # running start polarity (flips on every 0 bit, src/mac.c:193):
-        # a line flips the carry iff its zero-bit count is odd
-        sums = Bits.sum(axis=1, dtype=np.int64)
-        sign = np.where((self.nbits - sums) & 1, -1, 1)
+        # a line flips the carry iff its zero-bit count is odd; counted
+        # on the packed bytes (nbits is byte-aligned, so no pad bits)
+        ones = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
+        sign = np.where((self.nbits - ones) & 1, -1, 1)
         pol = self.polarity * np.concatenate(
             [[1], np.cumprod(sign)])
         self.pol_start.update(zip(range(base, base + n),
                                   pol[:-1].tolist()))
-        self.line_bits.update(zip(range(base, base + n), Bits))
         self.polarity = int(pol[-1])
+        # keep the two most recent packed windows: bits_block requests
+        # span one window plus a couple of rows from the previous one
+        self._packed_wins = ([(base, packed,
+                               pol[:-1].astype(np.int8))]
+                             + getattr(self, "_packed_wins", []))[:2]
         self._pn = 0
-        # drop fully consumed packet chunks
+        # drop fully consumed stream chunks (entries may hold several
+        # packets — dummy runs are appended as one array)
         for c in range(nsub):
             st = self._stream[c]
-            while st and self._sbase[c] + mb.MAC_PACKET_BITS \
-                    <= self._spos[c]:
+            while st and self._sbase[c] + len(st[0]) <= self._spos[c]:
+                self._sbase[c] += len(st[0])
                 st.pop(0)
-                self._sbase[c] += mb.MAC_PACKET_BITS
-
-    def _iterate(self):
-        k = self.k
-        frame = 1 + k // mb.MAC_LINES
-        line = k % mb.MAC_LINES + 1
-
-        if line == 1:
-            if self.eurocrypt is not None:
-                self.eurocrypt.next_frame(self, frame)
-            self.prbs1.reset(self.cw, frame - 1)
-            if (frame & 3) == 0:
-                pkt = mb.si_dg0_packet(self.audio.address)
-                self._write_packet(0, 0x000, 0, pkt, False)
-                if self.mode_d:
-                    self._write_packet(1, 0x000, 0, pkt, False)
-            elif (frame & 3) == 1:
-                ec = None
-                if self.eurocrypt is not None:
-                    ec = self.eurocrypt.si_info()
-                pkt = mb.si_dg3_packet(self.audio.address, self.vsam,
-                                       self.ratio,
-                                       self.teletext is not None, ec)
-                self._write_packet(0, 0x000, 0, pkt, False)
-            # UDT refresh every 25 frames is a no-op with pinned time
-
-        row = k - self._pb
-        if line == 625:
-            self._pfull_rows[row] = self._line_625(frame, line)
-        elif line == 624:
-            self._pfull_rows[row] = self._line_624(frame, line)
-        else:
-            self._sim_data_line(row, line)
-
-        # teletext packets on lines 1-22 / 313-334 (src/mac.c:1556-1602)
-        if self.teletext is not None and \
-                (1 <= line <= 22 or 313 <= line <= 334):
-            v = self.teletext.next_vbi_bits(frame, line)
-            if v is not None:
-                self._ptt_rows[row] = (line, v)
-
-        # vision scrambling decision for the *previous* line
-        # (src/mac.c:1836-1864: applied to lines[0] with the current
-        # line's luma validity)
-        if (self.vsam & 1) == 0:
-            prev_line = (k - 1) % mb.MAC_LINES + 1 if k >= 1 else 0
-            if prev_line == 1:
-                prev_frame = 1 + (k - 1) // mb.MAC_LINES
-                self.prbs2.reset(self.cw, prev_frame - 1)
-            prbs = self.prbs2.update()
-            y_valid = (24 <= line <= 310) or (336 <= line <= 622)
-            self.scramble[k - 1] = (y_valid,
-                                    282 + ((prbs & 0xFF00) >> 8),
-                                    682 + ((prbs & 0x00FF) << 1))
-        else:
-            self.scramble[k - 1] = (False, 282, 682)
-
-        # audio lineprocess trails by 1 line (golden build: synchronous,
-        # window = macraster's lines[0]); the pixel->sample vresampler
-        # is registered between macraster and audio (src/video.c:4361,
-        # :4561) with a 2-line window, adding two more lines when present
-        if k >= self.audio_lag:
-            self._audio_line(k - self.audio_lag)
-
-        self.k += 1
 
     def bits_block(self, k_lo: int, k_hi: int):
         """Packed line bits + start polarity for stream lines
@@ -510,16 +701,47 @@ class MacMux:
         n = k_hi - k_lo
         packed = np.zeros((n, (self.nbits + 7) // 8), dtype=np.uint8)
         pol0 = np.zeros(n, dtype=np.int8)
+        # fast path: slice the cached packed windows
+        covered = np.zeros(n, dtype=bool)
+        for base, pk, pl in getattr(self, "_packed_wins", ()):
+            lo = max(k_lo, base)
+            hi = min(k_hi, base + len(pk))
+            if lo >= hi:
+                continue
+            sel = slice(lo - k_lo, hi - k_lo)
+            packed[sel] = pk[lo - base:hi - base]
+            pol0[sel] = pl[lo - base:hi - base]
+            covered[sel] = True
         rows = [j for j in range(n)
-                if self.line_bits.get(k_lo + j) is not None]
+                if not covered[j]
+                and self.line_bits.get(k_lo + j) is not None]
         if rows:
             bits = np.stack([self.line_bits[k_lo + j] for j in rows])
             packed[rows] = np.packbits(bits, axis=1, bitorder="little")
             pol0[rows] = [self.pol_start[k_lo + j] for j in rows]
         return packed, pol0
 
+    def scramble_block(self, k_lo: int, k_hi: int):
+        """(apply f32, xc1 i32, xc2 i32) arrays for stream lines
+        [k_lo, k_hi), from the cached per-window arrays; lines outside
+        the cache default to the no-scramble tuple."""
+        n = k_hi - k_lo
+        ap = np.zeros(n, np.float32)
+        x1 = np.full(n, 282, np.int32)
+        x2 = np.full(n, 682, np.int32)
+        for base, a, b, c in getattr(self, "_scr_wins", ()):
+            lo = max(k_lo, base)
+            hi = min(k_hi, base + len(a))
+            if lo >= hi:
+                continue
+            sel = slice(lo - k_lo, hi - k_lo)
+            ap[sel] = a[lo - base:hi - base]
+            x1[sel] = b[lo - base:hi - base]
+            x2[sel] = c[lo - base:hi - base]
+        return ap, x1, x2
+
     def prune(self, below_k: int):
-        for d in (self.pol_start, self.line_bits, self.scramble):
+        for d in (self.pol_start, self.scramble):
             for key in [x for x in d if x < below_k]:
                 del d[key]
 
@@ -885,12 +1107,8 @@ class MacEncoder:
 
         packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
                                            k0 + n + 1 + halo)
-        scr = [self.mux.scramble.get(k0 + j, (False, 282, 682))
-               for j in range(-halo, n + halo)]
-        scr_apply = np.array([1.0 if s[0] else 0.0 for s in scr],
-                             dtype=np.float32)
-        xc1 = np.array([s[1] for s in scr], dtype=np.int32)
-        xc2 = np.array([s[2] for s in scr], dtype=np.int32)
+        scr_apply, xc1, xc2 = self.mux.scramble_block(k0 - halo,
+                                                      k0 + n + halo)
         self.mux.prune(k0 + n - 2)
 
         planes = self._device_planes(block_no * self.frames_per_block)

@@ -561,6 +561,36 @@ void rt_mac_encode_packet(int address, int continuity,
         }
 }
 
+// Batch variant: n packets in one call (the per-call ctypes overhead
+// dominated the D-MAC mux at ~650 packets/block).  payloads is
+// uint8[n][91] with has_payload[i] selecting a NULL payload.
+void rt_mac_encode_packets(long n, const int32_t *addr,
+                           const int32_t *cont,
+                           const uint8_t *payloads,
+                           const uint8_t *has_payload,
+                           const uint8_t *scr, const uint64_t *iw,
+                           uint8_t *out, int nthreads) {
+    auto work = [&](long i0, long i1) {
+        for (long i = i0; i < i1; i++)
+            rt_mac_encode_packet(
+                addr[i], cont[i],
+                has_payload[i] ? payloads + i * 91 : nullptr,
+                scr[i], iw[i], out + i * 751);
+    };
+    if (nthreads <= 1 || n < 64) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long per = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        long i0 = t * per, i1 = i0 + per > n ? n : i0 + per;
+        if (i0 >= i1) break;
+        ts.emplace_back(work, i0, i1);
+    }
+    for (auto &th : ts) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // Threaded file sink: converts int16 IQ blocks into the requested byte
 // format, queues them on an rt_fifo, and drains the FIFO to a FILE* from a
