@@ -66,32 +66,34 @@ class CC608:
             self.fifo.append((c1, c2))
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = np.zeros((nlines, 32), dtype=np.float32)
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        line = np.where(ks >= 0, ks % self.lines_total + 1, 0)
+        packed = np.zeros((nlines, 4), dtype=np.uint8)
         active = np.zeros(nlines, dtype=np.float32)
         pull = getattr(self.source, "read_cc608", None)
-        for b in range(nlines):
-            k = k0 + b
-            if k < 0:
-                continue
-            line = k % self.lines_total + 1
+        for b in np.nonzero(line == self.line)[0]:
+            b = int(b)
+            k = int(ks[b])
             frame = 1 + k // self.lines_total
             if pull is not None and frame > self._cc_frame:
                 for f in range(self._cc_frame + 1, frame + 1):
                     self.write_pair(*pull(f - 1))
                 self._cc_frame = frame
-            if line != self.line:
-                continue
             pair = self.fifo.pop(0) if self.fifo else (0, 0)
             data = encode_chars(*pair)
-            bits[b, :17] = vbidata.bytes_to_bits(data, 17, lsb_first=True)
+            a = np.frombuffer(bytes(data), np.uint8)
+            packed[b, :len(a)] = a
+            packed[b, 2] &= 1        # 17 data bits
             active[b] = 1.0
             if claimed is not None:
                 claimed[b] = True
-        return {"bits": bits, "active": active}
+        return {"packed": packed, "active": active}
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
-        wave = vbidata.render(arrays["bits"], self.basis)
+        wave = vbidata.render(
+            vbidata.device_unpack_bits(arrays["packed"], 32),
+            self.basis)
         cri = jnp.zeros(self.width, dtype=jnp.float32)
         cri = jax_dynamic_update(cri, jnp.asarray(self.cri), self.cri_x)
         wave = wave + arrays["active"][:, None] * cri[None, :]

@@ -43,7 +43,7 @@ class _SiSState:
         self.fnum = 0
         self.hist = np.zeros((nicam.J17_NTAPS - 1, 2), dtype=np.int64)
         self.cur_buf = -1          # last consumed audio buffer index
-        self._bits: dict[int, np.ndarray] = {}
+        self._wins: list = []      # (base_k, rows) fill windows
         self._next_j = 0
 
         # First iteration state matches the reference exactly: the
@@ -61,48 +61,50 @@ class _SiSState:
         limit = (k - self.lag) * self.W
         if limit <= 0:
             return 0
-        # hold_start(32m-1) < limit  =>  ceil(S*32m/A)-1 < limit
+        # largest m with hold_start(32m-1) < limit: ceil(32mS/A) <= limit
+        # <=> 32mS <= limit*A  =>  m = (limit*A) // (32*S)
         A, S = self.chain.A, self.chain.S
-        m = (A * limit + S - 1) // (32 * S)
-        while self.chain.hold_start(32 * m - 1) < limit:
-            m += 1
-        while m > 0 and self.chain.hold_start(32 * m - 1) >= limit:
-            m -= 1
-        return m
+        return (limit * A) // (32 * S)
 
     def _trigger_lines(self, count: int) -> list:
-        """Iterate indices j at which the next `count` frame encodes
-        fire: replays the 48/44-bit line schedule from stream start, so
+        """Line indices at which the next `count` frame encodes fire:
         encode event e fires in the line consuming absolute bit
-        728*(e+1) (frame 0 is the initial zero frame)."""
-        out = []
+        728*(e+1) (frame 0 is the initial zero frame).  The 48/44-bit
+        line schedule has the closed form cum(c) = cum0 + 48c -
+        2*floor((re0 + 44c)/125), strictly increasing, so the events
+        resolve by searchsorted instead of a per-line replay."""
         J, re, cum = self._sim
-        target = nicam.NICAM_FRAME_BITS * (self._sim_e + 1)
-        while len(out) < count:
-            re += 44
-            nb = 50
-            if re >= 125:
-                nb, re = 46, re - 125
-            cum += nb - 2
-            if cum > target:
-                out.append(J)
-                self._sim_e += 1
-                target += nicam.NICAM_FRAME_BITS
-            J += 1
-        self._sim = (J, re, cum)
+        targets = nicam.NICAM_FRAME_BITS * (
+            self._sim_e + 1 + np.arange(count, dtype=np.int64))
+        nmax = int((int(targets[-1]) - cum) // 46 + 2)
+        c = np.arange(1, nmax + 1, dtype=np.int64)
+        cums = cum + 48 * c - 2 * ((re + 44 * c) // 125)
+        idx = np.searchsorted(cums, targets, side="right")
+        out = (J + idx).tolist()
+        cl = int(idx[-1]) + 1
+        self._sim = (J + cl, int((re + 44 * cl) % 125),
+                     int(cums[cl - 1]))
+        self._sim_e += count
         return out
 
     def _refill_syms(self):
-        """Batch-encode the next 16 NICAM frames into the symbol queue:
+        """Batch-encode the next 256 NICAM frames into the symbol queue:
         the J.17 stream over the concatenated consumption-order buffers
         is exactly the sequential per-frame encode with carried
         history."""
-        ks = self._trigger_lines(16)
-        bufs = []
-        for J in ks:
-            m = self._visible_buffer(max(J - 1, 0))
-            bufs.append(np.zeros((32, 2), dtype=np.int64) if m <= 0
-                        else self.chain._pcm(32 * (m - 1), 32))
+        ks = self._trigger_lines(256)
+        ms = np.array([self._visible_buffer(max(J - 1, 0)) for J in ks],
+                      dtype=np.int64)
+        # consecutive frames advance the visible buffer index by <= a
+        # few, so fetch the whole span once and slice per frame
+        pos = ms[ms > 0]
+        if len(pos):
+            lo, hi = int(pos.min()), int(pos.max())
+            span = self.chain._pcm(32 * (lo - 1), 32 * (hi - lo + 1))
+        zero = np.zeros((32, 2), dtype=np.int64)
+        bufs = [zero if m <= 0
+                else span[32 * (m - lo):32 * (m - lo) + 32]
+                for m in ms]
         pcm = np.concatenate([self.hist] + bufs)
         frames = np.asarray(nicam.encode_frames(
             pcm, self.fnum, nicam.MODE_STEREO, reserve=0), dtype=np.uint8)
@@ -136,31 +138,44 @@ class _SiSState:
         counts = (nb - 2) // 2
         syms = self._take_syms(int(counts.sum()))
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        T = len(syms)
-        line_id = np.repeat(i, counts)
-        pos = np.arange(T, dtype=np.int64) - np.repeat(starts, counts)
-        syms = _GC_ARR[((2 + 2 * pos) & 4) >> 2, syms]
-        B = np.zeros((n, 50), dtype=np.float32)
-        off = 50 - nb
-        B[i, off] = 1.0                          # 0xC0 run-in
-        B[i, off + 1] = 1.0
-        col = off[line_id] + 2 + 2 * pos
-        B[line_id, col] = syms >> 1
-        B[line_id, col + 1] = syms & 1
-        for t in range(n):
-            k = j0 + t - 1
-            if k >= 0:
-                self._bits[k] = B[t]
-        # prune behind the fill *start*: everything at or past j0 - 1
-        # may still be read by the caller's gather loop
-        for old in [x for x in self._bits if x < j0 - 1301]:
-            del self._bits[old]
+        # dense per-row symbol window (gather) instead of a flat scatter
+        p25 = np.arange(25, dtype=np.int64)
+        idx = starts[:, None] + p25[None, :]
+        np.minimum(idx, len(syms) - 1, out=idx)
+        S25 = syms[idx]
+        sel = ((2 + 2 * p25) & 4) >> 2           # grey-code table row
+        S25 = _GC_ARR[np.broadcast_to(sel, S25.shape), S25]
+        S25 &= (p25[None, :] < counts[:, None]).astype(np.uint8) * 3
+        B = np.zeros((n, 50), dtype=np.uint8)
+        long_r = nb == 50
+        for rows, off, cnt in ((np.nonzero(long_r)[0], 0, 24),
+                               (np.nonzero(~long_r)[0], 4, 22)):
+            B[rows, off] = 1                     # 0xC0 run-in
+            B[rows, off + 1] = 1
+            B[rows[:, None], off + 2 + 2 * p25[None, :cnt]] = \
+                S25[rows, :cnt] >> 1
+            B[rows[:, None], off + 3 + 2 * p25[None, :cnt]] = \
+                S25[rows, :cnt] & 1
+        # row t covers stream line j0 + t - 1; keep the two most recent
+        # fill windows (consecutive blocks overlap on the halo lines)
+        self._wins = ([(j0 - 1, B)] + getattr(self, "_wins", []))[:2]
         self._next_j = j_hi + 1
 
+    def bits_window(self, k_lo: int, k_hi: int) -> np.ndarray:
+        """Burst bit rows [k_lo, k_hi) as one array (rows before stream
+        start are zero)."""
+        if self._next_j <= k_hi:
+            self._fill_through(k_hi)
+        out = np.zeros((k_hi - k_lo, 50), dtype=np.uint8)
+        for base, B in getattr(self, "_wins", ()):
+            lo = max(k_lo, base, 0)    # pre-stream rows stay zero
+            hi = min(k_hi, base + len(B))
+            if lo < hi:
+                out[lo - k_lo:hi - k_lo] = B[lo - base:hi - base]
+        return out
+
     def bits_for_line(self, k: int) -> np.ndarray:
-        if self._next_j <= k + 1:
-            self._fill_through(k + 1)
-        return self._bits[k]
+        return self.bits_window(k, k + 1)[0]
 
 
 class SiS:
@@ -201,14 +216,9 @@ class SiS:
         self.blank_level = float(p.sync_level)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = np.zeros((nlines, 50), dtype=np.float32)
-        self.state.bits_for_line(k0 + nlines - 1)   # one batched fill
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            bits[i] = self.state.bits_for_line(k)
-        return {"bits": bits}
+        bits = self.state.bits_window(k0, k0 + nlines)
+        return {"packed": np.packbits(bits, axis=1,
+                                      bitorder="little")}
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
@@ -220,4 +230,5 @@ class SiS:
         blended = region + jnp.floor(
             (win * (self.blank_level - region) - region) * (1.0 / 32768.0))
         out = out.at[:, L:L + N].set(blended)
-        return out + vbidata.render(arrays["bits"], self.basis)
+        bits = vbidata.device_unpack_bits(arrays["packed"], 50)
+        return out + vbidata.render(bits, self.basis)

@@ -292,41 +292,81 @@ class _NGState:
         self.block_seq += 1
 
     # -- per-frame generation ---------------------------------------------
+    _LS_GRID = None     # class-level cached per-line geometry
+
+    @classmethod
+    def _ls_grid(cls):
+        if cls._LS_GRID is None:
+            ls = np.arange(1, 626, dtype=np.int64)
+            f = np.where(ls < NG_FIELD_2_START, 1, 2)
+            i = ls - np.where(f == 1, NG_FIELD_1_START,
+                              NG_FIELD_2_START)
+            inband = (i >= 0) & (i < NG_LINES_PER_FIELD)
+            i2 = i + 32
+            swap = i2 >= NG_LINES_PER_FIELD
+            i2 = np.where(swap, i2 - NG_LINES_PER_FIELD, i2)
+            f2 = np.where(swap, 3 - f, f)
+            base = np.where(f2 == 1, NG_FIELD_1_START,
+                            NG_FIELD_2_START)
+            e1 = NG_FIELD_1_START + NG_LINES_PER_FIELD - 32
+            e2 = NG_FIELD_2_START + NG_LINES_PER_FIELD - 32
+            seg = (ls >= e1).astype(np.int64) + (ls >= e2)
+            cls._LS_GRID = (ls, inband,
+                            np.clip(i2, 0, NG_LINES_PER_FIELD - 1),
+                            base, seg, e1, e2)
+        return cls._LS_GRID
+
+    def _event(self, frame: int, field: int):
+        """PRBS event at the line whose wrapped field index is 0
+        (src/syster.c:706-724); `field` is the post-swap field."""
+        sf = frame % 50
+        if (sf == 6 or sf == 31) and field == 1:
+            self._prbs_reset()
+        x = self._prbs_update()
+        self.s = x & 0x7F
+        self.r = x >> 7
+        self._update_field_order()
+
+    def _vbi_line(self, frame: int, line: int):
+        if self.vbi_seq == 0:
+            self._build_vbi_block(frame)
+        k = (frame - 1) * 625 + (line - 1)
+        self._vbi_lines[k] = self.vbi[self.vbi_seq]
+        self.vbi_seq = (self.vbi_seq + 1) % 10
+
     def _gen_frame(self, frame: int):
         """Advance all sequential state across frame `frame` (1-based),
-        caching VBI bytes per line and the shuffle source offsets."""
-        vbi_lines = (14 + self.vbioffset, 15 + self.vbioffset,
-                     327 + self.vbioffset, 328 + self.vbioffset)
+        caching VBI bytes per line and the shuffle source offsets.
+        The reference's per-line loop (src/syster.c:692-748) reduces to
+        one vectorised pass: the shuffle order only changes at the two
+        PRBS-event lines, so three order snapshots cover the frame; the
+        VBI-carrier lines run in stream order between the events."""
+        ls, inband, i2, base, seg, e1, e2 = self._ls_grid()
         src = np.zeros(626, dtype=np.int32)
-        for line in range(1, 626):
-            if self.syster:
-                f = 1 if line < NG_FIELD_2_START else 2
-                i = line - (NG_FIELD_1_START if f == 1
-                            else NG_FIELD_2_START)
-                if 0 <= i < NG_LINES_PER_FIELD:
-                    i += 32
-                    if i >= NG_LINES_PER_FIELD:
-                        i -= NG_LINES_PER_FIELD
-                        f = 2 if f == 1 else 1
-                    if i == 0:
-                        sf = frame % 50
-                        if (sf == 6 or sf == 31) and f == 1:
-                            self._prbs_reset()
-                        x = self._prbs_update()
-                        self.s = x & 0x7F
-                        self.r = x >> 7
-                        self._update_field_order()
-                    j = ((NG_FIELD_1_START if f == 1 else NG_FIELD_2_START)
-                         + self.order[i])
-                    if j < line:
-                        j += 625
-                    src[line] = j - line
-            if line in vbi_lines:
-                if self.vbi_seq == 0:
-                    self._build_vbi_block(frame)
-                k = (frame - 1) * 625 + (line - 1)
-                self._vbi_lines[k] = self.vbi[self.vbi_seq]
-                self.vbi_seq = (self.vbi_seq + 1) % 10
+        voff = self.vbioffset
+        vlines = (14 + voff, 15 + voff, 327 + voff, 328 + voff)
+        if not self.syster:
+            for line in vlines:
+                self._vbi_line(frame, line)
+        else:
+            orders = np.empty((3, NG_LINES_PER_FIELD), dtype=np.int64)
+            orders[0] = self.order
+            for line in vlines:
+                if line < e1:
+                    self._vbi_line(frame, line)
+            self._event(frame, 2)
+            orders[1] = self.order
+            for line in vlines:
+                if e1 <= line < e2:
+                    self._vbi_line(frame, line)
+            self._event(frame, 1)
+            orders[2] = self.order
+            for line in vlines:
+                if line >= e2:
+                    self._vbi_line(frame, line)
+            j = base + orders[seg, i2]
+            j = np.where(j < ls, j + 625, j)
+            src[1:] = np.where(inband, j - ls, 0)
         self._src_rel[frame] = src
         self._done_frame = frame
         # retain enough frames for the consumer's whole block: the
@@ -404,20 +444,36 @@ class SysterBase:
         self.basis = _ng_vbi_basis(p)
         self.width = p.width
 
+    def _grid(self, k0: int, nlines: int):
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        valid = ks >= 0
+        lines = np.where(valid, ks % 625 + 1, 0)
+        frames = np.where(valid, ks // 625 + 1, 0)
+        return ks, valid, lines, frames
+
     def _vbi_arrays(self, k0: int, nlines: int, claimed):
-        self.state.retain = max(self.state.retain, nlines // 625 + 9)
-        bits = np.zeros((nlines, NG_VBI_BYTES * 8), dtype=np.float32)
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            by = self.state.vbi_for_line(k)
+        """Packed VBI message bytes per line (4 carrier lines per
+        frame; all other rows stay zero)."""
+        st = self.state
+        st.retain = max(st.retain, nlines // 625 + 9)
+        ks, valid, lines, frames = self._grid(k0, nlines)
+        packed = np.zeros((nlines, NG_VBI_BYTES), dtype=np.uint8)
+        off = st.vbioffset
+        vbis = np.isin(lines, (14 + off, 15 + off, 327 + off,
+                               328 + off)) & valid
+        for i in np.nonzero(vbis)[0]:
+            by = st.vbi_for_line(int(ks[i]))
             if by is not None:
-                bits[i] = vbidata.bytes_to_bits(by, NG_VBI_BYTES * 8,
-                                                lsb_first=True)
+                packed[i] = np.frombuffer(bytes(by),
+                                          np.uint8)[:NG_VBI_BYTES]
                 if claimed is not None:
                     claimed[i] = True
-        return bits
+        return packed
+
+    def _vbi_render(self, arrays):
+        bits = vbidata.device_unpack_bits(arrays["vbi_packed"],
+                                          NG_VBI_BYTES * 8)
+        return vbidata.render(bits, self.basis)
 
 
 class Syster(SysterBase):
@@ -440,31 +496,39 @@ class Syster(SysterBase):
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         st = self.state
         st.retain = max(st.retain, nlines // 625 + 9)
+        ks, valid, lines, frames = self._grid(k0, nlines)
         src = np.zeros(nlines, dtype=np.int32)
+        if valid.any():
+            fmax = int(frames.max())
+            st.advance_to(fmax)
+            fmin = int(frames[valid].min())
+            F = np.stack([st._src_rel[f]
+                          for f in range(fmin, fmax + 1)])
+            rel = F[np.where(valid, frames - fmin, 0), lines]
+            src = np.minimum(
+                rel, nlines - 1 - np.arange(nlines)).astype(np.int32)
+            src[~valid] = 0
         rot_shift = np.full(nlines, -1, dtype=np.int32)
         rot_blank = np.zeros(nlines, dtype=np.float32)
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            line = k % 625 + 1
-            frame = k // 625 + 1
-            rel = st.shuffle_src(frame)[line]
-            src[i] = min(rel, nlines - 1 - i)
-            if self.cnr and (23 <= line <= 310 or 336 <= line <= 623):
-                # The in-window rotate of line k runs while the encoder's
-                # frame counter still reads the output line 346 earlier
-                # (src/syster.c:684-689 passes s->frame, which trails
-                # lines[nlines-1] by the pipeline stagger; 0 during the
-                # initial warm-up, src/video.c:4948).
-                kf = k - 346
-                row = 0 if kf < 0 else (kf // 625 + 1) % 25
-                rot_shift[i] = self.seq[
-                    row, line - 23 if line < 336 else line - 336 + 288]
-                if line in (310, 622):
-                    rot_blank[i] = 1.0
-        bits = self._vbi_arrays(k0, nlines, claimed)
-        return {"bits": bits, "src": src, "rot_shift": rot_shift,
+        if self.cnr:
+            act = (((lines >= 23) & (lines <= 310))
+                   | ((lines >= 336) & (lines <= 623))) & valid
+            # The in-window rotate of line k runs while the encoder's
+            # frame counter still reads the output line 346 earlier
+            # (src/syster.c:684-689 passes s->frame, which trails
+            # lines[nlines-1] by the pipeline stagger; 0 during the
+            # initial warm-up, src/video.c:4948).
+            kf = ks - 346
+            row = np.where(kf < 0, 0, (kf // 625 + 1) % 25)
+            cidx = np.clip(np.where(lines < 336, lines - 23,
+                                    lines - 336 + 288),
+                           0, self.seq.shape[1] - 1)
+            rot_shift = np.where(act, self.seq[row, cidx],
+                                 -1).astype(np.int32)
+            rot_blank = (act & ((lines == 310) | (lines == 622))
+                         ).astype(np.float32)
+        vbi = self._vbi_arrays(k0, nlines, claimed)
+        return {"vbi_packed": vbi, "src": src, "rot_shift": rot_shift,
                 "rot_blank": rot_blank}
 
     def apply(self, out, arrays, lut=None):
@@ -480,7 +544,7 @@ class Syster(SysterBase):
         mask = ((cols >= al).astype(out.dtype)
                 * (arrays["src"] > 0)[:, None].astype(out.dtype))
         out = out * (1.0 - mask) + gathered * mask
-        return out + vbidata.render(arrays["bits"], self.basis)
+        return out + self._vbi_render(arrays)
 
 
 def _apply_rotate(src_block, arrays, cols_tab, L, R, dst_block):
@@ -517,30 +581,30 @@ class SysterCNR(SysterBase):
         self.cols, self.rot_l, self.rot_r = _rotate_columns(p, vs)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        self.state.retain = max(self.state.retain, nlines // 625 + 9)
-        rot_shift = np.full(nlines, -1, dtype=np.int32)
-        rot_blank = np.zeros(nlines, dtype=np.float32)
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            line = k % 625 + 1
-            frame = k // 625 + 1
-            self.state.advance_to(frame)
-            if 23 <= line <= 310 or 336 <= line <= 623:
-                rot_shift[i] = self.seq[
-                    frame % 25, line - 23 if line < 336 else line - 336 + 288]
-                if line in (310, 622):
-                    rot_blank[i] = 1.0
-        bits = self._vbi_arrays(k0, nlines, claimed)
-        return {"bits": bits, "rot_shift": rot_shift, "rot_blank": rot_blank}
+        st = self.state
+        st.retain = max(st.retain, nlines // 625 + 9)
+        ks, valid, lines, frames = self._grid(k0, nlines)
+        if valid.any():
+            st.advance_to(int(frames.max()))
+        act = (((lines >= 23) & (lines <= 310))
+               | ((lines >= 336) & (lines <= 623))) & valid
+        cidx = np.clip(np.where(lines < 336, lines - 23,
+                                lines - 336 + 288),
+                       0, self.seq.shape[1] - 1)
+        rot_shift = np.where(act, self.seq[frames % 25, cidx],
+                             -1).astype(np.int32)
+        rot_blank = (act & ((lines == 310) | (lines == 622))
+                     ).astype(np.float32)
+        vbi = self._vbi_arrays(k0, nlines, claimed)
+        return {"vbi_packed": vbi, "rot_shift": rot_shift,
+                "rot_blank": rot_blank}
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
         nxt = jnp.concatenate([out[1:], out[-1:]], axis=0)
         out = _apply_rotate(nxt, arrays, jnp.asarray(self.cols),
                             self.rot_l, self.rot_r, out)
-        return out + vbidata.render(arrays["bits"], self.basis)
+        return out + self._vbi_render(arrays)
 
 
 class SysterAudioInverter:
@@ -581,10 +645,23 @@ class SysterAudioInverter:
         xi = self._wrap16((raw * (mi - mq)) >> 15)
         xq = self._wrap16((raw * (mq + mi)) >> 15)
         out = np.empty((count, 2), dtype=np.int64)
-        ri, rq = self.firi[::-1], self.firq[::-1]
+        # The true accumulator is an integer with |acc| <= 771 * 32767^2
+        # ~ 8.3e11 < 2^53, and overlap-add FFT convolution's absolute
+        # error here is ~1e-3 — far below the 0.5 needed for round() to
+        # recover the exact integer, and ~100x faster than the direct
+        # int64 path.
+        try:
+            from scipy.signal import oaconvolve as _conv
+        except Exception:                        # pragma: no cover
+            _conv = np.convolve
+        ri = self.firi[::-1].astype(np.float64)
+        rq = self.firq[::-1].astype(np.float64)
         for ch in range(2):
-            acc = (np.convolve(xi[:, ch], ri, mode="valid")
-                   - np.convolve(xq[:, ch], rq, mode="valid"))
+            acc = (_conv(xi[:, ch].astype(np.float64), ri,
+                         mode="valid")
+                   - _conv(xq[:, ch].astype(np.float64), rq,
+                           mode="valid"))
+            acc = np.round(acc).astype(np.int64)
             out[:, ch] = self._wrap16(self._wrap32(acc) >> 15)
         return out
 
@@ -618,33 +695,30 @@ class D11(SysterBase):
         self.ng_delay = int((1.0 / 4433618.75) * 4 * p.pixel_rate)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        self.state.retain = max(self.state.retain, nlines // 625 + 9)
-        delay = np.full(nlines, -1, dtype=np.int32)
-        sync = np.zeros(nlines, dtype=np.float32)    # 0 none, else level
-        sync_on = np.zeros(nlines, dtype=np.float32)
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            line = k % 625 + 1
-            frame = k // 625 + 1
-            self.state.advance_to(frame)
-            f = 0 if line < D11_FIELD_2_START else 1
-            fl = line - (D11_FIELD_1_START if f == 0 else D11_FIELD_2_START)
-            if 0 < fl < D11_LINES_PER_FIELD:
-                d11_field = (frame % 3) * 2 + f
-                idx = ((0 if d11_field == 5 else d11_field + 1)
-                       * D11_LINES_PER_FIELD + fl)
-                delay[i] = self.table[idx]
-            if line == 622:
-                sync_on[i] = 1.0
-                sync[i] = self.p.white_level
-            elif line == 310:
-                sync_on[i] = 1.0
-                sync[i] = (self.p.white_level if frame % 3 == 2
-                           else self.p.black_level)
+        st = self.state
+        st.retain = max(st.retain, nlines // 625 + 9)
+        ks, valid, lines, frames = self._grid(k0, nlines)
+        if valid.any():
+            st.advance_to(int(frames.max()))
+        f = (lines >= D11_FIELD_2_START).astype(np.int64)
+        fl = lines - np.where(f == 0, D11_FIELD_1_START,
+                              D11_FIELD_2_START)
+        in_field = (fl > 0) & (fl < D11_LINES_PER_FIELD) & valid
+        d11_field = (frames % 3) * 2 + f
+        idx = (np.where(d11_field == 5, 0, d11_field + 1)
+               * D11_LINES_PER_FIELD + np.clip(fl, 0, None))
+        delay = np.where(in_field,
+                         self.table[np.clip(idx, 0,
+                                            len(self.table) - 1)],
+                         -1).astype(np.int32)
+        sync_on = (valid & ((lines == 622) | (lines == 310))
+                   ).astype(np.float32)
+        sync = np.where(
+            lines == 622, self.p.white_level,
+            np.where(frames % 3 == 2, self.p.white_level,
+                     self.p.black_level)).astype(np.float32) * sync_on
         bits = self._vbi_arrays(k0, nlines, claimed)
-        return {"bits": bits, "delay": delay, "sync": sync,
+        return {"vbi_packed": bits, "delay": delay, "sync": sync,
                 "sync_on": sync_on}
 
     def apply(self, out, arrays, lut=None):
@@ -665,4 +739,4 @@ class D11(SysterBase):
         smask = (((cols >= al) & (cols < al + aw)).astype(out.dtype)
                  * arrays["sync_on"][:, None])
         out = out * (1.0 - smask) + arrays["sync"][:, None] * smask
-        return out + vbidata.render(arrays["bits"], self.basis)
+        return out + self._vbi_render(arrays)

@@ -176,15 +176,25 @@ class Page:
         return (h.get(line[4], 0) << 1) | (h.get(line[3], 0) >> 3)
 
     def update_crc(self, header: bytearray):
-        """Page CRC over header tail + rows 1..25 (src/teletext.c:450-487)."""
-        crc = crc16(bytes(header[13:37]))
-        blank = bytes(_PARITY[0x20:0x21]) * 40
-        by_num = {self.packet_number(i): p
-                  for i, p in enumerate(self.packets)}
-        for l in range(1, 26):
-            p = by_num.get(l)
-            crc = crc16(bytes(p[5:45]) if p is not None else blank, crc)
-        p27 = by_num.get(27)
+        """Page CRC over header tail + rows 1..25 (src/teletext.c:450-487).
+        The rows are static after load and the header tail only changes
+        with the clock second, so the full fold is cached per header."""
+        key = bytes(header[13:37])
+        hit = getattr(self, "_crc_cache", None)
+        if hit is not None and hit[0] == key:
+            crc = hit[1]
+        else:
+            crc = crc16(key)
+            blank = bytes(_PARITY[0x20:0x21]) * 40
+            by_num = {self.packet_number(i): p
+                      for i, p in enumerate(self.packets)}
+            for l in range(1, 26):
+                p = by_num.get(l)
+                crc = crc16(bytes(p[5:45]) if p is not None else blank,
+                            crc)
+            self._crc_cache = (key, crc)
+            self._by_num_27 = by_num.get(27)
+        p27 = getattr(self, "_by_num_27", None)
         if p27 is not None:
             p27[43] = (crc >> 8) & 0xFF
             p27[44] = crc & 0xFF
@@ -471,48 +481,62 @@ class Teletext:
         else:
             load_tti(self.service, path)
         # The scheduler is stateful per stream line; consecutive blocks
-        # overlap on the halo lines, so rendered rows are cached by
-        # absolute line index and reused on the second visit.
-        self._row_cache: dict[int, np.ndarray] = {}
+        # overlap on the halo lines, so packets are cached by absolute
+        # line index and reused on the second visit.
+        self._pkt_cache: dict[int, bytes | None] = {}
 
     def _eligible(self, line: int) -> bool:
         return 7 <= line <= 22 or 320 <= line <= 335
 
-    def _row_bits(self, k: int) -> np.ndarray | None:
-        if k in self._row_cache:
-            return self._row_cache[k]
+    def _row_packet(self, k: int):
+        """Packet bytes for eligible stream line k (None = filler),
+        advancing the scheduler exactly once per line."""
+        if k in self._pkt_cache:
+            return self._pkt_cache[k]
         frame = 1 + k // self.lines_total
         line = k % self.lines_total + 1
-        if not self._eligible(line):
-            return None
         timecode = (frame - 1) * self.lines_total + line - 1
         if self.raw is not None:
             pkt = _read_raw_packet(self.raw, self._raw_eof)
         else:
             pkt = self.service.next_packet(timecode)
-        row = (vbidata.bytes_to_bits(bytes(pkt), 360, lsb_first=True)
-               if pkt is not None else np.zeros(360, dtype=np.float32))
-        self._row_cache[k] = row
-        for old in [key for key in self._row_cache if key < k - 4]:
-            del self._row_cache[old]
-        return row
+        pkt = bytes(pkt) if pkt is not None else None
+        self._pkt_cache[k] = pkt
+        for old in [key for key in self._pkt_cache if key < k - 4]:
+            del self._pkt_cache[old]
+        return pkt
+
+    def _row_bits(self, k: int) -> np.ndarray | None:
+        """Single-line view (tests); production uses block_arrays."""
+        line = k % self.lines_total + 1
+        if not self._eligible(line):
+            return None
+        pkt = self._row_packet(k)
+        return (vbidata.bytes_to_bits(pkt, 360, lsb_first=True)
+                if pkt is not None else np.zeros(360, dtype=np.float32))
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = np.zeros((nlines, 360), dtype=np.float32)
-        for b in range(nlines):
-            k = k0 + b
-            if k < 0:
-                continue
-            if claimed is not None and claimed[b]:
-                continue    # line already allocated (src/teletext.c:1219)
-            row = self._row_bits(k)
-            if row is not None:
-                bits[b] = row
-        return {"bits": bits}
+        """Teletext bit rows for the block: eligibility is vectorised
+        (32 of 625 lines carry packets) and the packet bytes unpack in
+        one batch; only the stateful scheduler runs per eligible line."""
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        lines = ks % self.lines_total + 1
+        elig = (((lines >= 7) & (lines <= 22))
+                | ((lines >= 320) & (lines <= 335))) & (ks >= 0)
+        if claimed is not None:
+            elig &= ~np.asarray(claimed[:nlines], dtype=bool)
+        rows = np.nonzero(elig)[0]
+        packed = np.zeros((nlines, 45), dtype=np.uint8)
+        for b in rows:
+            pkt = self._row_packet(int(ks[b]))
+            if pkt is not None:
+                a = np.frombuffer(pkt, np.uint8)
+                packed[b, :len(a)] = a[:45]
+        return {"packed": packed}
 
     def apply(self, out, arrays, lut=None):
-        import jax.numpy as jnp
-        return out + vbidata.render(arrays["bits"], self.basis)
+        bits = vbidata.device_unpack_bits(arrays["packed"], 360)
+        return out + vbidata.render(bits, self.basis)
 
 class MacTeletext:
     """Teletext packet feed for D/D2-MAC lines (src/mac.c:1556-1602):

@@ -65,3 +65,13 @@ def render(bits, basis):
     import jax.numpy as jnp
     return jnp.matmul(bits, jnp.asarray(basis),
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def device_unpack_bits(packed, nbits: int):
+    """uint8 [B, nbytes] (LSB-first) -> f32 [B, nbits] on device.  Bit
+    rows travel host->device packed (a [B, 360] f32 teletext block is
+    28 MB/block; packed it is under 1 MB)."""
+    import jax.numpy as jnp
+    bits = ((packed[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+    return bits.reshape(packed.shape[0], -1)[:, :nbits] \
+        .astype(jnp.float32)

@@ -93,27 +93,30 @@ class VITC:
         self.lines_total = conf.lines
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = np.zeros((nlines, self.nbits_total), dtype=np.float32)
-        targets = {self.lines[0], self.lines[0] + 2,
-                   self.lines[1], self.lines[1] + 2}
-        for b in range(nlines):
-            k = k0 + b
-            if k < 0:
-                continue
-            line = k % self.lines_total + 1
-            if line not in targets:
-                continue
-            frame = 1 + k // self.lines_total
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        line = np.where(ks >= 0, ks % self.lines_total + 1, 0)
+        targets = (self.lines[0], self.lines[0] + 2,
+                   self.lines[1], self.lines[1] + 2)
+        rows = np.nonzero(np.isin(line, targets))[0]
+        nbytes = (self.nbits_total + 7) // 8
+        packed = np.zeros((nlines, nbytes), dtype=np.uint8)
+        buf = np.zeros(self.nbits_total, dtype=np.uint8)
+        for b in rows:
+            b = int(b)
+            k = int(ks[b])
             payload, nbits = vitc_payload(
-                frame, self.fps, self.frame_drop, line >= self.lines[1],
-                self.is625)
+                1 + k // self.lines_total, self.fps, self.frame_drop,
+                int(line[b]) >= self.lines[1], self.is625)
             row = vbidata.bytes_to_bits(payload, nbits, lsb_first=True)
             n = min(len(row), self.nbits_total - self.offset_sym)
-            bits[b, self.offset_sym:self.offset_sym + n] = row[:n]
+            buf[:] = 0
+            buf[self.offset_sym:self.offset_sym + n] = row[:n]
+            packed[b] = np.packbits(buf, bitorder="little")
             if claimed is not None:
                 claimed[b] = True
-        return {"bits": bits}
+        return {"packed": packed}
 
     def apply(self, out, arrays, lut=None):
-        import jax.numpy as jnp
-        return out + vbidata.render(arrays["bits"], self.basis)
+        bits = vbidata.device_unpack_bits(arrays["packed"],
+                                          self.nbits_total)
+        return out + vbidata.render(bits, self.basis)

@@ -90,15 +90,16 @@ class WSS:
         ks = np.arange(k0, k0 + nlines, dtype=np.int64)
         line = np.where(ks >= 0, ks % self.lines_total + 1, 0)
         active = (line == self.line)
-        bits = np.zeros((nlines, self.nbits), dtype=np.float32)
-        bits[active] = self.bits
         if claimed is not None:
             claimed |= active
-        return {"bits": bits, "active": active.astype(np.float32)}
+        # every active line carries the same (current) code, so only the
+        # active mask and the precomputed waveform row travel
+        return {"active": active.astype(np.float32),
+                "wave": (self.bits @ self.basis).astype(np.float32)}
 
     def apply(self, out, arrays, lut=None):
         """Device: blank [half_width, blank_width) to black on active
-        lines, then add bits @ basis."""
+        lines, then add the static waveform row."""
         import jax.numpy as jnp
         B, W = out.shape
         act = arrays["active"][:, None]
@@ -106,5 +107,4 @@ class WSS:
         blank = ((cols >= self.half_width) & (cols < self.blank_width)
                  ).astype(out.dtype) * act
         out = out * (1.0 - blank) + blank * self.black_level
-        wave = vbidata.render(arrays["bits"], self.basis)
-        return out + wave
+        return out + act * arrays["wave"][None, :]
