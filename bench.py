@@ -27,7 +27,7 @@ _CONFIGS = {
 }
 
 
-def _bench_config(name, e2e=False):
+def _bench_config(name, e2e=False, dynamic=False):
     cfg = _CONFIGS[name]
     mode = cfg["mode"]
     sample_rate = cfg["rate"]
@@ -38,6 +38,21 @@ def _bench_config(name, e2e=False):
     # amortise dispatch best at 64 frames
     fpb = 16 if mode.startswith(("dmac", "d2mac", "l", "secam")) else 64
     kw = {"vfilter": True} if cfg.get("vfilter") else {}
+    if dynamic:
+        # non-repeating source: the device runtime can serve repeated
+        # identical blocks from cache (the static test card's periodic
+        # tone makes per-block args recur), so the sustained figure for
+        # dynamic content needs unique audio/video every block
+        import numpy as np_
+        from hacktv_tpu.av.testcard import TestCardSource
+
+        class _Dyn(TestCardSource):
+            def read_audio(self, start, count):
+                rng = np_.random.default_rng(start & 0x7FFFFFFF)
+                return rng.integers(-20000, 20000,
+                                    (count, 2)).astype(np_.int16)
+
+        kw["source"] = _Dyn(922, 576)
     if mode.startswith("dmac") or mode.startswith("d2mac"):
         from hacktv_tpu.video.mac import MacEncoder
         from hacktv_tpu.config.standards import get_mode
@@ -99,7 +114,8 @@ def _bench_config(name, e2e=False):
     x_rt = sps / sample_rate
     return {
         "metric": (f"{cfg['label']} "
-                   f"{'end-to-end (D2H + sink)' if e2e else 'device'} "
+                   f"{'end-to-end (D2H + sink)' if e2e else 'device'}"
+                   f"{' dynamic-source' if dynamic else ''} "
                    "IQ samples/s/chip"),
         "value": round(sps),
         "unit": "samples/s",
@@ -115,6 +131,9 @@ def main():
                     choices=sorted(_CONFIGS) + ["all"])
     ap.add_argument("--e2e", action="store_true",
                     help="include D2H copy + native threaded sink write")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="non-repeating source (defeats any runtime "
+                         "caching of recurring identical blocks)")
     ns = ap.parse_args()
     if ns.mode == "all":
         for name in ("i", "secam", "dmac", "ntsc-vsb"):
@@ -122,7 +141,7 @@ def main():
             sys.stdout.flush()
         print(json.dumps(_bench_config("i", e2e=True)))
         return
-    print(json.dumps(_bench_config(ns.mode, e2e=ns.e2e)))
+    print(json.dumps(_bench_config(ns.mode, e2e=ns.e2e, dynamic=ns.dynamic)))
 
 
 if __name__ == "__main__":

@@ -411,6 +411,72 @@ class AudioChain:
             cyc_base=np.int32((max(k0, 0) * (W % 32767)) % 32767),
         )
 
+    def fm_compact_block_dev(self, carrier: FMCarrier, k0: int,
+                             nlines: int, fw, xa):
+        """fm_compact_block variant whose audio-sample crunching
+        (channel mix, limiter, held values, phase prefix sums) runs in
+        the device step: the upload is the raw volume-scaled PCM window
+        and the int32 phase anchor `xa` is a device scalar chained
+        block to block (the host limiter was the flagship's remaining
+        serial bound).  Returns (args dict, i0, i0_next)."""
+        W, S, A = self.W, self.S, self.A
+        g = math.gcd(W * A, S)
+        q, d = (W * A) // g, S // g
+        P_a, m_step, nseg = fw.P_a, fw.m_step, self.nseg
+        G = -(-nlines // P_a)
+        j = np.arange(nseg, dtype=np.int64)
+
+        b = np.arange(P_a, dtype=np.int64)
+        m0 = (k0 + b) * q // d + 1
+        vfirst = m0 - 2
+        ev0 = _ceil_div_arr(S * (m0[:, None] - 1 + j[None, :]), A) - 1
+        col0 = (ev0 - ((k0 + b) * W)[:, None])
+        col0[:, 0] = np.minimum(col0[:, 0], 0)
+
+        i0 = int(vfirst.min())
+        i_hi = int(vfirst.max()) + (G - 1) * m_step + nseg
+        assert i_hi - i0 <= fw.NH, (i_hi - i0, fw.NH)
+        h0 = i0 - _LIM_HIST
+        pcmbuf = np.zeros((fw.NH + _LIM_HIST, 2), dtype=np.int32)
+        pcmbuf[: i_hi - h0] = self._pcm(h0, i_hi - h0)
+
+        m0n = (k0 + nlines + b) * q // d + 1
+        i0n = int((m0n - 2).min())
+
+        start0 = (vfirst - i0).astype(np.int64)
+        c0, s0 = self._carrier_tabs(carrier, k0, nlines)
+        return dict(
+            pcm=pcmbuf,
+            xa=xa,
+            adv=np.int32(i0n - i0),
+            lens_off=np.int32(i0 % (A // math.gcd(S, A))),
+            offq=(start0 // m_step).astype(np.int32),
+            offr=(start0 % m_step).astype(np.int32),
+            col0=col0.astype(np.int32),
+            ctab=c0, stab=s0,
+            cyc_base=np.int32((max(k0, 0) * (W % 32767)) % 32767),
+        ), i0, i0n
+
+    def fm_dev_i0(self, k0: int, fw) -> int:
+        """First held-audio index of the block starting at stream line
+        k0 (closed form, same expression as fm_compact_block_dev)."""
+        W, S, A = self.W, self.S, self.A
+        g = math.gcd(W * A, S)
+        q, d = (W * A) // g, S // g
+        b = np.arange(fw.P_a, dtype=np.int64)
+        return int(((k0 + b) * q // d - 1).min())
+
+    def fm_dev_seed_xa(self, carrier: FMCarrier, i0: int, fw) -> int:
+        """Host-exact phase accumulator X mod M at i0 for a stream that
+        starts mid-sequence (the device anchor chain normally begins at
+        block 0 where the pre-span contribution is zero)."""
+        start = min(i0, 0)
+        if start == i0:
+            return 0
+        held = self._held_values(carrier, start, i0).astype(np.int64)
+        lens = self._lens_for(start, i0 - start)
+        return int(np.sum(held * lens) % fw.M)
+
     def _lens_for(self, i_lo: int, count: int) -> np.ndarray:
         """Hold lengths for audio indices [i_lo, i_lo+count)."""
         i = np.arange(i_lo, i_lo + count + 1, dtype=np.int64)

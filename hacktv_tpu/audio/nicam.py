@@ -99,10 +99,15 @@ def j17_filter(pcm: np.ndarray) -> np.ndarray:
     assigned to int16_t (wraps).
     """
     x = np.asarray(pcm, dtype=np.int64)
-    # f64 convolve is exact here (|acc| <= sum|taps| * 32767 ~ 1.6e9 <
-    # 2^53) and ~4x faster than the int64 path
-    acc = np.convolve(x.astype(np.float64),
-                      J17_TAPS[::-1].astype(np.float64))[:len(x)]
+    # exact: the true accumulator is an integer (|acc| <= sum|taps| *
+    # 32767 ~ 1.6e9 < 2^53) and overlap-add FFT convolution's absolute
+    # error is far below the 0.5 round() needs to recover it
+    try:
+        from scipy.signal import oaconvolve as _conv
+    except Exception:                            # pragma: no cover
+        _conv = np.convolve
+    acc = _conv(x.astype(np.float64),
+                J17_TAPS[::-1].astype(np.float64))[:len(x)]
     acc = np.round(acc).astype(np.int64)
     return _wrap16(acc >> 15)
 

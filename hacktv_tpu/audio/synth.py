@@ -36,6 +36,12 @@ class FMStatics:
     nseg: int
     eps: float = 0.0       # deterministic tie-break phase lag
     lam: float = 0.0       # per-step int32 magnitude decay (sawtooth)
+    # direct per-sample transcendentals instead of the piecewise
+    # rotation chain: the chain's deep f32 FMA sequences can contract
+    # differently between compilations (e.g. sharded vs single-device),
+    # flipping floor() outcomes on ~0.05% of samples; the multichip
+    # bit-exactness harness forces the shallow path on both sides
+    direct: bool = False
 
 
 def make_fm_statics(num: int, den: int, level_int: int, kd: float,
@@ -77,17 +83,54 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
 
     A = jnp.broadcast_to(segA[:, 0][:, None], (B, W))
     Bc = jnp.broadcast_to(segB[:, 0][:, None], (B, W))
+    segCB = jnp.cos(segB)          # per-segment step rotation
+    segSB = jnp.sin(segB)
+    CB = jnp.broadcast_to(segCB[:, 0][:, None], (B, W))
+    SB = jnp.broadcast_to(segSB[:, 0][:, None], (B, W))
     for j in range(1, st.nseg):
         m = (colsf >= seg_col[:, j][:, None].astype(jnp.float32)
              ).astype(jnp.float32)
         A = A + m * (segA[:, j] - segA[:, j - 1])[:, None]
         Bc = Bc + m * (segB[:, j] - segB[:, j - 1])[:, None]
+        CB = CB + m * (segCB[:, j] - segCB[:, j - 1])[:, None]
+        SB = SB + m * (segSB[:, j] - segSB[:, j - 1])[:, None]
 
-    phi = A + Bc * colsf
-    if phi_extra is not None:
-        phi = phi + phi_extra
-    cphi = jnp.cos(phi)
-    sphi = jnp.sin(phi)
+    if phi_extra is not None or st.direct:
+        # arbitrary extra phase (A2 pilot) breaks the piecewise-affine
+        # structure: direct transcendentals
+        phi = A + Bc * colsf
+        if phi_extra is not None:
+            phi = phi + phi_extra
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+    else:
+        # piecewise rotation: the phase is affine inside each hold
+        # segment, so transcendentals are only needed at every K-th
+        # column; the rest follow by chained angle-addition with the
+        # per-column step rotation (cos/sin of the telescoped slope) —
+        # the VPU transcendental budget was the flagship's roofline
+        # bound (PERF.md).
+        K = 4
+        Wp = -(-W // K) * K
+        pad = Wp - W
+        phi = A + Bc * colsf
+        if pad:
+            phi = jnp.pad(phi, ((0, 0), (0, pad)))
+            CB = jnp.pad(CB, ((0, 0), (0, pad)))
+            SB = jnp.pad(SB, ((0, 0), (0, pad)))
+        c_cur = jnp.cos(phi[:, ::K])
+        s_cur = jnp.sin(phi[:, ::K])
+        pc = [c_cur]
+        ps = [s_cur]
+        for t in range(1, K):
+            cb = CB[:, t::K]
+            sb = SB[:, t::K]
+            c_cur, s_cur = (c_cur * cb - s_cur * sb,
+                            s_cur * cb + c_cur * sb)
+            pc.append(c_cur)
+            ps.append(s_cur)
+        cphi = jnp.stack(pc, axis=2).reshape(B, Wp)[:, :W]
+        sphi = jnp.stack(ps, axis=2).reshape(B, Wp)[:, :W]
 
     # carrier angle: theta_c = rot(line) + table(col); combine rotations
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
@@ -174,6 +217,24 @@ class FMWin:
     Wmod: int          # width mod 32767 (for the renorm-cycle counter)
 
 
+def held_device(carrier, pcm: jnp.ndarray, lim_hist: int) -> jnp.ndarray:
+    """Post-limiter held FM samples from the raw PCM window, on device
+    (mirrors AudioChain._held_values for the simple channels; the
+    reference's per-sample audio pipeline, src/video.c:3280-3330)."""
+    l = pcm[:, 0].astype(jnp.int32)
+    r = pcm[:, 1].astype(jnp.int32)
+    if carrier.channel == "mono":
+        t = l + r
+        x = jnp.where(t < 0, -((-t) // 2), t // 2)   # C trunc division
+    elif carrier.channel == "left":
+        x = l
+    else:
+        x = r
+    out = (carrier.limiter.device_process(x)
+           if carrier.limiter is not None else x)
+    return out[lim_hist:].astype(jnp.int16)
+
+
 def fm_prepare(fw: FMWin, st: FMStatics, B: int,
                held: jnp.ndarray,      # i16 [NH]
                xa: jnp.ndarray,        # i32 scalar: phase accum at i0
@@ -184,16 +245,24 @@ def fm_prepare(fw: FMWin, st: FMStatics, B: int,
                ctab: jnp.ndarray,      # f32 [P_r] carrier cos table
                stab: jnp.ndarray,      # f32 [P_r]
                cyc_base: jnp.ndarray,  # i32 scalar
+               adv=None,               # i32 scalar: next block's i0 - i0
                ):
     """Assemble the per-line fm_add arguments on device from the compact
     per-block upload (the [B, nseg] f32 arrays dominated the H2D budget,
-    and transfers serialise with compute on this runtime)."""
+    and transfers serialise with compute on this runtime).  With `adv`,
+    also returns the anchor for the next block (device-held path)."""
     P, S = fw.P_a, fw.nseg
     G = -(-B // P)
     h32 = held.astype(jnp.int32)
     lens = jax.lax.dynamic_slice(fw.lens_tiled, (lens_off,), (fw.NH,))
     prod = h32 * lens
     xincl = _cumsum_mod(prod, fw.M, fw.prod_bound)
+    xa_next = None
+    if adv is not None:
+        xa_next = jnp.where(
+            adv > 0,
+            (xa + xincl[jnp.clip(adv - 1, 0, fw.NH - 1)]) % fw.M,
+            xa).astype(jnp.int32)
     # exclusive prefix + anchor: phase BEFORE each hold period
     xc = jnp.concatenate([jnp.zeros(1, jnp.int32), xincl[:-1]])
     xc = (xc + xa) % fw.M
@@ -211,6 +280,8 @@ def fm_prepare(fw: FMWin, st: FMStatics, B: int,
     s0 = tile_tab(stab, B)
     b = jnp.arange(B, dtype=jnp.int32) % 32767
     cyc0 = ((cyc_base + b * fw.Wmod) % 32767).astype(jnp.float32)
+    if adv is not None:
+        return (seg_val, seg_base, seg_col, c0, s0, cyc0), xa_next
     return seg_val, seg_base, seg_col, c0, s0, cyc0
 
 

@@ -54,6 +54,7 @@ class Encoder:
                  raw_bb_blanking: int = 0,
                  raw_bb_white: int = 0x300,
                  secam_exact: bool | None = None,
+                 fm_direct_trig: bool = False,
                  devices=None):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         if vfilter or offset or swap_iq:
@@ -171,6 +172,7 @@ class Encoder:
         if conf.s_video and self.resampler is not None:
             raise NotImplementedError(
                 "--pixelrate with --s-video is not supported")
+        self._fm_direct = fm_direct_trig
         self._init_audio(systeraudio=systeraudio, a2stereo=a2stereo)
 
         # FM video modulation (src/video.c:4564-4585).  The reference's
@@ -312,7 +314,8 @@ class Encoder:
             self.mesh = Mesh(darr, ("t",))
             n_aux = sum(x is not None for x in (
                 self.fm_video_statics, self.nicam_statics)) \
-                + (1 if self.secam_device else 0)
+                + (1 if self.secam_device else 0) \
+                + (1 if self.fm_dev_held else 0)
             shard = NamedSharding(self.mesh, P("t", None))
             rep = NamedSharding(self.mesh, P())
             outs = (shard,) + (rep,) * n_aux if n_aux else shard
@@ -342,6 +345,7 @@ class Encoder:
         self.am_statics = None
         self.fm_exact = None
         self.fm_win = None
+        self.fm_dev_held = False
         from .config.standards import Modulation as _Mod
         fm_video = self.conf.modulation == _Mod.FM
         if self.audio.fm_mono is not None and fm_video:
@@ -359,9 +363,20 @@ class Encoder:
             self.fm_statics = audio_synth.make_fm_statics(
                 c.num, c.den, c.level_int, c.kd, p.width, self.audio.nseg,
                 c.eps)
+            self.fm_statics.direct = self._fm_direct
             # device-side segment assembly (H2D transfers serialise with
             # compute on this runtime; the [B, nseg] f32 uploads dominated)
             self.fm_win = self.audio.fm_win_config(c, nlines)
+            # device-side channel mix + limiter + held values for the
+            # simple channels (the host limiter FIRs were the flagship's
+            # remaining serial bound); the int32 phase anchor becomes a
+            # device scalar chained block to block
+            self.fm_dev_held = (self.fm_win is not None
+                                and c.channel in ("mono", "left", "right")
+                                and not c.a2_scale)
+            if self.fm_dev_held:
+                self._fm_xa: dict = {0: [None, jnp.int32(0)]}
+                self._fm_xa_started = False
         if self.audio.am_mono is not None:
             c = self.audio.am_mono
             self.am_statics = audio_synth.make_fm_statics(
@@ -637,11 +652,22 @@ class Encoder:
             return (d["seg_val"], d["seg_base"], d["seg_col"], d["c0"],
                     d["s0"], d["cyc0"])
 
+        fm_xa_next = None
         if self.fm_statics is not None:
+            d = audio_args["fm_mono"]
+            if self.fm_dev_held:
+                from .audio.chain import _LIM_HIST
+                held = audio_synth.held_device(self.audio.fm_mono,
+                                               d["pcm"], _LIM_HIST)
+                fmargs, fm_xa_next = audio_synth.fm_prepare(
+                    self.fm_win, self.fm_statics, nlines, held,
+                    d["xa"], d["lens_off"], d["offq"], d["offr"],
+                    d["col0"], d["ctab"], d["stab"], d["cyc_base"],
+                    adv=d["adv"])
+            else:
+                fmargs = fm_args(d, self.fm_win, self.fm_statics)
             out_i, out_q = audio_synth.fm_add(
-                self.fm_statics, out_i, out_q,
-                *fm_args(audio_args["fm_mono"], self.fm_win,
-                         self.fm_statics))
+                self.fm_statics, out_i, out_q, *fmargs)
         if self.fm_exact is not None:
             # host-exact audio carrier for FM-video modes, packed
             # (i & 0xFFFF) | (q << 16) per sample
@@ -715,7 +741,8 @@ class Encoder:
             ii = wrap(ii + pt[..., 0])
             qq = wrap(qq + pt[..., 1])
         iq = (ii & 0xFFFF) | (qq << 16)
-        aux = tuple(a for a in (fm_carry, secam_tail, nicam_dsym)
+        aux = tuple(a for a in (fm_carry, fm_xa_next, secam_tail,
+                                nicam_dsym)
                     if a is not None)
         return (iq, *aux) if aux else iq
 
@@ -819,11 +846,39 @@ class Encoder:
                                       claimed))
                 for svc in self.services)
         if self.fm_statics is not None:
-            args["fm_mono"] = (
-                self.audio.fm_compact_block(self.audio.fm_mono, a_k0,
-                                            nlines, self.fm_win)
-                if self.fm_win is not None else
-                self.audio.fm_block(self.audio.fm_mono, a_k0, nlines))
+            if self.fm_dev_held:
+                if not self._fm_xa_started \
+                        and block_no not in self._fm_xa:
+                    # first encoded block may start mid-stream (the
+                    # multichip tests encode block 1 directly): seed
+                    # the anchor with the host-exact pre-span sum
+                    i0b = self.audio.fm_dev_i0(a_k0, self.fm_win)
+                    self._fm_xa[block_no] = [i0b, jnp.int32(
+                        self.audio.fm_dev_seed_xa(
+                            self.audio.fm_mono, i0b, self.fm_win))]
+                self._fm_xa_started = True
+                if block_no not in self._fm_xa \
+                        or self._fm_xa[block_no][1] is None:
+                    raise RuntimeError(
+                        "FM blocks must be encoded sequentially (no "
+                        f"device phase anchor for block {block_no})")
+                exp_i0, xa = self._fm_xa[block_no]
+                dct, i0, i0n = self.audio.fm_compact_block_dev(
+                    self.audio.fm_mono, a_k0, nlines, self.fm_win, xa)
+                if exp_i0 is not None and exp_i0 != i0:
+                    raise RuntimeError(
+                        "FM device anchor mismatch (expected i0 "
+                        f"{exp_i0}, got {i0})")
+                self._fm_xa[block_no + 1] = [i0n, None]
+                self._fm_xa.pop(block_no - 2, None)
+                args["fm_mono"] = dct
+            else:
+                args["fm_mono"] = (
+                    self.audio.fm_compact_block(self.audio.fm_mono, a_k0,
+                                                nlines, self.fm_win)
+                    if self.fm_win is not None else
+                    self.audio.fm_block(self.audio.fm_mono, a_k0,
+                                        nlines))
         if self.fm_exact is not None:
             W = self.out_params.width
             n0, n1 = a_k0 * W, (a_k0 + nlines) * W
@@ -955,6 +1010,8 @@ class Encoder:
                 # next block's dispatch chains on it asynchronously
                 self._fm_r[block_no + 1] = aux.pop(0)
                 self._fm_r.pop(block_no - 2, None)   # keep it bounded
+            if self.fm_dev_held:
+                self._fm_xa[block_no + 1][1] = aux.pop(0)
             if self.secam_device:
                 self._secam_z[block_no + 1] = aux.pop(0)
                 self._secam_z.pop(block_no - 2, None)

@@ -31,7 +31,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hacktv_tpu import Encoder  # noqa: E402
 
-enc = Encoder("i", 1_000_000, frames_per_block=8)
+# direct trig: the piecewise FM rotation chain can contract differently
+# between the two compilations (see audio/synth.FMStatics.direct)
+enc = Encoder("i", 1_000_000, frames_per_block=8, fm_direct_trig=True)
 rgb = enc._device_rgb(1)
 m = enc._block_meta(1)
 dev, bufs = enc._pack_args(enc._audio_args(1))
