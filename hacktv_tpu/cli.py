@@ -120,6 +120,10 @@ def _build_parser() -> argparse.ArgumentParser:
     a("--frames-per-block", type=int, default=0,
       help="frames synthesised per device call (0 = auto: batched for "
            "the static test card, 1 for dynamic inputs)")
+    a("--devices", type=int, default=0, metavar="N",
+      help="shard each block's line axis over the first N jax devices "
+           "(0 = single device); output is bit-identical to "
+           "single-device")
     a("--frames", type=int, default=0,
       help="stop after N frames (0 = until interrupted)")
     a("--seconds", type=float, default=0,
@@ -383,6 +387,15 @@ def main(argv=None) -> int:
     if fpb <= 0:
         fpb = 16 if args.input == ["test"] else 1
 
+    devices = None
+    if args.devices:
+        import jax
+        avail = jax.devices()
+        if args.devices > len(avail):
+            raise SystemExit(f"--devices {args.devices}: only "
+                             f"{len(avail)} jax devices available")
+        devices = avail[:args.devices]
+
     if conf.mac_mode is not None:
         from .video.mac import MacEncoder
         from .video.params import VideoParams
@@ -401,7 +414,8 @@ def main(argv=None) -> int:
                          frames_per_block=fpb,
                          scramble_video=scr,
                          scramble_audio=args.scramble_audio,
-                         eurocrypt=ec, teletext=args.teletext)
+                         eurocrypt=ec, teletext=args.teletext,
+                         devices=devices)
         complex_out = conf.output_type == OutputType.COMPLEX
         frame_samples = enc.frame_samples
     else:
@@ -427,7 +441,8 @@ def main(argv=None) -> int:
                       raw_bb_file=args.raw_bb_file,
                       raw_bb_blanking=args.raw_bb_blanking,
                       raw_bb_white=args.raw_bb_white,
-                      secam_exact=(True if args.secam_exact else None))
+                      secam_exact=(True if args.secam_exact else None),
+                      devices=devices)
         complex_out = enc.complex_out
         frame_samples = enc.frame_samples
 

@@ -46,3 +46,23 @@ def test_multihost_2proc():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i}: OK" in out, out
+
+
+def test_cli_devices_flag_byte_identical(tmp_path):
+    """A sharded production stream is user-reachable: the CLI's
+    --devices flag must produce a byte-identical file."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    outs = []
+    for devflag in ([], ["--devices", "2"]):
+        out = tmp_path / f"pal{len(devflag)}.s16"
+        r = subprocess.run(
+            [sys.executable, "-m", "hacktv_tpu", "-o", str(out),
+             "-m", "pal", "--frames", "2", "--frames-per-block", "2",
+             "test"] + devflag,
+            capture_output=True, timeout=600, cwd=root, env=env)
+        assert r.returncode == 0, r.stderr.decode()
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1], "sharded CLI output differs"

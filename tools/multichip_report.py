@@ -61,6 +61,34 @@ def main(out_path=None):
     # 1. bit-exactness on runnable shapes
     shape1 = g._sharded_case("i", 1_000_000, 8, n)
     shape2 = g._sharded_case("m", 1_000_000, 8, n, vfilter=True)
+    g._sharded_case("l", 1_000_000, 8, n, _blocks=(0, 1))
+    g._sharded_case("i", 1_000_000, 8, n, syster="premiere-fa")
+
+    # 1b. measured wall-clock of the production step at 1/2/4/8 virtual
+    # devices.  CAVEAT (also in PERF.md): every virtual CPU device
+    # shares the same host cores and XLA:CPU already multithreads a
+    # single device, so these numbers measure partitioning overhead
+    # (layout, collectives), NOT real multi-chip speedup — that needs
+    # real ICI-connected chips; the comm/compute model below is the
+    # honest projection for those.
+    import time
+    import jax.numpy as jnp
+
+    def wall(n_dev):
+        kw = dict(fm_direct_trig=True)
+        enc = (Encoder("i", 1_000_000, frames_per_block=8, **kw)
+               if n_dev == 1 else
+               Encoder("i", 1_000_000, frames_per_block=8,
+                       devices=jax.devices()[:n_dev], **kw))
+        for b in range(2):
+            x = enc.encode_block_device(b)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        xs = [enc.encode_block_device(b) for b in range(2, 8)]
+        jax.block_until_ready(xs[-1])
+        return (time.perf_counter() - t0) / 6
+
+    walls = {str(nd): wall(nd) for nd in (1, 2, 4, 8)}
 
     # 2. + 3. production-width compile analysis
     share, f1, fN = g._flop_share("i", 16_000_000, 8, n)
@@ -80,7 +108,14 @@ def main(out_path=None):
 
     report = {
         "n_devices": n,
-        "bitexact": {"pal-i": list(shape1), "ntsc-m+vsb": list(shape2)},
+        "bitexact": {"pal-i": list(shape1), "ntsc-m+vsb": list(shape2),
+                     "secam-l": "blocks 0-1", "pal+syster": "block 1"},
+        "virtual_cpu_wall_s_per_block": walls,
+        "virtual_cpu_wall_note":
+            "all virtual devices share the host's cores and XLA:CPU "
+            "multithreads a single device, so this measures "
+            "partitioning overhead, not multi-chip speedup; the "
+            "comm/compute model below projects real-ICI efficiency",
         "per_device_flops": fN,
         "single_device_flops": f1,
         "flop_share": share,
