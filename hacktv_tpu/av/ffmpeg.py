@@ -56,7 +56,11 @@ def _probe(binary, path, ffmt=None, fopts=None):
     m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b", text)
     if m:
         width, height = int(m.group(1)), int(m.group(2))
-    return par, has_audio, width, height
+    vcodec = None
+    m = re.search(r"Video:\s*(\w+)", text)
+    if m:
+        vcodec = m.group(1)
+    return par, has_audio, width, height, vcodec
 
 
 def _input_args(path, ffmt, fopts):
@@ -91,8 +95,8 @@ class FFmpegSource:
         num, den = (frame_rate.num, frame_rate.den) \
             if hasattr(frame_rate, "num") else frame_rate
 
-        self.pixel_aspect_ratio, has_audio, nat_w, nat_h = _probe(
-            binary, path, ffmt, fopts)
+        self.pixel_aspect_ratio, has_audio, nat_w, nat_h, vcodec = \
+            _probe(binary, path, ffmt, fopts)
         # native decode size from the probe; the fit geometry
         # (FitSource) letterboxes/scales downstream using the PAR
         inp = _input_args(path, ffmt, fopts)
@@ -126,12 +130,25 @@ class FFmpegSource:
         self._audio_keep = 4 * AUDIO_RATE
         self._audio_eof = self._aproc is None
 
-        # EIA-608 side-car (one byte pair per frame)
-        self._cc = np.zeros((0, 2), dtype=np.uint8)
+        # EIA-608 captions: a `<path>.cc608` side-car (one byte pair per
+        # frame) takes priority; otherwise in-stream A53 extraction from
+        # the codec-copied elementary stream (the reference reads them
+        # from decoder frame side data, src/av_ffmpeg.c:566-581)
+        self._cc = None
+        self._a53 = None
+        self._a53_proc = None
+        self._a53_fifo: list = []
         cc = path + ".cc608"
         if os.path.exists(cc):
             raw = np.fromfile(cc, dtype=np.uint8)
             self._cc = raw[: len(raw) // 2 * 2].reshape(-1, 2)
+        elif vcodec in ("mpeg2video", "h264"):
+            from .a53 import A53ESParser
+            self._a53 = A53ESParser(vcodec)
+            self._a53_proc = subprocess.Popen(
+                list(binary) + ["-nostdin", "-v", "error"] + inp +
+                ["-map", "0:v:0", "-c:v", "copy", "-f", vcodec, "-"],
+                stdout=subprocess.PIPE)
 
     def read_video(self, frame_no: int) -> np.ndarray:
         nbytes = self.width * self.height * 3
@@ -173,18 +190,38 @@ class FFmpegSource:
         return out
 
     def read_cc608(self, frame_no: int):
-        """EIA-608 byte pair for frame_no ((0, 0) when none).  From the
-        .cc608 side-car; the reference's A53 side-data path needs libav
-        (src/av_ffmpeg.c:566-581), which the binary cannot expose."""
-        if frame_no < len(self._cc):
-            return int(self._cc[frame_no, 0]), int(self._cc[frame_no, 1])
+        """EIA-608 byte pair for frame_no ((0, 0) when none): the
+        side-car when present, else in-stream A53 pairs drained one per
+        frame like the reference's cc608 FIFO
+        (src/av_ffmpeg.c:566-581, src/video.c per-frame read)."""
+        if self._cc is not None:
+            if frame_no < len(self._cc):
+                return (int(self._cc[frame_no, 0]),
+                        int(self._cc[frame_no, 1]))
+            return 0, 0
+        if self._a53 is None:
+            return 0, 0
+        # pull the elementary stream until the parser has flushed past
+        # this frame's picture (or EOF)
+        while self._a53_proc is not None \
+                and self._a53.pictures <= frame_no:
+            chunk = self._a53_proc.stdout.read(1 << 16)
+            if not chunk:
+                self._a53_fifo.extend(self._a53.feed(b"", final=True))
+                self._a53_proc.stdout.close()
+                self._a53_proc.wait()
+                self._a53_proc = None
+                break
+            self._a53_fifo.extend(self._a53.feed(chunk))
+        if self._a53_fifo:
+            return self._a53_fifo.pop(0)
         return 0, 0
 
     def eof(self, frame_no: int) -> bool:
         return self._eof and frame_no > self._frame_no
 
     def close(self) -> None:
-        for p in (self._vproc, self._aproc):
+        for p in (self._vproc, self._aproc, self._a53_proc):
             if p is not None:
                 if p.poll() is None:
                     p.kill()

@@ -74,6 +74,88 @@ def test_ffmpeg_cc608_sidecar(tmp_path):
     src.close()
 
 
+def test_a53_parser_mpeg2_reorder():
+    """MPEG-2 ES: pairs re-ordered to display order via the picture
+    temporal_reference; non-608 packets filtered
+    ((b0 & 0x07) == 0x04, src/av_ffmpeg.c:566-581)."""
+    sys.path.insert(0, os.path.join(ROOT, "tests", "data"))
+    from fake_ffmpeg import mpeg2_es_fixture
+    from hacktv_tpu.av.a53 import A53ESParser
+    es = mpeg2_es_fixture()
+    p = A53ESParser("mpeg2video")
+    pairs = []
+    # feed in awkward chunk sizes to exercise the partial-unit buffer
+    for i in range(0, len(es), 7):
+        pairs += p.feed(es[i:i + 7])
+    pairs += p.feed(b"", final=True)
+    assert p.pictures == 5
+    assert pairs == [(0x20 + n, 0x40 + n) for n in range(5)]
+
+
+def test_a53_parser_h264_sei():
+    from hacktv_tpu.av.a53 import A53ESParser
+    cc = bytes([0xFC, 0x31, 0x51])
+    t35 = bytes([0xB5, 0x00, 0x31]) + b"GA94\x03" \
+        + bytes([0x41, 0xFF]) + cc
+    sei = b"\x00\x00\x01\x06" + bytes([4, len(t35)]) + t35 + b"\x80"
+    slc = b"\x00\x00\x01\x65" + b"\xAA" * 6
+    p = A53ESParser("h264")
+    pairs = p.feed(sei + slc + b"\x00\x00\x01\x65" + b"\xBB" * 4,
+                   final=True)
+    assert p.pictures == 2
+    assert pairs == [(0x31, 0x51)]
+
+
+def test_ffmpeg_in_stream_a53(tmp_path):
+    """No side-car: captions come from the codec-copied elementary
+    stream, drained one pair per frame like the reference's FIFO."""
+    from hacktv_tpu.av.ffmpeg import FFmpegSource
+    inp = tmp_path / "captioned.avi"
+    inp.write_bytes(b"fake")
+    src = FFmpegSource(str(inp), 702, 576,
+                       binary=[sys.executable, FAKE])
+    for n in range(5):
+        assert src.read_cc608(n) == (0x20 + n, 0x40 + n), n
+    assert src.read_cc608(5) == (0, 0)
+    calls = (tmp_path / "captioned.avi.calls").read_text()
+    assert "copy" in calls
+    src.close()
+
+
+def test_cli_in_stream_a53_matches_sidecar(tmp_path):
+    """The real CLI path with a captioned input renders the same
+    line-21 waveform as the identical pairs fed via the side-car —
+    the in-stream extractor is equivalent upstream of the proven
+    renderer."""
+    import shutil
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    wrap = bindir / "ffmpeg"
+    wrap.write_text(f"#!{sys.executable}\n"
+                    + open(FAKE).read())
+    wrap.chmod(0o755)
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}",
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+
+    pairs = bytes(sum(([0x20 + n, 0x40 + n] for n in range(5)), []))
+    outs = []
+    for name, sidecar in (("captioned.avi", None),
+                          ("plain.avi", pairs)):
+        inp = tmp_path / name
+        inp.write_bytes(b"fake")
+        if sidecar is not None:
+            (tmp_path / (name + ".cc608")).write_bytes(sidecar)
+        out = tmp_path / (name + ".s16")
+        r = subprocess.run(
+            [sys.executable, "-m", "hacktv_tpu", "-o", str(out),
+             "-m", "m", "--cc608", "--frames", "4",
+             "--frames-per-block", "1", f"ffmpeg:{inp}"],
+            capture_output=True, timeout=600, cwd=ROOT, env=env)
+        assert r.returncode == 0, r.stderr.decode()
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+
+
 # ---------------------------------------------------------------------------
 # OpenCV fallback
 
