@@ -144,6 +144,52 @@ def test_syster_shuffle_golden():
     assert snr >= 40.0, f"Syster SNR {snr:.2f} dB"
 
 
+def _sha_golden(name, frames, fpb, **kw):
+    """Long-horizon cadence check (verdict r3 item 6): encode `frames`
+    frames across many blocks and compare per-frame sha256 digests
+    against the reference capture — the regression net for multi-
+    frame-block state bugs (commit 25b4f3a's class)."""
+    import hashlib
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip("golden missing")
+    ref = open(path, "rb").read()
+    enc = Encoder("pal", 16_000_000, frames_per_block=fpb, **kw)
+    fbytes = enc.frame_samples * 2
+    nb = -(-frames // fpb)
+    buf = b""
+    done = 0
+    for b in range(nb):
+        buf += enc.encode_block(b).tobytes()
+        while len(buf) >= fbytes and done < frames:
+            h = hashlib.sha256(buf[:fbytes]).digest()
+            exp = ref[done * 32:(done + 1) * 32]
+            assert h == exp, f"{name}: frame {done} differs"
+            buf = buf[fbytes:]
+            done += 1
+    assert done == min(frames, len(ref) // 32)
+
+
+def test_videocrypts_full_table_period():
+    """VCS across its full 256-frame shuffle-table cycle (one full
+    period of videocrypts-sequence.h), spanning 17 encoder blocks."""
+    _sha_golden("pal_vcs_260f.sha", 260, 16, videocrypts="free")
+
+
+def test_syster_full_cw_cycle():
+    """Syster across one full 50-frame CW cycle (PRBS reset on frames
+    6/31, syster.c:706-718), spanning 7 encoder blocks."""
+    _sha_golden("pal_syster_52f.sha", 52, 8, syster="premiere-fa")
+
+
+def test_videocrypt1_16_frames():
+    _sha_golden("pal_vc1_16f.sha", 16, 4, videocrypt="free")
+
+
+def test_videocrypt2_16_frames():
+    _sha_golden("pal_vc2_16f.sha", 16, 4, videocrypt2="free")
+
+
 def test_systercnr_golden():
     snr = _svc_golden("pal_systercnr_4frames.s16", "pal", 16_000_000, nb=4,
                       systercnr="premiere-fa")
