@@ -520,6 +520,12 @@ def main(argv=None) -> int:
         pass
     finally:
         sink.close()
+        if args.verbose and hasattr(sink, "stats"):
+            st = sink.stats()
+            print(f"sink: {st['underruns']} underrun"
+                  f"{'s' if st['underruns'] != 1 else ''}, longest "
+                  f"{st['longest_shortfall_bytes']} bytes",
+                  file=sys.stderr)
         if source is not None and hasattr(source, "close"):
             source.close()
         if args.verbose and samples_out:

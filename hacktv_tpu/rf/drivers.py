@@ -59,6 +59,23 @@ class _hackrf_transfer(C.Structure):
 _TX_CB = C.CFUNCTYPE(C.c_int, C.POINTER(_hackrf_transfer))
 
 
+class _hackrf_m0_state(C.Structure):
+    # src/libhackrf/hackrf.h hackrf_m0_state layout
+    _fields_ = [
+        ("requested_mode", C.c_uint16),
+        ("request_flag", C.c_uint16),
+        ("active_mode", C.c_uint32),
+        ("m0_count", C.c_uint32),
+        ("m4_count", C.c_uint32),
+        ("num_shortfalls", C.c_uint32),
+        ("longest_shortfall", C.c_uint32),
+        ("shortfall_limit", C.c_uint32),
+        ("threshold", C.c_uint32),
+        ("next_mode", C.c_uint32),
+        ("error", C.c_uint32),
+    ]
+
+
 class HackRFDriver:
     """start(fill) arms hackrf_start_tx with a callback that requests
     `valid_length` bytes from fill() per USB transfer; fill returning
@@ -120,6 +137,24 @@ class HackRFDriver:
         ck("hackrf_set_freq", self.dev, C.c_uint64(int(frequency)))
         ck("hackrf_set_txvga_gain", self.dev, C.c_uint32(int(txvga_gain)))
         ck("hackrf_set_amp_enable", self.dev, 1 if amp else 0)
+
+    def get_m0_state(self):
+        """Poll the device's M0 shortfall statistics
+        (hackrf_get_m0_state, src/rf_hackrf.c:220-244).  Returns
+        (num_shortfalls, longest_shortfall) or None when the library
+        lacks the call (older libhackrf) or it fails."""
+        fn = getattr(self.lib, "hackrf_get_m0_state", None)
+        if fn is None:
+            return None
+        state = _hackrf_m0_state()
+        self.calls.append("hackrf_get_m0_state")
+        try:
+            r = fn(self.dev, C.byref(state))
+        except Exception:
+            return None
+        if r != HACKRF_SUCCESS:
+            return None
+        return int(state.num_shortfalls), int(state.longest_shortfall)
 
     def start(self, fill) -> None:
         def _cb(transfer_p):

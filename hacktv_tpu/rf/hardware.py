@@ -72,6 +72,11 @@ class HackRFSink:
         self._frame_phase = 0
         self._frame_padding = 0
         self.underruns = 0
+        self.longest_shortfall = 0    # bytes, local FIFO view
+        self._sample_rate = int(sample_rate)
+        self._stats_counter = 0
+        self._m0_shortfalls = 0
+        self._m0_longest = 0
         driver.start(self._fill)
 
     # -- producer side --------------------------------------------------
@@ -84,6 +89,38 @@ class HackRFSink:
             data = runtime.convert_hackrf_iq8(iq.reshape(-1))
         if self.fifo.write(data) < 0:
             raise OSError("hackrf: transfer aborted")
+        self._print_stats(len(iq))
+
+    def _print_stats(self, samples: int) -> None:
+        """Once per second of samples, poll the device's M0 shortfall
+        counters and warn when they advance
+        (src/rf_hackrf.c:220-244)."""
+        self._stats_counter += samples
+        if self._stats_counter < self._sample_rate:
+            return
+        self._stats_counter -= self._sample_rate
+        get = getattr(self.driver, "get_m0_state", None)
+        if get is None:
+            return
+        st = get()
+        if st is None:
+            return
+        num, longest = st
+        if num != self._m0_shortfalls:
+            sys.stderr.write(
+                f"hackrf: {num} underrun{'s' if num != 1 else ''}, "
+                f"longest {longest} bytes\n")
+            self._m0_shortfalls = num
+            self._m0_longest = longest
+
+    def stats(self) -> dict:
+        """Sink telemetry: local FIFO underruns plus the device's M0
+        counters when available."""
+        return {"underruns": self.underruns,
+                "longest_shortfall_bytes": self.longest_shortfall,
+                "m0_shortfalls": self._m0_shortfalls,
+                "m0_longest_shortfall": self._m0_longest,
+                "fifo_level": self.fifo.level()}
 
     def write_audio(self, pcm: np.ndarray) -> None:
         """HackDAC interleaved audio: int16 stereo pairs at 32 kHz,
@@ -106,6 +143,8 @@ class HackRFSink:
                 return b""                 # EOF: stop transfer
             if len(got) < n:
                 self.underruns += 1
+                self.longest_shortfall = max(self.longest_shortfall,
+                                             n - len(got))
                 sys.stderr.write("U")
                 got += b"\x00" * (n - len(got))
             return got
@@ -151,6 +190,8 @@ class HackRFSink:
             else:
                 # underrun: pad to a whole number of AV phases
                 self.underruns += 1
+                self.longest_shortfall = max(self.longest_shortfall,
+                                             want)
                 sys.stderr.write("U")
                 pads = -(-want // HACKDAC_PHASE_SIZE) * HACKDAC_PHASE_SIZE
                 self._frame_padding = pads
