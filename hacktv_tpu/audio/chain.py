@@ -790,6 +790,46 @@ class AudioChain:
                     offr=(off0 % spp).astype(np.int32),
                     cc_off=(n_line % nt["den"]).astype(np.int32))
 
+    # -- checkpoint/resume ----------------------------------------------
+    # The chain's cross-block state is a handful of anchors (SURVEY §5
+    # inventory); the held/pcm caches are recomputable and dropped.
+    _CARRIER_SLOTS = ("fm_mono", "fm_right", "am_mono")
+
+    def state_dict(self) -> dict:
+        names = {id(getattr(self, nm)): nm
+                 for nm in self._CARRIER_SLOTS
+                 if getattr(self, nm, None) is not None}
+        remap = lambda d: {names[k]: v for k, v in d.items()
+                           if k in names}
+        st = {"int_anchor": remap(self._int_anchor),
+              "dev_anchor": remap(self._dev_anchor)}
+        for a in ("_pilot_anchor", "_dsym_anchor",
+                  "_dance_dsym_anchor"):
+            if hasattr(self, a):
+                st[a] = getattr(self, a)
+        anc = getattr(self, "_nicam_dev_anchor", None)
+        if anc is not None:
+            st["_nicam_dev_anchor"] = (anc[0], np.asarray(anc[1]))
+        return st
+
+    def load_state(self, st: dict) -> None:
+        import jax.numpy as jnp
+        ids = {nm: id(getattr(self, nm))
+               for nm in self._CARRIER_SLOTS
+               if getattr(self, nm, None) is not None}
+        self._int_anchor = {ids[nm]: v
+                            for nm, v in st["int_anchor"].items()}
+        self._dev_anchor = {ids[nm]: v
+                            for nm, v in st["dev_anchor"].items()}
+        self._held_cache = {}
+        for a in ("_pilot_anchor", "_dsym_anchor",
+                  "_dance_dsym_anchor"):
+            if a in st:
+                setattr(self, a, st[a])
+        if "_nicam_dev_anchor" in st:
+            fa, dsym = st["_nicam_dev_anchor"]
+            self._nicam_dev_anchor = (fa, jnp.asarray(dsym))
+
     def nicam_dev_dsym(self, dsym) -> None:
         """Store the differential-state carry (device scalar) produced by
         the fused step for the next block's args."""

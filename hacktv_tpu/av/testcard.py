@@ -88,6 +88,8 @@ def test_tone(sample_rate_num: int = 32000, sample_rate_den: int = 1
 class TestCardSource:
     """AV source yielding the constant test card frame + looping tone."""
 
+    stateless = True       # index-addressable: checkpoint-safe
+
     def __init__(self, width: int, height: int):
         self.width = width
         self.height = height

@@ -1037,6 +1037,90 @@ class Encoder:
         q = lambda a: jnp.round(jnp.clip(a, -1.0, 1.0) * 32767.0)
         return q(u), q(v)
 
+    # ------------------------------------------------------------------
+    # Stream checkpoint/resume (beyond the reference, SURVEY §5: the
+    # cross-block carries — FM phases, IIR/scan carries, CA counters,
+    # service schedulers, audio anchors — are all explicit state).
+    def checkpoint(self, next_block: int) -> bytes:
+        """Serialise the stream state so a FRESH Encoder constructed
+        with the same arguments can `load_checkpoint` and continue at
+        `next_block` bit-identically.  Requires blocks [0, next_block)
+        to have been encoded and an index-addressable (stateless)
+        source."""
+        import copy
+        import pickle
+        if self.passthru is not None:
+            raise NotImplementedError(
+                "checkpoint with --passthru is not supported")
+        if not getattr(self.source, "stateless", False):
+            raise NotImplementedError(
+                "checkpoint requires an index-addressable source")
+        b = int(next_block)
+        st: dict = {"version": 1, "next_block": b}
+        if self.fm_video_statics is not None:
+            st["fm_r"] = np.asarray(self._fm_r[b])
+        if self.fm_dev_held:
+            exp, xa = self._fm_xa[b]
+            if xa is None:
+                raise RuntimeError("encode block "
+                                   f"{b - 1} before checkpointing")
+            st["fm_xa"] = (exp, np.asarray(xa))
+        if self.secam_statics is not None:
+            if self.secam_device:
+                st["secam_z"] = np.asarray(self._secam_z[b])
+            else:
+                st["secam_iir"] = self._secam_iir[b]
+        for nm in ("fm_exact", "fm_video_exact"):
+            fx = getattr(self, nm, None)
+            if fx is not None:
+                st[nm] = (fx._state.copy(), fx.n)
+        st["audio"] = self.audio.state_dict()
+        svc = []
+        for s in self.services:
+            if hasattr(s, "ckpt_state"):
+                svc.append(("m", s.ckpt_state()))
+            else:
+                attrs = getattr(s, "_CKPT_ATTRS", ())
+                if getattr(s, "raw", None) is not None:
+                    raise NotImplementedError(
+                        "checkpoint with a raw: packet stream")
+                svc.append(("a", {a: copy.deepcopy(getattr(s, a))
+                                  for a in attrs}))
+        st["services"] = svc
+        return pickle.dumps(st)
+
+    def load_checkpoint(self, blob: bytes) -> int:
+        """Restore checkpoint() state into this (freshly constructed,
+        identically configured) encoder; returns the block number to
+        encode next."""
+        import pickle
+        st = pickle.loads(blob)
+        b = st["next_block"]
+        if "fm_r" in st:
+            self._fm_r = {b: jnp.asarray(st["fm_r"])}
+        if "fm_xa" in st:
+            exp, xa = st["fm_xa"]
+            self._fm_xa = {b: [exp, jnp.asarray(xa)]}
+            self._fm_xa_started = True
+        if "secam_z" in st:
+            self._secam_z = {b: jnp.asarray(st["secam_z"])}
+        if "secam_iir" in st:
+            self._secam_iir = {b: st["secam_iir"]}
+        for nm in ("fm_exact", "fm_video_exact"):
+            if nm in st:
+                fx = getattr(self, nm)
+                state, n = st[nm]
+                fx._state[:] = state
+                fx.n = n
+        self.audio.load_state(st["audio"])
+        for s, (kind, data) in zip(self.services, st["services"]):
+            if kind == "m":
+                s.ckpt_load(data)
+            else:
+                for a, v in data.items():
+                    setattr(s, a, v)
+        return b
+
     @property
     def frame_samples(self) -> int:
         """Output samples per frame (at sample_rate, post-resampler)."""
@@ -1108,6 +1192,7 @@ class _OrientedSource:
 
     def __init__(self, inner, orientation: int):
         self.inner = inner
+        self.stateless = getattr(inner, "stateless", False)
         self.orientation = orientation
         w, h = inner.width, inner.height
         if (orientation & 3) in (1, 3):

@@ -27,6 +27,7 @@ def encode_chars(c1: int, c2: int) -> bytes:
 
 
 class CC608:
+    _CKPT_ATTRS = ("fifo", "_cc_frame")
     def __init__(self, params, source=None):
         p = params
         from ..config.standards import RasterType

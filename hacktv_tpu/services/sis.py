@@ -182,6 +182,19 @@ class SiS:
     """Batched SiS line process."""
 
     lookahead = 1
+    # checkpoint: the generator state minus its chain/source references
+    _SIS_FIELDS = ("re", "fnum", "hist", "cur_buf", "_wins", "_next_j",
+                   "_symq", "_symq_pos", "_sim", "_sim_e")
+
+    def ckpt_state(self):
+        import copy
+        return {f: copy.deepcopy(getattr(self.state, f))
+                for f in self._SIS_FIELDS}
+
+    def ckpt_load(self, d):
+        import copy
+        for f, v in d.items():
+            setattr(self.state, f, copy.deepcopy(v))
 
     def __init__(self, params, mode: str, chain, audio_lag_lines: int):
         if mode != "dcsis":

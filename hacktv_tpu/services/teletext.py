@@ -456,6 +456,29 @@ def load_tti(service: TeletextService, filename: str):
 class Teletext:
     """Batch-encoder service wrapper."""
 
+    def ckpt_state(self):
+        """Scheduler + page-ring state; the (possibly non-picklable)
+        clock callable stays with the live encoder."""
+        import copy
+        if self.raw is not None:
+            raise NotImplementedError(
+                "checkpoint with a raw: packet stream")
+        svc = self.service
+        clock = svc.clock
+        svc.clock = None
+        try:
+            snap = copy.deepcopy(svc)
+        finally:
+            svc.clock = clock
+        return {"service": snap,
+                "pkt_cache": copy.deepcopy(self._pkt_cache)}
+
+    def ckpt_load(self, d):
+        clock = self.service.clock
+        self.service = d["service"]
+        self.service.clock = clock
+        self._pkt_cache = dict(d["pkt_cache"])
+
     def __init__(self, params, path: str, clock=None):
         p = params
         level = round((p.white_level - p.black_level) * 0.66)

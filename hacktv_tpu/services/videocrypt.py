@@ -268,6 +268,7 @@ class _VCState:
 
 
 class Videocrypt:
+    _CKPT_ATTRS = ("state",)
     """Batched Videocrypt I/II line process."""
 
     def __init__(self, params, mode: str | None = None,

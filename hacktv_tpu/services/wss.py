@@ -54,6 +54,7 @@ def wss_vbi_bytes(code: int) -> bytes:
 
 
 class WSS:
+    _CKPT_ATTRS = ("bits",)
     """Per-block WSS arrays for the batch encoder."""
 
     def __init__(self, params, mode: str):

@@ -163,3 +163,60 @@ def test_hackdac_sink_av_interleave():
                            hardware.HACKDAC_SYNC_MAGIC_2,
                            hardware.HACKDAC_USB_AUDIO_BUFFER_SIZE]
     s.close()
+
+
+# ---------------------------------------------------------------------------
+# Stream checkpoint/resume (beyond the reference; SURVEY §5 inventory)
+
+
+def test_checkpoint_resume_bit_exact():
+    """Encode 8 frames, checkpoint at 4, resume in a FRESH encoder and
+    byte-compare against the uninterrupted stream — across the FM
+    device anchors, NICAM carries, SECAM scan carry and the stateful
+    services."""
+    import numpy as np
+    from hacktv_tpu.encoder import Encoder
+
+    configs = [
+        ("i", {}),                                  # FM xa + NICAM dsym
+        ("l", {}),                                  # SECAM z carry + AM
+        ("pal", dict(syster="premiere-fa",          # CA + scheduler state
+                     teletext="tests/data/demo.tti",
+                     teletext_clock=lambda: 1_200_000_000,
+                     vits=True)),
+    ]
+    for mode, kw in configs:
+        mk = lambda: Encoder(mode, 16_000_000, frames_per_block=2, **kw)
+        full = mk()
+        ref = [full.encode_block(b) for b in range(4)]
+
+        a = mk()
+        for b in range(2):
+            got = a.encode_block(b)
+            assert np.array_equal(got, ref[b]), (mode, b)
+        blob = a.checkpoint(2)
+
+        c = mk()
+        b0 = c.load_checkpoint(blob)
+        assert b0 == 2
+        for b in range(2, 4):
+            got = c.encode_block(b)
+            assert np.array_equal(got, ref[b]), (mode, "resumed", b)
+
+
+def test_checkpoint_requires_stateless_source(tmp_path):
+    import pytest
+    from hacktv_tpu.encoder import Encoder
+
+    class _Moving:
+        width, height = 64, 48
+        interlaced = 0
+
+        def read_video(self, n):
+            import numpy as np
+            return np.full((48, 64, 3), n & 0xFF, np.uint8)
+
+    enc = Encoder("pal", 16_000_000, source=_Moving())
+    enc.encode_block(0)
+    with pytest.raises(NotImplementedError):
+        enc.checkpoint(1)
