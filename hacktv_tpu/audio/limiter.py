@@ -119,11 +119,20 @@ class Limiter:
             q = np.round(taps * 32767.0).astype(np.int32)
             nt = len(q)
             xp = jnp.concatenate([jnp.zeros(nt - 1, jnp.int32), x])
-            acc = jnp.zeros(n, jnp.int32)
+            # sum|q|*32767 can reach ~4x int32 for the pre-emphasis tap
+            # sets on full-scale input, so accumulate the exact value as
+            # hi/lo int32 pieces of x = xh*2^8 + xl:
+            #   acc>>15 == (accH + (accL >> 8)) >> 7   (exact floor)
+            xh = xp >> 8
+            xl = xp & 0xFF
+            accH = jnp.zeros(n, jnp.int32)
+            accL = jnp.zeros(n, jnp.int32)
             for k in range(nt):
-                acc = acc + np.int32(q[k]) \
-                    * xp[nt - 1 - k: nt - 1 - k + n]
-            return acc >> 15
+                c = np.int32(q[k])
+                s = slice(nt - 1 - k, nt - 1 - k + n)
+                accH = accH + c * xh[s]
+                accL = accL + c * xl[s]
+            return (accH + (accL >> 8)) >> 7
 
         def mul_shift15(var, k):
             kh = k >> 8
