@@ -83,21 +83,18 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
 
     A = jnp.broadcast_to(segA[:, 0][:, None], (B, W))
     Bc = jnp.broadcast_to(segB[:, 0][:, None], (B, W))
-    segCB = jnp.cos(segB)          # per-segment step rotation
-    segSB = jnp.sin(segB)
-    CB = jnp.broadcast_to(segCB[:, 0][:, None], (B, W))
-    SB = jnp.broadcast_to(segSB[:, 0][:, None], (B, W))
     for j in range(1, st.nseg):
         m = (colsf >= seg_col[:, j][:, None].astype(jnp.float32)
              ).astype(jnp.float32)
         A = A + m * (segA[:, j] - segA[:, j - 1])[:, None]
         Bc = Bc + m * (segB[:, j] - segB[:, j - 1])[:, None]
-        CB = CB + m * (segCB[:, j] - segCB[:, j - 1])[:, None]
-        SB = SB + m * (segSB[:, j] - segSB[:, j - 1])[:, None]
 
-    if phi_extra is not None or st.direct:
-        # arbitrary extra phase (A2 pilot) breaks the piecewise-affine
-        # structure: direct transcendentals
+    if phi_extra is not None or st.direct or W % 128:
+        # direct transcendentals: an arbitrary extra phase (A2 pilot)
+        # breaks the piecewise-affine structure, and on widths that
+        # don't tile the 128-lane register (e.g. NTSC's 858) the
+        # piecewise path's [::K] slices lower to layout copies that
+        # cost more than the saved transcendentals
         phi = A + Bc * colsf
         if phi_extra is not None:
             phi = phi + phi_extra
@@ -113,6 +110,15 @@ def fm_add(st: FMStatics, out_i: jnp.ndarray, out_q: jnp.ndarray,
         K = 4
         Wp = -(-W // K) * K
         pad = Wp - W
+        segCB = jnp.cos(segB)          # per-segment step rotation
+        segSB = jnp.sin(segB)
+        CB = jnp.broadcast_to(segCB[:, 0][:, None], (B, W))
+        SB = jnp.broadcast_to(segSB[:, 0][:, None], (B, W))
+        for j in range(1, st.nseg):
+            m = (colsf >= seg_col[:, j][:, None].astype(jnp.float32)
+                 ).astype(jnp.float32)
+            CB = CB + m * (segCB[:, j] - segCB[:, j - 1])[:, None]
+            SB = SB + m * (segSB[:, j] - segSB[:, j - 1])[:, None]
         phi = A + Bc * colsf
         if pad:
             phi = jnp.pad(phi, ((0, 0), (0, pad)))
