@@ -1128,6 +1128,58 @@ class MacEncoder:
             self._fm_r.pop(block_no - 2, None)
         return out
 
+    # ------------------------------------------------------------------
+    # Stream checkpoint/resume: the packet multiplex, CA, audio-coder
+    # and scramble state all live in the (pure Python/numpy) MacMux, so
+    # the checkpoint is the mux with its AV-source reference detached,
+    # plus the FM phase carry.
+    def checkpoint(self, next_block: int) -> bytes:
+        import copy
+        import pickle
+        if not getattr(self.source, "stateless", False):
+            raise NotImplementedError(
+                "checkpoint requires an index-addressable source")
+        tt = self.mux.teletext
+        if tt is not None and getattr(tt, "raw", None) is not None:
+            raise NotImplementedError(
+                "checkpoint with a raw: packet stream")
+        b = int(next_block)
+        if self._next_block != b:
+            raise RuntimeError(
+                f"checkpoint at block {b} but stream is at "
+                f"{self._next_block}")
+        mux = self.mux
+        src, mux.source = mux.source, None
+        clock = None
+        if tt is not None:
+            clock = tt.service.clock
+            tt.service.clock = None
+        try:
+            snap = copy.deepcopy(mux)
+        finally:
+            mux.source = src
+            if tt is not None:
+                tt.service.clock = clock
+        st = {"version": 1, "next_block": b, "mux": snap}
+        if self.fm_video_statics is not None:
+            st["fm_r"] = np.asarray(self._fm_r[b])
+        return pickle.dumps(st)
+
+    def load_checkpoint(self, blob: bytes) -> int:
+        import pickle
+        st = pickle.loads(blob)
+        b = st["next_block"]
+        clock = (self.mux.teletext.service.clock
+                 if self.mux.teletext is not None else None)
+        self.mux = st["mux"]
+        self.mux.source = self.source
+        if self.mux.teletext is not None:
+            self.mux.teletext.service.clock = clock
+        if "fm_r" in st:
+            self._fm_r = {b: jnp.asarray(st["fm_r"])}
+        self._next_block = b
+        return b
+
     def encode_block(self, block_no: int) -> np.ndarray:
         """Host int16 samples: [n] for real-baseband modes, interleaved
         [n, 2] I/Q for complex/FM modes."""

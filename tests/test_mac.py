@@ -185,3 +185,30 @@ def test_d2mac_linear_l1_audio():
     from hacktv_tpu.config.standards import get_mode
     conf = replace(get_mode("d2mac"), mac_audio_companded=False)
     assert _wave_snr(conf, "d2mac_linl1_4frames.s16") > 60.0
+
+
+def test_mac_checkpoint_resume_bit_exact():
+    """MacEncoder: encode 4 blocks, checkpoint at 2, resume in a fresh
+    encoder, byte-compare — the packet mux / CA / audio-coder state
+    round-trips through the pickled mux."""
+    import numpy as np
+    from hacktv_tpu.video.mac import MacEncoder
+    from hacktv_tpu.config.standards import get_mode
+    from hacktv_tpu.services.eurocrypt import Eurocrypt
+
+    def mk():
+        return MacEncoder(get_mode("d2mac"), 2_025_000,
+                          frames_per_block=1, scramble_video=2,
+                          scramble_audio=True,
+                          eurocrypt=Eurocrypt("filmnet"))
+
+    full = mk()
+    ref = [full.encode_block(b) for b in range(4)]
+    a = mk()
+    for b in range(2):
+        assert np.array_equal(a.encode_block(b), ref[b]), b
+    blob = a.checkpoint(2)
+    c = mk()
+    assert c.load_checkpoint(blob) == 2
+    for b in range(2, 4):
+        assert np.array_equal(c.encode_block(b), ref[b]), ("resumed", b)
