@@ -350,8 +350,12 @@ class AudioChain:
         if FS32 % int(dev):
             return None
         M = FS32 // int(dev)
-        if M >= (1 << 24):
-            return None                   # f32(X) must be exact
+        if M >= (1 << 26):
+            # f32(X) is exact below 2^24; up to 2^26 the conversion can
+            # slip by <= 3 units = a phase error <= 6*pi/M < 1.5e-6 rad,
+            # far below f32 trig precision (NTSC-M's M is 2^24.08, and
+            # the host fallback this gates was a 12 ms/block serial cost)
+            return None
         # hold lengths pattern: len[i] = start(i+1) - start(i), period
         # A / gcd(S, A) in the audio index
         P_len = A // math.gcd(S, A)

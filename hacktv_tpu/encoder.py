@@ -599,26 +599,25 @@ class Encoder:
             W = p.width
             n = nlines * W
 
-        def stream_conv(kern_np):
-            # shifted-slice FMA over the flat stream, reshaped to [B, W]:
-            # one fused VPU pass (lax.conv with a single feature dim
-            # lowers to a degenerate-layout pipeline dominated by copies)
-            ntaps = kern_np.shape[0]
+        def pallas_stream(taps_r, taps_i=None):
+            # one VMEM-staged pass over the stream for ALL taps (the
+            # VSB scomplex filter is 102 shifted-slice FMAs otherwise)
+            from .ops import pallas_fir
+            ntaps = len(taps_r)
             half = ntaps // 2
             xs = x[W - half: W - half + n + ntaps - 1]
-            acc = np.float32(kern_np[-1]) * xs[0:n].reshape(nlines, W)
-            for t in range(1, ntaps):
-                acc = acc + np.float32(kern_np[ntaps - 1 - t]) \
-                    * xs[t:t + n].reshape(nlines, W)
-            return acc
+            return pallas_fir.stream_fir(xs, taps_r, taps_i, n)
 
         yq = None
         if p.vfilter_ctaps is not None:
             # VSB: real -> complex filter (src/fir.c:529-615 "scomplex")
-            y = stream_conv(np.ascontiguousarray(p.vfilter_ctaps.real))
-            yq = stream_conv(np.ascontiguousarray(p.vfilter_ctaps.imag))
+            yf, yqf = pallas_stream(
+                np.ascontiguousarray(p.vfilter_ctaps.real),
+                np.ascontiguousarray(p.vfilter_ctaps.imag))
+            y = yf.reshape(nlines, W)
+            yq = yqf.reshape(nlines, W)
         elif p.vfilter_taps is not None:
-            y = stream_conv(p.vfilter_taps)
+            y = pallas_stream(p.vfilter_taps).reshape(nlines, W)
         else:
             y = x[W: W + n].reshape(nlines, W)
         if cblock is not None:
@@ -628,7 +627,7 @@ class Encoder:
             xl = x
             x = cblock.reshape(-1)
             if p.vfilter_taps is not None:
-                yq = stream_conv(p.vfilter_taps)
+                yq = pallas_stream(p.vfilter_taps).reshape(nlines, W)
             else:
                 yq = x[W: W + n].reshape(nlines, W)
             x = xl
