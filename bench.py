@@ -47,10 +47,18 @@ def _bench_config(name, e2e=False, dynamic=False):
         from hacktv_tpu.av.testcard import TestCardSource
 
         class _Dyn(TestCardSource):
+            # pregenerated noise (generation itself must not be timed);
+            # long enough that no two blocks repeat within a trial
+            _NOISE = np_.random.default_rng(11).integers(
+                -20000, 20000, (120 * 32000, 2)).astype(np_.int16)
+
             def read_audio(self, start, count):
-                rng = np_.random.default_rng(start & 0x7FFFFFFF)
-                return rng.integers(-20000, 20000,
-                                    (count, 2)).astype(np_.int16)
+                n = len(self._NOISE)
+                i = start % n
+                if i + count <= n:
+                    return self._NOISE[i:i + count]
+                return np_.concatenate([self._NOISE[i:],
+                                        self._NOISE[:i + count - n]])
 
         kw["source"] = _Dyn(922, 576)
     if mode.startswith("dmac") or mode.startswith("d2mac"):
