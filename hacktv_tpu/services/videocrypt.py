@@ -328,33 +328,53 @@ class Videocrypt:
         return None
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = np.zeros((nlines, 40), dtype=np.float32)
+        """Vectorised per frame: cut-point columns and VBI byte rows
+        come from array indexing per frame segment."""
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        valid = ks >= 0
+        lines = np.where(valid, ks % self.lines_total + 1, 0)
+        frames = np.where(valid, 1 + ks // self.lines_total, 0)
+        packed = np.zeros((nlines, 5), dtype=np.uint8)
         active = np.zeros(nlines, dtype=np.float32)
         b_col = np.zeros(nlines, dtype=np.int32)
         s1_col = np.zeros(nlines, dtype=np.int32)
         vs = self.video_scale
-        for i in range(nlines):
-            k = k0 + i
-            if k < 0:
-                continue
-            line = k % self.lines_total + 1
-            frame = 1 + k // self.lines_total
-            vbi, vbi2, cuts = self.state.frame(frame)
-            lb = self._line_vbi(line, vbi, vbi2)
-            if lb is not None:
-                bits[i] = vbidata.bytes_to_bits(lb, 40, lsb_first=True)
-                if claimed is not None:
-                    claimed[i] = True
-            if line == 335 and claimed is not None:
-                claimed[i] = True   # line 336 scrambles into VBI line 335
-            x = int(cuts[line])
-            if x >= 0:
-                cut = 105 + (0xFF - x) * 2
-                lshift = 710 - cut
-                active[i] = 1.0
-                b_col[i] = vs[VC_LEFT + cut]
-                s1_col[i] = vs[VC_LEFT + lshift]
-        return {"bits": bits, "active": active, "b_col": b_col,
+        ranges = []
+        if self.blocks:
+            ranges += [("vbi", VC_VBI_FIELD_1_START, 0),
+                       ("vbi", VC_VBI_FIELD_2_START,
+                        VC_VBI_LINES_PER_FIELD)]
+        if self.blocks2:
+            ranges += [("vbi2", VC2_VBI_FIELD_1_START, 0),
+                       ("vbi2", VC2_VBI_FIELD_2_START,
+                        VC_VBI_LINES_PER_FIELD)]
+        if valid.any():
+            for f in range(int(frames[valid].min()),
+                           int(frames.max()) + 1):
+                vbi, vbi2, cuts = self.state.frame(f)
+                m = valid & (frames == f)
+                bufs = {"vbi": vbi, "vbi2": vbi2}
+                for which, start, off in ranges:
+                    sel = m & (lines >= start) \
+                        & (lines < start + VC_VBI_LINES_PER_FIELD)
+                    if sel.any():
+                        idx = np.nonzero(sel)[0]
+                        vb = np.frombuffer(bytes(bufs[which]),
+                                           np.uint8).reshape(-1, 5)
+                        packed[idx] = vb[lines[idx] - start + off]
+                        if claimed is not None:
+                            claimed[idx] = True
+                x = np.asarray(cuts, dtype=np.int64)[lines]
+                act = m & (x >= 0)
+                if act.any():
+                    idx = np.nonzero(act)[0]
+                    cut = 105 + (0xFF - x[idx]) * 2
+                    active[idx] = 1.0
+                    b_col[idx] = vs[VC_LEFT + cut]
+                    s1_col[idx] = vs[VC_LEFT + (710 - cut)]
+        if claimed is not None:
+            claimed[np.nonzero(valid & (lines == 335))[0]] = True
+        return {"vbi_packed": packed, "active": active, "b_col": b_col,
                 "s1_col": s1_col}
 
     def apply(self, out, arrays, lut=None):
@@ -377,4 +397,5 @@ class Videocrypt:
         mask = ((cols >= self.col_a) & (cols < self.col_e)
                 ).astype(out.dtype) * arrays["active"][:, None]
         out = out * (1.0 - mask) + rot * mask
-        return out + vbidata.render(arrays["bits"], self.basis)
+        bits = vbidata.device_unpack_bits(arrays["vbi_packed"], 40)
+        return out + vbidata.render(bits, self.basis)
