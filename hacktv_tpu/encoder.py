@@ -227,7 +227,8 @@ class Encoder:
                 secam_exact = (self.fm_video_statics is not None
                                or self.fm_video_exact is not None)
             self.secam_device = not secam_exact
-            self._secam_meta_cache: dict = {}
+            from collections import OrderedDict
+            self._secam_meta_cache: OrderedDict = OrderedDict()
             if self.secam_device:
                 # cross-block IIR carry: z at the last active line's end
                 # (a single f32 scalar; see secam.device_chroma_carrier)
@@ -322,7 +323,8 @@ class Encoder:
             self._step = jax.jit(self._step_impl, out_shardings=outs)
         else:
             self._step = jax.jit(self._step_impl)
-        self._meta_cache: dict = {}
+        from collections import OrderedDict
+        self._meta_cache: OrderedDict = OrderedDict()
         self._rgb_cache: tuple | None = None
         self._fpb_warned = False
         self._arg_spec = None
@@ -437,9 +439,12 @@ class Encoder:
                k0 % cyc if cyc else 0, block_no == 0, fsc3)
         hit = self._meta_cache.get(key)
         if hit is not None:
+            self._meta_cache.move_to_end(key)
             return hit
-        if len(self._meta_cache) > 64:
-            self._meta_cache.clear()
+        # LRU eviction: clearing wholesale caused thrash on long fpb=1
+        # streams whose key cycle exceeds the cap (line_meta costs ms)
+        while len(self._meta_cache) > 256:
+            self._meta_cache.popitem(last=False)
         meta = p.line_meta(k0 - 1, nlines + 1 + self.halo_after,
                            vframe_interlaced=self.source.interlaced,
                            vframe_x=self.vframe_x, vframe_y=self.vframe_y,
@@ -927,6 +932,8 @@ class Encoder:
             # block 0 is special (clamped pre-stream rows)
             key = k0 % (6 * self.conf.lines) if k0 > 0 else -1
             sm = self._secam_meta_cache.get(key)
+            if sm is not None:
+                self._secam_meta_cache.move_to_end(key)
             if sm is None:
                 nm = secam_mod.line_meta(p, k0 - 1,
                                          nlines + 1 + self.halo_after,
@@ -949,8 +956,8 @@ class Encoder:
                 nm["iir_prev"] = iir_prev
                 nm["snap_row"] = np.int32(snap_row)
                 sm = (nm, {k: jnp.asarray(v) for k, v in nm.items()})
-                if len(self._secam_meta_cache) > 8:
-                    self._secam_meta_cache.clear()
+                while len(self._secam_meta_cache) > 64:
+                    self._secam_meta_cache.popitem(last=False)
                 self._secam_meta_cache[key] = sm
             nm, jm = sm
             args["secam"] = jm
