@@ -385,7 +385,17 @@ def main(argv=None) -> int:
 
     fpb = args.frames_per_block
     if fpb <= 0:
-        fpb = 16 if args.input == ["test"] else 1
+        if args.input == ["test"]:
+            fpb = 16
+        elif (conf.mac_mode is None
+              and conf.colour_mode not in (ColourMode.SECAM,
+                                           ColourMode.APOLLO_FSC,
+                                           ColourMode.CBS_FSC)):
+            # moving sources use multi-frame blocks (on-device LUT
+            # conversion + absolute stacked row indices)
+            fpb = 8
+        else:
+            fpb = 1
 
     devices = None
     if args.devices:

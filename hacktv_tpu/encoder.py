@@ -325,8 +325,22 @@ class Encoder:
             self._step = jax.jit(self._step_impl)
         from collections import OrderedDict
         self._meta_cache: OrderedDict = OrderedDict()
+        # moving-source on-device YUV conversion (static per encoder:
+        # the step trace branches on it)
+        self._dev_convert = self._use_dev_convert()
+        # multi-frame blocks for moving sources: upload fpb+2 raw u8
+        # frames per block (leading halo frame + trailing lookahead),
+        # convert in-step and gather with absolute stacked row indices.
+        # SECAM keeps its own chroma meta (single-frame blocks only).
+        from .config.standards import ColourMode as _CMX
+        self._multi_frame = (self._dev_convert and frames_per_block > 1
+                             and self.conf.colour_mode != _CMX.SECAM)
+        self._nf = frames_per_block + 2
+        self._frame_cache: dict = {}
         self._rgb_cache: tuple | None = None
         self._fpb_warned = False
+        self._yuv_lut = None
+        self._conv_jit = None
         self._arg_spec = None
         self._arg_treedef = None
 
@@ -451,6 +465,21 @@ class Encoder:
                            vframe_w=self.source.width,
                            vframe_h=self.source.height,
                            spill_warmup=self._spill_warmup)
+        if self._multi_frame:
+            # absolute stacked row index: f_local*(H+1) + row (+H for
+            # the per-frame fallback row); the per-line frame offset
+            # pattern is periodic under the same cache key
+            L = p.conf.lines
+            H = self.source.height
+            ks = np.maximum(
+                k0 - 1 + np.arange(len(meta["vy"]), dtype=np.int64), 0)
+            first_f = max((k0 - 1) // L, 0)
+            f_local = np.clip(ks // L - first_f, 0, self._nf - 1)
+            vy0 = meta["vy"]
+            meta = dict(meta)
+            meta["vy"] = np.where(
+                vy0 >= 0, f_local * (H + 1) + vy0,
+                f_local * (H + 1) + H).astype(np.int32)
         dev = {k: jnp.asarray(meta[k]) for k in _META_KEYS}
         dev["cos0"] = jnp.asarray(meta["cos0"].astype(np.float32))
         dev["sin0"] = jnp.asarray(meta["sin0"].astype(np.float32))
@@ -485,6 +514,20 @@ class Encoder:
         """Bit-exact host YUV conversion (f64, matching the reference's
         LUT build), uploaded once per distinct source frame."""
         from .config.standards import ColourMode
+        if self._multi_frame:
+            # frames are read per block window in ascending order (the
+            # ffmpeg pipe decodes monotonically)
+            if self._rgb_cache is not None \
+                    and self._rgb_cache[0] == ("blk", block_no):
+                return self._rgb_cache[1]
+            if self._yuv_lut is None:
+                self._yuv_lut = jax.device_put(jnp.asarray(
+                    raster.build_yuv_lut(self.params)))
+            stack = np.stack([self._read_frame(block_no, j)
+                              for j in range(self._nf)])
+            dev = (self._yuv_lut, jnp.asarray(stack))
+            self._rgb_cache = (("blk", block_no), dev)
+            return dev
         rgb = self.source.read_video(block_no * self.frames_per_block)
         if self._rgb_cache is not None and self._rgb_cache[0] is rgb:
             return self._rgb_cache[1]
@@ -512,6 +555,18 @@ class Encoder:
             y = np.stack(planes)
             u = np.zeros_like(planes[0])
             v = np.zeros_like(planes[0])
+        elif self._dev_convert:
+            # moving source: convert ON DEVICE inside the step via the
+            # reference's 16M-entry LUT (built once, bit-exact through
+            # rgb_to_yuv_host; the host f64 path costs tens of ms per
+            # frame and bound moving-video throughput)
+            if self._yuv_lut is None:
+                self._yuv_lut = jax.device_put(jnp.asarray(
+                    raster.build_yuv_lut(self.params, secam)))
+            dev = (self._yuv_lut,
+                   jnp.asarray(np.ascontiguousarray(rgb)))
+            self._rgb_cache = (rgb, dev)
+            return dev
         else:
             y, u, v = raster.rgb_to_yuv_host(self.params, rgb, secam)
         dev = tuple(jax.device_put(jnp.asarray(a)) for a in (y, u, v))
@@ -519,6 +574,37 @@ class Encoder:
         if secam:
             self._rgb_host_uv = (u, v)
         return dev
+
+    def _read_frame(self, block_no: int, j: int) -> np.ndarray:
+        """Frame first_f + j of block block_no, from the block-window
+        cache (sources like the ffmpeg pipe decode monotonically and
+        reuse their frame buffer, so frames are copied on first read)."""
+        L = self.conf.lines
+        k0 = block_no * self.frames_per_block * L
+        first_f = max((k0 - 1) // L, 0)
+        f = first_f + j
+        hit = self._frame_cache.get(f)
+        if hit is None:
+            hit = np.array(self.source.read_video(f), copy=True)
+            self._frame_cache[f] = hit
+            for old_f in [x for x in self._frame_cache if x < first_f]:
+                del self._frame_cache[old_f]
+        return hit
+
+    def _use_dev_convert(self) -> bool:
+        """Device LUT conversion applies to moving (non-stateless)
+        sources; the SECAM host-exact oracle needs the host u/v
+        planes, FSC modes restack planes, and the static test card
+        converts once anyway."""
+        from .config.standards import ColourMode
+        if getattr(self.source, "stateless", False):
+            return False
+        if self.statics.fsc_mode is not None or self.raw_bb is not None:
+            return False
+        if self.conf.colour_mode == ColourMode.SECAM \
+                and not self.secam_device:
+            return False
+        return True
 
     # ------------------------------------------------------------------
     def _step_impl(self, rgb, base, nxt, burst, vswitch, vy, al, ar,
@@ -529,6 +615,16 @@ class Encoder:
         from .audio import synth as audio_synth
 
         audio_args = self._unpack_args(arg_dev, arg_bufs)
+
+        stacked_h = 0
+        if self._dev_convert:
+            y_c, u_c, v_c = raster.yuv_convert_device(*rgb)
+            if self._multi_frame:
+                rgb = raster.stack_planes(y_c, u_c, v_c,
+                                          self.statics.black_y)
+                stacked_h = self.source.height + 1
+            else:
+                rgb = (y_c, u_c, v_c)
 
         p = self.params
         W = p.width
@@ -545,11 +641,12 @@ class Encoder:
             block, cblock = raster.synth_block(
                 self.statics, rgb, base, nxt, burst, vswitch, vy, al,
                 ar, cos0, sin0, lut_row, fsc, fscf, prv,
-                split_chroma=True)
+                split_chroma=True, stacked_h=stacked_h)
         else:
             block = raster.synth_block(self.statics, rgb, base, nxt,
                                        burst, vswitch, vy, al, ar, cos0,
-                                       sin0, lut_row, fsc, fscf, prv)
+                                       sin0, lut_row, fsc, fscf, prv,
+                                       stacked_h=stacked_h)
         block = self._shard_hint(block)
         secam_tail = None
         if self.secam_statics is not None:

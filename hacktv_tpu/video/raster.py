@@ -195,6 +195,87 @@ def rgb_to_yuv_host(p, rgb: np.ndarray, secam: bool = False):
     return q(yl), q(ul), q(vl)
 
 
+_YUV_LUT_CACHE: dict = {}
+
+
+def build_yuv_lut(p, secam: bool = False) -> np.ndarray:
+    """The reference's full 16M-entry RGB -> (Y, U, V) lookup table
+    (src/video.c:3897-3959), built bit-exactly THROUGH rgb_to_yuv_host
+    so LUT[r<<16|g<<8|b] == the per-pixel conversion.  int16 [2^24, 3]
+    (~96 MB, built once per encoder when a moving source needs the
+    on-device conversion path)."""
+    conf = p.conf
+    key = (p.gamma, p.rw_co, p.gw_co, p.bw_co, conf.eu_co, conf.ev_co,
+           conf.black_level, conf.white_level, p.level, bool(secam))
+    hit = _YUV_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import hashlib
+    import os
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/hacktv_tpu_xla"))
+    tag = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(cache_dir, f"yuvlut_{tag}.npy")
+    try:
+        lut = np.load(path, mmap_mode=None)
+        if lut.shape == (1 << 24, 3) and lut.dtype == np.int16:
+            _YUV_LUT_CACHE[key] = lut
+            return lut
+    except Exception:
+        pass
+    lut = np.empty((1 << 24, 3), np.int16)
+    chunk = 1 << 20
+    for base in range(0, 1 << 24, chunk):
+        idx = np.arange(base, base + chunk, dtype=np.uint32)
+        rgb = np.empty((1, chunk, 3), np.uint8)
+        rgb[0, :, 0] = idx >> 16
+        rgb[0, :, 1] = (idx >> 8) & 0xFF
+        rgb[0, :, 2] = idx & 0xFF
+        y, u, v = rgb_to_yuv_host(p, rgb, secam)
+        lut[base:base + chunk, 0] = y[0]
+        lut[base:base + chunk, 1] = u[0]
+        lut[base:base + chunk, 2] = v[0]
+    if len(_YUV_LUT_CACHE) > 2:
+        _YUV_LUT_CACHE.clear()
+    _YUV_LUT_CACHE[key] = lut
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(path + ".tmp.npy", lut)
+        os.replace(path + ".tmp.npy", path)
+    except Exception:
+        pass
+    return lut
+
+
+def yuv_convert_device(lut, rgb_u8):
+    """On-device frame conversion: one gather from the 16M LUT
+    (measured ~0.7 ms/frame on a v5e including the uint8 upload — the
+    host f64 path costs tens of ms per frame and bound moving-video
+    throughput).  rgb_u8 may be a single frame [H, W, 3] or a stacked
+    block of frames [NF, H, W, 3]."""
+    idx = ((rgb_u8[..., 0].astype(jnp.int32) << 16)
+           | (rgb_u8[..., 1].astype(jnp.int32) << 8)
+           | rgb_u8[..., 2].astype(jnp.int32))
+    sh = idx.shape
+    out = lut[idx.reshape(-1)].astype(jnp.float32).reshape(*sh, 3)
+    return out[..., 0], out[..., 1], out[..., 2]
+
+
+def stack_planes(y, u, v, black_y: float):
+    """[NF, H, W] planes -> [(NF)(H+1), W] with each frame followed by
+    its black/zero fallback row, so a single absolute row index
+    f*(H+1) + vy (or +H for out-of-frame) gathers across the whole
+    multi-frame block."""
+    NF, H, W = y.shape
+    yb = jnp.concatenate(
+        [y, jnp.full((NF, 1, W), black_y, y.dtype)], axis=1)
+    ub = jnp.concatenate([u, jnp.zeros((NF, 1, W), u.dtype)], axis=1)
+    vb = jnp.concatenate([v, jnp.zeros((NF, 1, W), v.dtype)], axis=1)
+    return (yb.reshape(NF * (H + 1), W), ub.reshape(NF * (H + 1), W),
+            vb.reshape(NF * (H + 1), W))
+
+
 def _chroma_filter(taps: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Per-line 'same' convolution with zero-padded line edges.
 
@@ -234,6 +315,7 @@ def synth_block(st: RasterStatics,
                 fscf: jnp.ndarray = None,      # i32 [B] FSC flag selector
                 prv: jnp.ndarray = None,       # i32 [B] previous line code
                 split_chroma: bool = False,
+                stacked_h: int = 0,
                 ) -> jnp.ndarray:
     """Synthesise a block of lines -> f32 [B, width] (luma+chroma composite,
     int16-scaled). Lines are independent; the only cross-line term is the
@@ -249,6 +331,17 @@ def synth_block(st: RasterStatics,
     black_row = jnp.full((1, y_img.shape[-1]), st.black_y,
                          dtype=y_img.dtype)
     zero_row = jnp.zeros((1, u_img.shape[-1]), dtype=u_img.dtype)
+    if stacked_h:
+        # multi-frame block: planes are [(NF)(H+1), W] with per-frame
+        # fallback rows prebuilt, and vy is already an absolute index
+        # (f_local*(H+1) + row, or + H for the fallback row)
+        y_rows = y_img[vy]
+        u_rows = u_img[vy]
+        v_rows = v_img[vy]
+        has_video = (vy % stacked_h) != (stacked_h - 1)
+        return _synth_rows(st, y_rows, u_rows, v_rows, has_video, base,
+                           nxt, burst, vswitch, al, ar, cos0, sin0,
+                           lut_row, fscf, prv, split_chroma)
     vy_safe = jnp.where(vy >= 0, vy, H)
     if st.fsc_mode is not None:
         # field-sequential colour: y_img is [3, H, W] (one grey plane
@@ -265,6 +358,16 @@ def synth_block(st: RasterStatics,
     vp = jnp.concatenate([v_img, zero_row], axis=0)
     u_rows = up[vy_safe]
     v_rows = vp[vy_safe]
+    return _synth_rows(st, y_rows, u_rows, v_rows, vy >= 0, base, nxt,
+                       burst, vswitch, al, ar, cos0, sin0, lut_row,
+                       fscf, prv, split_chroma)
+
+
+def _synth_rows(st, y_rows, u_rows, v_rows, has_video_rows, base, nxt,
+                burst, vswitch, al, ar, cos0, sin0, lut_row, fscf, prv,
+                split_chroma):
+    """Shared synthesis tail: source rows -> composite lines."""
+    W = st.width
 
     # Place source columns into the line; at very low rates the active
     # region can round past the end of the line, so trim columns
@@ -293,7 +396,7 @@ def synth_block(st: RasterStatics,
     out = jnp.where(active, y_full, out)
 
     if st.colour:
-        has_video = in_frame & (vy[:, None] >= 0)
+        has_video = in_frame & has_video_rows[:, None]
         uc = jnp.where(active & has_video, u_full, 0.0)
         vc = jnp.where(active & has_video, v_full, 0.0)
         if st.chroma_taps is not None:

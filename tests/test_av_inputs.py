@@ -208,3 +208,35 @@ def test_cli_video_file_input(tmp_path):
         capture_output=True, timeout=600, cwd=ROOT)
     card = np.fromfile(str(out) + ".t", dtype=np.int16)
     assert not np.array_equal(mine, card)
+
+
+def test_multi_frame_blocks_match_single_frame():
+    """Moving sources with frames_per_block > 1: frames are stacked
+    per block, converted on device through the reference's 16M LUT and
+    gathered with absolute row indices — byte-identical to the
+    fpb=1 stream."""
+    from hacktv_tpu.encoder import Encoder
+
+    class Moving:
+        width, height = 160, 100
+        interlaced = 0
+
+        def __init__(self):
+            rng = np.random.default_rng(5)
+            self.frames = [rng.integers(0, 255, (100, 160, 3), np.uint8)
+                           for _ in range(12)]
+
+        def read_video(self, k):
+            return self.frames[min(k, 11)]
+
+        def read_audio(self, start, count):
+            t = np.arange(start, start + count)
+            return np.stack([(1000 * np.sin(t * 0.01)).astype(np.int16)]
+                            * 2, -1)
+
+    a = Encoder("i", 16_000_000, frames_per_block=4, source=Moving())
+    assert a._multi_frame
+    b = Encoder("i", 16_000_000, frames_per_block=1, source=Moving())
+    xa = np.concatenate([a.encode_block(k).reshape(-1) for k in range(2)])
+    xb = np.concatenate([b.encode_block(k).reshape(-1) for k in range(8)])
+    assert np.array_equal(xa, xb)
