@@ -206,3 +206,27 @@ def test_cli_mode_service_validation():
     r = _run(["-o", "/dev/null", "-m", "pal", "--videocrypt", "free",
               "--videocrypt2", "free", "--frames", "1", "test"])
     assert r.returncode == 0, r.stderr.decode()
+
+
+def test_pal_motion_multi_frame_golden(tmp_path):
+    """Moving video through the multi-frame raster path vs the
+    REFERENCE encoding the same raw frames (at the native active size,
+    so both scalers are identity).  Validates the on-device LUT
+    conversion + stacked row gathers against the reference, not just
+    self-consistency.  (The capture's last partial frame covers the
+    reference's EOF transition and is excluded.)"""
+    golden = os.path.join(GOLDEN, "pal_motion_5frames.s16")
+    bgra = os.path.join(GOLDEN, "motion_832x576.bgra")
+    if not (os.path.exists(golden) and os.path.exists(bgra)):
+        pytest.skip("golden missing")
+    from hacktv_tpu.encoder import Encoder
+    from hacktv_tpu.av.rawfile import RawFileSource
+    src = RawFileSource(bgra, 832, 576)
+    enc = Encoder("pal", 16_000_000, frames_per_block=4, source=src)
+    assert enc._multi_frame
+    ours = enc.encode_block(0).reshape(-1)
+    ref = np.fromfile(golden, dtype=np.int16)[: len(ours)]
+    e = ours.astype(np.float64) - ref
+    r = ref.astype(np.float64)
+    snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-9))
+    assert snr >= 60.0, f"motion multi-frame SNR {snr:.1f} dB"

@@ -241,6 +241,29 @@ capture d2mac_motion_3frames.s16 4860000 -s 20250000 -m d2mac \
     --ffmt rawvideo \
     --fopts video_size=702x576:pixel_format=bgra:framerate=25 \
     "$GOLDEN/motion_702x576.bgra"
+# PAL moving video at the native active size (832 @ 16 MS/s, so the
+# reference's swscale is an identity): the parity oracle for the
+# multi-frame-block raster path
+if [ ! -s "$GOLDEN/motion_832x576.bgra" ]; then
+    python3 - <<'PYEOF'
+import numpy as np
+H, W = 576, 922
+frames = []
+for f in range(6):
+    y, x = np.mgrid[0:H, 0:W]
+    r = ((x * (f + 1)) % 256).astype(np.uint8)
+    g = ((y + 40 * f) % 256).astype(np.uint8)
+    b = np.full((H, W), 32 * f, np.uint8)
+    bar = (x // 32 == (4 + f * 3))
+    r[bar], g[bar], b[bar] = 255, 255, 255
+    frames.append(np.stack([b, g, r, np.zeros_like(r)], axis=-1))
+np.stack(frames).tofile('/tmp/golden/motion_832x576.bgra')
+PYEOF
+fi
+capture pal_motion_5frames.s16 6400000 -m pal \
+    --ffmt rawvideo \
+    --fopts video_size=832x576:pixel_format=bgra:framerate=25 \
+    "$GOLDEN/motion_832x576.bgra"
 # MAC pixel-rate resample: synthesis at 20.25 MS/s, output at 10.125
 capture d2mac_pr10125_2frames.s16 1620000 -s 10125000 --pixelrate 20250000 -m d2mac test
 # 50-frame duobinary bit-stream dumps (162 bytes/line, byte-exact oracle)
