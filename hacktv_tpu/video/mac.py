@@ -419,6 +419,9 @@ class MacMux:
 
         ri = [0] * nsub
         pend = []              # deferred packet encodes (batched below)
+        # PRBS1 IWs are pre-drawn per inter-reset span (one bulk take
+        # per frame instead of one per drain); _iw holds (array, pos)
+        self._iw = [np.zeros(0, np.uint64), 0]
 
         def _drain(c, hi):
             """Resolve reads ri[c]..hi of subframe c: FIFO prefix, then
@@ -431,7 +434,9 @@ class MacMux:
             nreal = min(len(queue), q)
             st = self._stream[c]
             if c == 0:
-                iws = self.prbs1.take(q)   # one update per read
+                buf, pos = self._iw
+                iws = buf[pos:pos + q]     # one update per read
+                self._iw[1] = pos + q
             for t in range(nreal):
                 addr, cont, payload, scr = queue.pop(0)
                 if scr and c != 0:
@@ -467,17 +472,30 @@ class MacMux:
 
         if not hasattr(self, "_cw_hist"):
             self._cw_hist = {}
-        for k_e, phase, kind, arg in events:
+        # precompute every event's drain boundary per subframe (the
+        # per-event searchsorted calls dominated the event loop)
+        ev_ks = np.array([e[0] for e in events], dtype=np.int64)
+        ev_ph2 = np.array([e[1] == 2 for e in events])
+        his = []
+        for c in range(nsub):
+            lo = np.searchsorted(read_ks[c], ev_ks, side="left")
+            hi2 = np.searchsorted(read_ks[c], ev_ks, side="right")
+            his.append(np.where(ev_ph2, hi2, lo).astype(np.int64))
+        # c0 read counts per inter-reset span (resets fire at frame
+        # events, after that event's drain)
+        fidx = [i for i, e in enumerate(events) if e[2] == "f"]
+        r_pos = [int(his[0][i]) for i in fidx] + [len(read_ks[0])]
+        spans = iter(np.diff([0] + r_pos) if r_pos else [])
+        self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
+        for ei, (k_e, phase, kind, arg) in enumerate(events):
             for c in range(nsub):
-                hi = int(np.searchsorted(
-                    read_ks[c], k_e, side="right" if phase == 2
-                    else "left"))
-                _drain(c, hi)
+                _drain(c, int(his[c][ei]))
             if kind == "f":
                 frame = arg
                 if self.eurocrypt is not None:
                     self.eurocrypt.next_frame(self, frame)
                 self.prbs1.reset(self.cw, frame - 1)
+                self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
                 self._cw_hist[frame] = self.cw
                 if len(self._cw_hist) > 8:
                     for f in sorted(self._cw_hist)[:-4]:

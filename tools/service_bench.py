@@ -83,6 +83,13 @@ def main():
         r = bench_one(name, mode, rate, kw, blocks=args.blocks)
         print(json.dumps(r))
         results.append(r)
+    if args.only and os.path.exists(args.out):
+        # merge a partial run into the existing file instead of
+        # clobbering the other configs' results
+        with open(args.out) as f:
+            prev = json.load(f).get("results", [])
+        fresh = {r["metric"] for r in results}
+        results = [r for r in prev if r["metric"] not in fresh] + results
     import jax
     out = {"device": str(jax.devices()[0]),
            "note": "median of 3 trials of an 8-block sequential stream "
