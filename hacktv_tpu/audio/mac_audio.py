@@ -215,6 +215,39 @@ class MacAudioEnc:
         return self._encode_blocks(
             np.asarray(samples, dtype=np.int64).reshape(1, -1))
 
+    def _encode_blocks_native(self, S: np.ndarray) -> bytes | None:
+        """Native-runtime fast path for _encode_blocks (bit-exact; the
+        numpy path below remains the fallback and parity oracle)."""
+        from .. import runtime
+        if getattr(self, "_no_native", False) or not runtime.available():
+            return None
+        lib = runtime.load()
+        import ctypes as c
+        nblk = S.shape[0]
+        if nblk == 0:
+            return b""
+        Sx = np.ascontiguousarray(S, dtype=np.int32)
+        taps = np.ascontiguousarray(self.fir[0].taps, dtype=np.int32)
+        hp = []
+        for f in self.fir:
+            h = np.ascontiguousarray(f.hist, dtype=np.int32)
+            p = c.c_int32(f.phase)
+            hp.append((f, h, p))
+        out = np.zeros(nblk * self.block_len, dtype=np.uint8)
+        lib.rt_mac_audio_blocks(
+            Sx.ctypes.data, nblk, S.shape[1], int(self.stereo),
+            int(self.linear), int(self.protection),
+            taps.ctypes.data, len(taps), self.fir[0].dec,
+            hp[0][1].ctypes.data, c.byref(hp[0][2]),
+            hp[1][1].ctypes.data, c.byref(hp[1][2]),
+            out.ctypes.data)
+        used = [0] if not self.stereo else [0, 1]
+        for b in used:
+            f, h, p = hp[b]
+            f.hist = h.astype(np.int64)
+            f.phase = int(p.value)
+        return out.tobytes()
+
     def _encode_blocks(self, S: np.ndarray) -> bytes:
         """Vectorised sound-coding-block encoder over S [nblk,
         src_samples_per_block] (interleaved stereo or sequential mono
@@ -224,6 +257,9 @@ class MacAudioEnc:
         reference's block-at-a-time loop (src/mac.c:1200-1354)."""
         nblk = S.shape[0]
         spb = self.samples_per_block
+        enc = self._encode_blocks_native(S)
+        if enc is not None:
+            return enc
         bps = self.bits_per_sample
         step = 2 if self.stereo else 1
         out_buf = np.zeros((nblk, spb), dtype=np.int64)
@@ -361,32 +397,53 @@ class MacAudioEnc:
         per_blk = self.samples_per_block if self.stereo \
             else self.samples_per_block // 2
         bl = self.block_len
+        nch = len(lens)
+        lens_a = np.asarray(lens, dtype=np.int64)
+        # closed-form replay of the per-chunk schedule: cumulative new
+        # coding blocks after chunk t, and from them the SI emissions
+        # and packet boundaries (the python per-chunk loop cost ~3 ms
+        # per 32-frame D-MAC window at 1000 chunks)
+        avail_t = self.j17x + np.cumsum(lens_a)
+        Bt = avail_t // sspb
+        Bprev = np.concatenate([[0], Bt[:-1]])
+        K = (32000 if self.high_quality else 16000) // 3
+        si_at = np.zeros(nch, dtype=bool)
+        timer = self.si_timer
+        baseB = 0
+        t = 0
+        while t < nch:
+            if timer - (int(Bprev[t]) - baseB) * per_blk <= 0:
+                si_at[t] = True
+                timer = K
+                baseB = int(Bprev[t])
+                t += 1
+                continue
+            need = -(-timer // per_blk)     # blocks to reach <= 0
+            t2 = int(np.searchsorted(Bprev, baseB + need, side="left"))
+            t = max(t2, t + 1)
+        self.si_timer = timer - (int(Bt[-1]) - baseB) * per_blk
+
+        len0 = len(self._bytes)
+        allb = bytes(self._bytes) + enc
+        npkt_t = (len0 + Bt * bl) // (MAC_PAYLOAD_BYTES - 1)
         out_all = []
-        avail = self.j17x
-        blocks_done = 0
-        stream = self._bytes
-        for n in lens:
+        npkt_prev = 0
+        c0 = self.continuity
+        addr = self.address
+        for t in range(nch):
             out = []
-            if self.si_timer <= 0:
-                out.append((self.address, (self.continuity - 2) & 3,
+            if si_at[t]:
+                out.append((addr, (c0 + npkt_prev - 2) & 3,
                             self.si_pkt, False))
-                self.si_timer = (32000 if self.high_quality
-                                 else 16000) // 3
-            avail += n
-            nb = avail // sspb - blocks_done
-            if nb:
-                stream += enc[blocks_done * bl:(blocks_done + nb) * bl]
-                blocks_done += nb
-                self.si_timer -= nb * per_blk
-            npkt = len(stream) // (MAC_PAYLOAD_BYTES - 1)
-            for p in range(npkt):
-                self.pkt[1:] = stream[p * 90:p * 90 + 90]
-                out.append((self.address, self.continuity & 3,
-                            bytes(self.pkt), self.scramble))
-                self.continuity += 1
-            del stream[:npkt * 90]
+            for p in range(npkt_prev, int(npkt_t[t])):
+                out.append((addr, (c0 + p) & 3,
+                            b"\xc7" + allb[p * 90:p * 90 + 90],
+                            self.scramble))
+            npkt_prev = int(npkt_t[t])
             out_all.append(out)
-        rem = avail - blocks_done * sspb
+        self.continuity = c0 + npkt_prev
+        self._bytes = bytearray(allb[npkt_prev * 90:])
+        rem = int(avail_t[-1] - Bt[-1] * sspb)
         if rem:
             self.j17[:rem] = buf[len(buf) - rem:]
         self.j17x = rem

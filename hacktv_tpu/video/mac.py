@@ -109,6 +109,30 @@ def mac_yuv_host(conf: VidConfig, rgb: np.ndarray, level: float):
 # ----------------------------------------------------------------------
 # The sequential bit-domain multiplex
 
+class _PolView:
+    """Read-only mapping k -> duobinary start polarity, backed by the
+    packed-window cache (the eager dict cost ~1.5 ms/32-frame window
+    to fill and prune)."""
+
+    def __init__(self, mux):
+        self._m = mux
+
+    def get(self, k, default=None):
+        for base, _pk, pl in getattr(self._m, "_packed_wins", ()):
+            if base <= k < base + len(pl):
+                return int(pl[k - base])
+        return default
+
+    def __getitem__(self, k):
+        v = self.get(k)
+        if v is None:
+            raise KeyError(k)
+        return v
+
+    def __contains__(self, k):
+        return self.get(k) is not None
+
+
 class _LineBitsView:
     """Read-only mapping k -> unpacked line bits, backed by the mux's
     packed window cache (lines are materialised packed; this view
@@ -213,7 +237,7 @@ class MacMux:
 
         self.polarity = -1
         self.k = 0             # next iteration (stream line index)
-        self.pol_start: dict[int, int] = {}
+        self.pol_start = _PolView(self)
         self.line_bits = _LineBitsView(self)
         # per line: (apply, xc_colour_or_single, xc_luma)
         self.scramble: dict[int, tuple] = {}
@@ -487,10 +511,18 @@ class MacMux:
         r_pos = [int(his[0][i]) for i in fidx] + [len(read_ks[0])]
         spans = iter(np.diff([0] + r_pos) if r_pos else [])
         self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
+        his = [h.tolist() for h in his]   # python ints: fast indexing
+        h0 = his[0]
         for ei, (k_e, phase, kind, arg) in enumerate(events):
-            for c in range(nsub):
-                _drain(c, int(his[c][ei]))
+            if h0[ei] > ri[0]:
+                _drain(0, h0[ei])
+            # subframe 1 is only ever pushed to at frame events (SI
+            # dg0, src/mac.c:930-935), so its reads can drain lazily:
+            # the dummy/real split only depends on the queue state at
+            # push boundaries
             if kind == "f":
+                if nsub > 1 and his[1][ei] > ri[1]:
+                    _drain(1, his[1][ei])
                 frame = arg
                 if self.eurocrypt is not None:
                     self.eurocrypt.next_frame(self, frame)
@@ -641,38 +673,89 @@ class MacMux:
         kk = base + np.arange(n, dtype=np.int64)
         frames = 1 + kk // mb.MAC_LINES
         dlines = kk % mb.MAC_LINES + 1
-        S = np.zeros((n, sbb * 8), dtype=np.uint8)
-        if self.mode_d:
-            S[:, 0] = 1
-            S[:, x0 + 99 * nsub] = 1                  # spare bit
         hs = ((frames + dlines) & 1) ^ (dlines == 623)
-        S[:, x0 - 6:x0] = self._hs[hs]
-        # the consumed stream range is CONTIGUOUS and lines partition it
-        # sequentially, so the body is whitening XOR reshaped slices of
-        # the concatenated packet stream (no per-bit gather)
-        for c in range(nsub):
-            seg = S[:, x0 + 99 * c:x0 + 99 * (c + 1)]
-            seg[:] = self._wh_all[dlines - 1, 99 * c:99 * (c + 1)]
-            stream = (np.concatenate(self._stream[c])
-                      if self._stream[c] else np.zeros(0, np.uint8))
-            sbase = self._sbase[c]
-            for j0, nrows in self._pruns[c]:
-                a = int(self._ppos[j0, c]) - sbase
-                seg[j0:j0 + nrows] ^= \
-                    stream[a:a + 99 * nrows].reshape(nrows, 99)
-            for j in self._ppart[c]:
-                a = int(self._ppos[j, c]) - sbase
-                ln = int(self._plen[j, c])
-                seg[j, :ln] ^= stream[a:a + ln]
-        packed = np.zeros((n, nbytes), dtype=np.uint8)
-        packed[:, :sbb] = np.packbits(S, axis=1, bitorder="little")
+
+        from .. import runtime
+        native = (not getattr(self, "_no_native", False)
+                  and runtime.available())
+        ones = None
+        if native:
+            lib = runtime.load()
+            if not hasattr(self, "_base_tbl"):
+                # packed (sync word + whitening) prefix for every
+                # (sync polarity, line) pair; the per-window rows are a
+                # gather from this table, stream XOR happens in native
+                B = np.zeros((2, mb.MAC_LINES, sbb * 8), dtype=np.uint8)
+                if self.mode_d:
+                    B[:, :, 0] = 1
+                    B[:, :, x0 + 99 * nsub] = 1
+                B[0, :, x0 - 6:x0] = self._hs[0]
+                B[1, :, x0 - 6:x0] = self._hs[1]
+                B[:, :, x0:x0 + 99 * nsub] = \
+                    self._wh_all[None, :, :99 * nsub]
+                self._base_tbl = np.ascontiguousarray(
+                    np.packbits(B, axis=2, bitorder="little"))
+                self._seg_offs = np.array(
+                    [x0, x0 + 99], dtype=np.int64)
+            streams, pos, lens = [], [], []
+            for c in range(nsub):
+                st = (np.concatenate(self._stream[c]) if self._stream[c]
+                      else np.zeros(0, np.uint8))
+                streams.append(np.ascontiguousarray(st, dtype=np.uint8))
+                pos.append(np.ascontiguousarray(
+                    self._ppos[:, c] - self._sbase[c]))
+                lens.append(np.ascontiguousarray(self._plen[:, c]))
+            if nsub == 1:
+                streams.append(np.zeros(0, np.uint8))
+                pos.append(np.zeros(n, np.int64))
+                lens.append(np.zeros(n, np.int64))
+            base_rows = np.ascontiguousarray(
+                self._base_tbl[hs.astype(np.int64), dlines - 1])
+            packed = np.zeros((n, nbytes), dtype=np.uint8)
+            ones = np.zeros(n, dtype=np.int64)
+            lib.rt_mac_materialize(
+                n, nbytes, sbb, base_rows.ctypes.data,
+                self._seg_offs.ctypes.data, nsub,
+                streams[0].ctypes.data, pos[0].ctypes.data,
+                lens[0].ctypes.data, streams[1].ctypes.data,
+                pos[1].ctypes.data, lens[1].ctypes.data,
+                packed.ctypes.data, ones.ctypes.data, 4)
+            S = None
+        else:
+            S = np.zeros((n, sbb * 8), dtype=np.uint8)
+            if self.mode_d:
+                S[:, 0] = 1
+                S[:, x0 + 99 * nsub] = 1              # spare bit
+            S[:, x0 - 6:x0] = self._hs[hs]
+            # the consumed stream range is CONTIGUOUS and lines
+            # partition it sequentially, so the body is whitening XOR
+            # reshaped slices of the concatenated packet stream (no
+            # per-bit gather)
+            for c in range(nsub):
+                seg = S[:, x0 + 99 * c:x0 + 99 * (c + 1)]
+                seg[:] = self._wh_all[dlines - 1, 99 * c:99 * (c + 1)]
+                stream = (np.concatenate(self._stream[c])
+                          if self._stream[c] else np.zeros(0, np.uint8))
+                sbase = self._sbase[c]
+                for j0, nrows in self._pruns[c]:
+                    a = int(self._ppos[j0, c]) - sbase
+                    seg[j0:j0 + nrows] ^= \
+                        stream[a:a + 99 * nrows].reshape(nrows, 99)
+                for j in self._ppart[c]:
+                    a = int(self._ppos[j, c]) - sbase
+                    ln = int(self._plen[j, c])
+                    seg[j, :ln] ^= stream[a:a + ln]
+            packed = np.zeros((n, nbytes), dtype=np.uint8)
+            packed[:, :sbb] = np.packbits(S, axis=1, bitorder="little")
 
         # wide rows: teletext overlays + 624/625 frame rows
         tt = self._ptt_rows
         if tt:
             rows = sorted(tt)
             F = np.zeros((len(rows), self.nbits), dtype=np.uint8)
-            F[:, :sbb * 8] = S[rows]
+            F[:, :sbb * 8] = (np.unpackbits(
+                packed[rows, :sbb], axis=1, bitorder="little")
+                if S is None else S[rows])
             for t, i in enumerate(rows):
                 line, v = tt[i]
                 if not self.mode_d:
@@ -690,12 +773,16 @@ class MacMux:
         # running start polarity (flips on every 0 bit, src/mac.c:193):
         # a line flips the carry iff its zero-bit count is odd; counted
         # on the packed bytes (nbits is byte-aligned, so no pad bits)
-        ones = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
+        if ones is not None:
+            ov = sorted(set(tt) | set(self._pfull_rows))
+            if ov:
+                ones[ov] = np.bitwise_count(packed[ov]) \
+                    .sum(axis=1, dtype=np.int64)
+        else:
+            ones = np.bitwise_count(packed).sum(axis=1, dtype=np.int64)
         sign = np.where((self.nbits - ones) & 1, -1, 1)
         pol = self.polarity * np.concatenate(
             [[1], np.cumprod(sign)])
-        self.pol_start.update(zip(range(base, base + n),
-                                  pol[:-1].tolist()))
         self.polarity = int(pol[-1])
         # keep the two most recent packed windows: bits_block requests
         # span one window plus a couple of rows from the previous one
@@ -707,9 +794,14 @@ class MacMux:
         # packets — dummy runs are appended as one array)
         for c in range(nsub):
             st = self._stream[c]
-            while st and self._sbase[c] + len(st[0]) <= self._spos[c]:
-                self._sbase[c] += len(st[0])
-                st.pop(0)
+            k = 0
+            off = self._sbase[c]
+            while k < len(st) and off + len(st[k]) <= self._spos[c]:
+                off += len(st[k])
+                k += 1
+            if k:
+                self._sbase[c] = off
+                del st[:k]      # one O(n) shift, not k pop(0)s
 
     def bits_block(self, k_lo: int, k_hi: int):
         """Packed line bits + start polarity for stream lines
@@ -759,9 +851,8 @@ class MacMux:
         return ap, x1, x2
 
     def prune(self, below_k: int):
-        for d in (self.pol_start, self.scramble):
-            for key in [x for x in d if x < below_k]:
-                del d[key]
+        for key in [x for x in self.scramble if x < below_k]:
+            del self.scramble[key]
 
 
 # ----------------------------------------------------------------------

@@ -663,4 +663,237 @@ long rt_file_sink_close(rt_file_sink *s) {
     return err ? -1 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// MAC packetised-audio coding blocks (host bit domain).  Mirrors
+// hacktv_tpu/audio/mac_audio.py _encode_blocks / the reference's
+// mac_audioenc_read loop (src/mac.c:1200-1354): streaming J.17 FIR in
+// Q15 with int64 accumulate, near-instantaneous companding with scale
+// factors, L1 parity / L2 Hamming protection, in-band scale-factor
+// signalling, LSB-first bit packing.
+// ---------------------------------------------------------------------------
+
+static inline uint8_t rt_l2_hamming(uint32_t b) {
+    // parity groups over bits of the 11-bit value (src/mac.c:1187-1198)
+    auto g = [&](std::initializer_list<int> ks) {
+        uint32_t p = 0;
+        for (int k : ks) p ^= (b >> k) & 1u;
+        return p;
+    };
+    uint32_t p = g({0, 3, 4, 6, 7, 8, 10});
+    p |= g({0, 1, 3, 5, 6, 8, 9}) << 1;
+    p |= g({0, 1, 2, 4, 6, 7, 9}) << 2;
+    p |= g({1, 2, 4, 5, 6, 8, 10}) << 3;
+    p |= g({2, 3, 5, 6, 7, 9, 10}) << 4;
+    return (uint8_t)p;
+}
+
+// Streaming FIR state is kept by the caller: hist holds the last
+// ntaps-1 inputs, phase the decimation phase.  Returns decimated y.
+static void rt_j17_fir(const int32_t *taps, int ntaps, int dec,
+                       int32_t *hist, int32_t *phase,
+                       const int32_t *x, long n, int32_t *y, long *ny) {
+    long m = 0;
+    int ph = *phase;
+    // work buffer: history + input
+    std::vector<int32_t> buf((size_t)(ntaps - 1 + n));
+    memcpy(buf.data(), hist, sizeof(int32_t) * (ntaps - 1));
+    memcpy(buf.data() + ntaps - 1, x, sizeof(int32_t) * n);
+    for (long t = 0; t < n; t++) {
+        bool keep = dec <= 1 || ((t + ph) % dec) == 0;
+        if (keep) {
+            int64_t acc = 0;
+            const int32_t *w = buf.data() + t;
+            for (int j = 0; j < ntaps; j++)
+                acc += (int64_t)taps[j] * w[ntaps - 1 - j];
+            acc >>= 15;
+            if (acc > 32767) acc = 32767;
+            if (acc < -32768) acc = -32768;
+            y[m++] = (int32_t)acc;
+        }
+    }
+    *phase = (int)((ph + n) % (dec > 1 ? dec : 1));
+    memcpy(hist, buf.data() + n, sizeof(int32_t) * (ntaps - 1));
+    *ny = m;
+}
+
+// scale factor table: idx -> (factor, shift) (src/mac.c:135-151)
+static const int rt_sf_factor[8] = {0, 1, 2, 4, 3, 5, 6, 7};
+static const int rt_sf_shift[8]  = {2, 2, 2, 2, 3, 4, 5, 6};
+
+// Encode nblk sound coding blocks.  S is [nblk*sspb] source samples in
+// stream order (stereo interleaved, or mono with sequential halves).
+// hist0/hist1 + phase0/phase1 are the per-channel streaming FIR states
+// (mono uses channel 0 only).  out receives nblk*block_len bytes.
+void rt_mac_audio_blocks(const int32_t *S, long nblk, long sspb,
+                         int stereo, int linear, int protection,
+                         const int32_t *taps, int ntaps, int dec,
+                         int32_t *hist0, int32_t *phase0,
+                         int32_t *hist1, int32_t *phase1,
+                         uint8_t *out) {
+    const long spb = linear && protection ? 36 : 64;
+    const long ch_len = spb / 2;
+    const int bps = (linear ? 14 : 10) + (protection ? 5 : 1);
+    const long block_len = (linear ^ protection) ? 120 : 90;
+    const int step = stereo ? 2 : 1;
+    const long ch_off[2] = {0, stereo ? 1 : ch_len};
+    const long sfl = linear && protection ? 18 : 27;
+    const long ch_sf_off[2] = {0, stereo ? 1 : sfl};
+
+    // channel streams through the FIRs
+    long n_in = nblk * sspb;
+    std::vector<int32_t> ch(n_in), yc[2];
+    long nyc[2] = {0, 0};
+    if (stereo) {
+        long half = n_in / 2;
+        yc[0].resize(half); yc[1].resize(half);
+        std::vector<int32_t> ch2(half);
+        auto one = [&](int b, int32_t *tmp) {
+            for (long i = 0; i < half; i++) tmp[i] = S[2 * i + b];
+            rt_j17_fir(taps, ntaps, dec, b ? hist1 : hist0,
+                       b ? phase1 : phase0, tmp, half,
+                       yc[b].data(), &nyc[b]);
+        };
+        std::thread th(one, 1, ch2.data());
+        one(0, ch.data());
+        th.join();
+    } else {
+        yc[0].resize(n_in);
+        rt_j17_fir(taps, ntaps, dec, hist0, phase0, S, n_in,
+                   yc[0].data(), &nyc[0]);
+    }
+
+    auto blocks = [&](long k0_, long k1_) {
+    std::vector<uint32_t> out_buf((size_t)spb);
+    std::vector<uint8_t> bits((size_t)block_len * 8);
+    for (long k = k0_; k < k1_; k++) {
+        uint32_t sfc = 0;
+        int factors[2];
+        for (int b = 0; b < 2; b++) {
+            // mono: block row holds [ch0 half | ch1 half] sequentially
+            const int32_t *ys = stereo
+                ? yc[b].data() + k * ch_len
+                : yc[0].data() + k * 2 * ch_len + b * ch_len;
+            int32_t m = 0;
+            for (long i = 0; i < ch_len; i++) {
+                int32_t v = ys[i] < 0 ? ~ys[i] : ys[i];
+                if (v > m) m = v;
+            }
+            int e = 0;
+            while ((m >> e) != 0) e++;        // bit_length
+            int idx = e - 8;
+            if (idx < 1) idx = 1;
+            if (idx > 7) idx = 7;
+            int factor = rt_sf_factor[idx], shift = rt_sf_shift[idx];
+            sfc = ((sfc << 9) | ((uint32_t)factor << 6) |
+                   ((uint32_t)factor << 3) | (uint32_t)factor) & 0x3FFFFu;
+            factors[b] = factor;
+            for (long i = 0; i < ch_len; i++) {
+                uint32_t enc = linear
+                    ? (uint32_t)(ys[i] >> 2) & 0x3FFFu
+                    : (uint32_t)(ys[i] >> shift) & 0x3FFu;
+                if (protection) {
+                    uint32_t h = rt_l2_hamming(
+                        linear ? (enc >> 3) : ((enc << 1) & 0x7E0u));
+                    enc |= h << (bps - 5);
+                } else {
+                    uint32_t v = enc >> (linear ? 3 : 4);
+                    uint32_t pc = v;
+                    pc ^= pc >> 16; pc ^= pc >> 8; pc ^= pc >> 4;
+                    pc ^= pc >> 2; pc ^= pc >> 1;
+                    enc |= (pc & 1u) << (bps - 1);
+                }
+                out_buf[ch_off[b] + step * i] = enc;
+            }
+        }
+        // scale-factor signalling XOR on the protection bit
+        for (int b = 0; b < 2; b++)
+            for (long i = 0; i < sfl; i++) {
+                uint32_t sfb = ((uint32_t)factors[b] >> (2 - i % 3)) & 1u;
+                out_buf[ch_sf_off[b] + step * i] ^= sfb << (bps - 1);
+            }
+        // bit assembly, LSB-first within the block
+        memset(bits.data(), 0, bits.size());
+        long o = 0;
+        if (!linear && !protection) o = 16;          // zero prefix
+        if (linear && protection) {
+            o = 18;
+            for (int i = 0; i < 18; i++)
+                bits[o + i] = (sfc >> (17 - i)) & 1u;
+            o += 18;
+        }
+        for (long i = 0; i < spb; i++)
+            for (int j = 0; j < bps; j++)
+                bits[o + i * bps + j] = (out_buf[i] >> j) & 1u;
+        uint8_t *ob = out + k * block_len;
+        memset(ob, 0, block_len);
+        for (long i = 0; i < block_len * 8; i++)
+            if (bits[i]) ob[i >> 3] |= (uint8_t)(1u << (i & 7));
+    }
+    };
+    if (nblk < 64) {
+        blocks(0, nblk);
+    } else {
+        const int nt = 4;
+        std::vector<std::thread> ts;
+        long per = (nblk + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            long k0_ = t * per, k1_ = k0_ + per > nblk ? nblk : k0_ + per;
+            if (k0_ >= k1_) break;
+            ts.emplace_back(blocks, k0_, k1_);
+        }
+        for (auto &th : ts) th.join();
+    }
+}
+
+// ---------------------------------------------------------------------------
+// MAC line materialisation: XOR the consumed packet-stream bits into
+// pre-packed per-line base rows (sync word + whitening, gathered by the
+// caller from a [2][625] table) and popcount each row for the running
+// duobinary polarity (hacktv_tpu/video/mac.py _materialize;
+// src/mac.c:1375-1439).  The stream is a bit-per-byte array; segment
+// bit offsets within the line are fixed per subframe.
+// ---------------------------------------------------------------------------
+
+void rt_mac_materialize(long n, long nbytes, long sbb,
+                        const uint8_t *base,      // [n][sbb] prefix rows
+                        const int64_t *offs,      // [2] segment bit offs
+                        int nsub,
+                        const uint8_t *stream0, const int64_t *pos0,
+                        const int64_t *len0,
+                        const uint8_t *stream1, const int64_t *pos1,
+                        const int64_t *len1,
+                        uint8_t *packed, int64_t *ones, int nthreads) {
+    auto work = [&](long i0_, long i1_) {
+        for (long i = i0_; i < i1_; i++) {
+            uint8_t *ob = packed + i * nbytes;
+            memcpy(ob, base + i * sbb, sbb);
+            for (int c = 0; c < nsub; c++) {
+                const uint8_t *st = c ? stream1 : stream0;
+                long a = c ? pos1[i] : pos0[i];
+                long ln = c ? len1[i] : len0[i];
+                long off = offs[c];
+                for (long j = 0; j < ln; j++)
+                    ob[(off + j) >> 3] ^=
+                        (uint8_t)(st[a + j] << ((off + j) & 7));
+            }
+            long cnt = 0;
+            for (long j = 0; j < sbb; j++)
+                cnt += __builtin_popcount(ob[j]);
+            ones[i] = cnt;
+        }
+    };
+    if (nthreads <= 1 || n < 2048) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long per = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        long i0_ = t * per, i1_ = i0_ + per > n ? n : i0_ + per;
+        if (i0_ >= i1_) break;
+        ts.emplace_back(work, i0_, i1_);
+    }
+    for (auto &th : ts) th.join();
+}
+
 }  // extern "C"
