@@ -56,19 +56,25 @@ class ACP:
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         active = np.zeros(nlines, dtype=np.float32)
         agc = np.zeros(nlines, dtype=np.float32)
-        for b in range(nlines):
-            k = k0 + b
-            if k < 0:
-                continue
-            line = k % self.lines_total + 1
-            frame = 1 + k // self.lines_total
-            on = any(lo <= line <= hi for lo, hi in self.line_ranges)
-            if not on or (claimed is not None and claimed[b]):
-                continue
-            active[b] = 1.0
-            agc[b] = self._agc_level(frame)
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        lines = ks % self.lines_total + 1
+        frames = 1 + ks // self.lines_total
+        on = np.zeros(nlines, dtype=bool)
+        for lo, hi in self.line_ranges:
+            on |= (lines >= lo) & (lines <= hi)
+        on &= ks >= 0
+        if claimed is not None:
+            on &= ~np.asarray(claimed[:nlines], dtype=bool)
+        idx = np.nonzero(on)[0]
+        if len(idx):
+            active[idx] = 1.0
+            uf, inv = np.unique(frames[idx], return_inverse=True)
+            lv = np.array([self._agc_level(int(f)) for f in uf],
+                          dtype=np.float32)
+            agc[idx] = lv[inv]
             if claimed is not None:
-                claimed[b] = True
+                for b in idx:
+                    claimed[int(b)] = True
         return {"active": active, "agc": agc}
 
     def apply(self, out, arrays, lut=None):

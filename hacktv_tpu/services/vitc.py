@@ -101,12 +101,15 @@ class VITC:
         nbytes = (self.nbits_total + 7) // 8
         packed = np.zeros((nlines, nbytes), dtype=np.uint8)
         buf = np.zeros(self.nbits_total, dtype=np.uint8)
+        pcache = {}     # the 2 lines of a field share one payload
         for b in rows:
             b = int(b)
             k = int(ks[b])
-            payload, nbits = vitc_payload(
-                1 + k // self.lines_total, self.fps, self.frame_drop,
-                int(line[b]) >= self.lines[1], self.is625)
+            key = (1 + k // self.lines_total,
+                   int(line[b]) >= self.lines[1])
+            payload, nbits = pcache.get(key) or pcache.setdefault(
+                key, vitc_payload(key[0], self.fps, self.frame_drop,
+                                  key[1], self.is625))
             row = vbidata.bytes_to_bits(payload, nbits, lsb_first=True)
             n = min(len(row), self.nbits_total - self.offset_sym)
             buf[:] = 0

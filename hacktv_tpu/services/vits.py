@@ -126,17 +126,17 @@ class VITS:
         self.colour = params.cl_num > 0
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        idx = np.zeros(nlines, dtype=np.int32)   # 0 = none
-        for b in range(nlines):
-            k = k0 + b
-            if k < 0:
-                continue
-            line = k % self.lines_total + 1
-            t = self.line_map.get(line)
-            if t is not None:
-                idx[b] = t + 1
-                if claimed is not None:
-                    claimed[b] = True
+        if not hasattr(self, "_lmap_arr"):
+            a = np.zeros(self.lines_total + 1, dtype=np.int32)
+            for line, t in self.line_map.items():
+                a[line] = t + 1
+            self._lmap_arr = a
+        ks = k0 + np.arange(nlines, dtype=np.int64)
+        idx = self._lmap_arr[ks % self.lines_total + 1]
+        idx[ks < 0] = 0
+        if claimed is not None:
+            for b in np.nonzero(idx)[0]:
+                claimed[int(b)] = True
         return {"idx": idx}
 
     def apply(self, out, arrays, lut=None):
