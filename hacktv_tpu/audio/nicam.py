@@ -144,6 +144,38 @@ def scale_factor_indices(blocks: np.ndarray) -> np.ndarray:
     return np.max(need, axis=-1)
 
 
+_NO_NATIVE = False          # test hook: force the numpy oracle path
+_NATIVE_CONSTS = None
+
+
+def _encode_frames_native(pairs, n_frames, first_frame_idx, mode,
+                          reserve):
+    """Native-runtime fast path for encode_frames (bit-exact; the
+    numpy path below remains the fallback and parity oracle)."""
+    global _NATIVE_CONSTS
+    if _NO_NATIVE or n_frames <= 0:
+        return None
+    from .. import runtime
+    if not runtime.available():
+        return None
+    lib = runtime.load()
+    if _NATIVE_CONSTS is None:
+        _NATIVE_CONSTS = (
+            np.ascontiguousarray(J17_TAPS, dtype=np.int32),
+            np.ascontiguousarray(_SHIFT, dtype=np.int32),
+            np.ascontiguousarray(_FACTOR, dtype=np.int32),
+            np.ascontiguousarray(_ILEAVE, dtype=np.int16),
+            np.ascontiguousarray(_PRN, dtype=np.uint8))
+    taps, sh, fa, il, pr = _NATIVE_CONSTS
+    x = np.ascontiguousarray(pairs, dtype=np.int32)
+    out = np.zeros((n_frames, 91), dtype=np.uint8)
+    lib.rt_nicam_encode_frames(
+        x.ctypes.data, n_frames, taps.ctypes.data, len(taps),
+        sh.ctypes.data, fa.ctypes.data, il.ctypes.data, pr.ctypes.data,
+        int(first_frame_idx), int(mode), int(reserve), out.ctypes.data)
+    return out
+
+
 def encode_frames(pcm_lr: np.ndarray, first_frame_idx: int,
                   mode: int = MODE_STEREO, reserve: int = 1) -> np.ndarray:
     """Encode consecutive NICAM frames.
@@ -159,6 +191,11 @@ def encode_frames(pcm_lr: np.ndarray, first_frame_idx: int,
     hist = J17_NTAPS - 1
     pairs = np.asarray(pcm_lr, dtype=np.int64)
     n_frames = (len(pairs) - hist) // NICAM_AUDIO_LEN
+
+    enc = _encode_frames_native(pairs, n_frames, first_frame_idx, mode,
+                                reserve)
+    if enc is not None:
+        return enc
 
     # J.17 per channel over the continuous stream
     l = j17_filter(pairs[:, 0])[hist:]

@@ -119,6 +119,10 @@ def _declare(lib) -> None:
     lib.rt_mac_encode_packets.argtypes = [
         c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+    lib.rt_nicam_encode_frames.argtypes = [
+        c.c_void_p, c.c_long, c.c_void_p, c.c_int, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_long, c.c_int,
+        c.c_int, c.c_void_p]
     lib.rt_mac_audio_blocks.argtypes = [
         c.c_void_p, c.c_long, c.c_long, c.c_int, c.c_int, c.c_int,
         c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,

@@ -652,19 +652,19 @@ class SysterAudioInverter:
         # error here is ~1e-3 — far below the 0.5 needed for round() to
         # recover the exact integer, and ~100x faster than the direct
         # int64 path.
+        # xi*ri - xq*rq = Re((xi + j xq) * (ri + j rq)): one complex
+        # convolution replaces four real ones, both channels batched
+        r = (self.firi[::-1] + 1j * self.firq[::-1]
+             ).astype(np.complex128)
+        x = xi.astype(np.float64) + 1j * xq.astype(np.float64)
         try:
-            from scipy.signal import oaconvolve as _conv
+            from scipy.signal import oaconvolve
+            acc = oaconvolve(x, r[:, None], mode="valid", axes=0).real
         except Exception:                        # pragma: no cover
-            _conv = np.convolve
-        ri = self.firi[::-1].astype(np.float64)
-        rq = self.firq[::-1].astype(np.float64)
-        for ch in range(2):
-            acc = (_conv(xi[:, ch].astype(np.float64), ri,
-                         mode="valid")
-                   - _conv(xq[:, ch].astype(np.float64), rq,
-                           mode="valid"))
-            acc = np.round(acc).astype(np.int64)
-            out[:, ch] = self._wrap16(self._wrap32(acc) >> 15)
+            acc = np.stack([np.convolve(x[:, ch], r, mode="valid").real
+                            for ch in range(2)], axis=1)
+        acc = np.round(acc).astype(np.int64)
+        out[:, :] = self._wrap16(self._wrap32(acc) >> 15)
         return out
 
 

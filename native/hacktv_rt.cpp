@@ -896,4 +896,92 @@ void rt_mac_materialize(long n, long nbytes, long sbb,
     for (auto &th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// NICAM-728 frame encoder (hacktv_tpu/audio/nicam.py encode_frames;
+// src/nicam728.c:140-239): J.17 pre-emphasis with int16 wraparound,
+// near-instantaneous companding with in-band scale-factor signalling,
+// bit interleave, MSB-first packing, PRN whitening.
+// ---------------------------------------------------------------------------
+
+static inline int32_t rt_wrap16(int64_t a) {
+    return (int32_t)(((a + 32768) & 0xFFFF) - 32768);
+}
+
+void rt_nicam_encode_frames(const int32_t *pcm,   // [n*32+hist][2]
+                            long n_frames,
+                            const int32_t *taps, int ntaps,
+                            const int32_t *shift_t,   // [8]
+                            const int32_t *factor_t,  // [8]
+                            const int16_t *ileave,    // [704]
+                            const uint8_t *prn,       // [90]
+                            long first_frame, int mode, int reserve,
+                            uint8_t *out) {           // [n_frames][91]
+    const long hist = ntaps - 1;
+    const long nsamp = n_frames * 32;
+    // J.17 per channel, wrapped to int16 at each store
+    std::vector<int32_t> l(nsamp), r(nsamp);
+    for (int ch = 0; ch < 2; ch++) {
+        int32_t *y = ch ? r.data() : l.data();
+        for (long i = 0; i < nsamp; i++) {
+            long t = hist + i;
+            int64_t acc = 0;
+            const int32_t *x = pcm + (t - hist) * 2 + ch;
+            for (int j = 0; j < ntaps; j++)
+                acc += (int64_t)taps[j] * x[j * 2];
+            y[i] = rt_wrap16(acc >> 15);
+        }
+    }
+    std::vector<uint8_t> fb(728);
+    for (long f = 0; f < n_frames; f++) {
+        const int32_t *fl = l.data() + f * 32;
+        const int32_t *fr = r.data() + f * 32;
+        int b[2];
+        for (int ch = 0; ch < 2; ch++) {
+            const int32_t *ys = ch ? fr : fl;
+            int32_t m = 0;
+            for (int i = 0; i < 32; i++) {
+                int32_t v = ys[i] < 0 ? ~ys[i] : ys[i];
+                if (v > m) m = v;
+            }
+            int e = 0;
+            while ((m >> e) != 0) e++;
+            int idx = e - 8;
+            if (idx < 1) idx = 1;
+            if (idx > 7) idx = 7;
+            b[ch] = idx;
+        }
+        memset(fb.data(), 0, 728);
+        long fnum = first_frame + f;
+        uint32_t c0 = (uint32_t)((~fnum) >> 3) & 1u;
+        uint32_t hdr_b2 = (c0 << 7) | (((uint32_t)(mode >> 2) & 1u) << 6)
+            | (((uint32_t)(mode >> 1) & 1u) << 5)
+            | (((uint32_t)mode & 1u) << 4)
+            | (((uint32_t)reserve & 1u) << 3);
+        uint32_t header = (0x4Eu << 16) | (hdr_b2 << 8);
+        for (int i = 0; i < 24; i++)
+            fb[i] = (header >> (23 - i)) & 1u;
+        for (int x = 0; x < 64; x++) {
+            int ch = x & 1;
+            int32_t samp = ch ? fr[x >> 1] : fl[x >> 1];
+            int shift = shift_t[b[ch]], factor = factor_t[b[ch]];
+            uint32_t v = (uint32_t)(samp >> shift) & 0x3FFu;
+            uint32_t p6 = (v >> 4) & 0x3Fu;
+            p6 ^= p6 >> 4; p6 ^= p6 >> 2; p6 ^= p6 >> 1;
+            v |= (p6 & 1u) << 10;
+            if (x < 54) {
+                uint32_t sig =
+                    ((uint32_t)factor >> (2 - ((x >> 1) % 3))) & 1u;
+                v ^= sig << 10;
+            }
+            for (int bit = 0; bit < 11; bit++)
+                fb[24 + ileave[x * 11 + bit]] = (v >> bit) & 1u;
+        }
+        uint8_t *ob = out + f * 91;
+        memset(ob, 0, 91);
+        for (int i = 0; i < 728; i++)
+            if (fb[i]) ob[i >> 3] |= (uint8_t)(0x80u >> (i & 7));
+        for (int i = 0; i < 90; i++) ob[1 + i] ^= prn[i];
+    }
+}
+
 }  // extern "C"
