@@ -187,6 +187,74 @@ def encode_frames(pre_lr: np.ndarray, first_frame_idx: int) -> np.ndarray:
     return packed
 
 
+DANCE_B_AUDIO_LEN = 48          # stereo pairs per frame at 48 kHz
+
+# 50/10 us pre-emphasis, 48 kHz, mode B (src/dance.c:46-56)
+PRE_B_TAPS = np.array([
+    -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -2, 2, -2, 2, -3, 2, -6, 1,
+    -12, -5, -32, -34, -115, -193, -583, -1324, -4359, 23207, -4359,
+    -1324, -583, -193, -115, -34, -32, -5, -12, 1, -6, 2, -3, 2, -2, 2,
+    -2, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1], dtype=np.int64)
+
+
+def pre_emphasis_b(pcm: np.ndarray) -> np.ndarray:
+    """Mode-B pre-emphasis at 48 kHz (src/dance.c:283-318)."""
+    x = np.asarray(pcm, dtype=np.int64)
+    acc = np.convolve(x, PRE_B_TAPS[::-1])[:len(x)]
+    return _wrap16(acc >> 15)
+
+
+def encode_frames_b(pre_lr: np.ndarray, first_frame_idx: int
+                    ) -> np.ndarray:
+    """Encode consecutive mode-B DANCE frames (2x 48 kHz 16-bit linear
+    channels, src/dance.c:283-351; present in the reference but not
+    wired to its runtime, which only emits mode A from dance.c:479).
+
+    pre_lr: [(n_frames+1)*48, 2] **pre-emphasised** L/R samples with
+    the same one-call double-buffer offset as mode A.
+    """
+    pre = np.asarray(pre_lr, dtype=np.int64)
+    n_frames = len(pre) // DANCE_B_AUDIO_LEN - 1
+    blocks = pre.reshape(n_frames + 1, DANCE_B_AUDIO_LEN, 2)
+
+    rl = range_indices(blocks[..., 0])
+    rr = range_indices(blocks[..., 1])
+
+    frame_bits = np.zeros((n_frames, DANCE_FRAME_BITS), dtype=np.uint8)
+    # header: sync 0x135E, mode B, stereo 1/2, none 3/4, unmuted
+    hdr = np.array([0x13, 0x5E, (0x01 << 7) | (0x00 << 5) | (0x03 << 3),
+                    0x00], dtype=np.uint8)
+    frame_bits[:, :32] = np.unpackbits(hdr)[None, :]
+
+    blk = frame_bits[:, 32:].reshape(n_frames, 32, 63)
+    # range-code bit per block: channels 1/2 use their real companding
+    # pattern (even though the samples are linear), 3/4 pattern 0x00
+    pat = np.stack([_RANGE_PATTERN[rl[1:]], _RANGE_PATTERN[rr[1:]],
+                    np.zeros(n_frames, dtype=np.int64),
+                    np.zeros(n_frames, dtype=np.int64)], axis=1)
+    i = np.arange(32)
+    blk[:, :, 0] = (pat[:, i >> 3] >> (7 - (i & 7))[None, :]) & 1
+
+    # 3 x 16-bit linear samples per block from the PREVIOUS call:
+    # global sample slot sa = 3*i + c selects channel sa&1, row sa>>1
+    sa = (3 * i[:, None] + np.arange(3)[None, :]).reshape(-1)  # [96]
+    v = blocks[:-1, sa >> 1, sa & 1] & 0xFFFF        # [n_frames, 96]
+    b16 = np.arange(15, -1, -1)
+    bits = ((v[:, :, None] >> b16[None, None, :]) & 1).astype(np.uint8)
+    blk[:, :, 1:49] = bits.reshape(n_frames, 32, 48)
+    # 7 additional-data bits stay zero
+
+    contrib = np.where(blk[:, :, :56].astype(bool),
+                       _BCH_MASKS[None, None, :], 0)
+    code = np.bitwise_xor.reduce(contrib, axis=2)
+    blk[:, :, 56:] = (code[:, :, None] >> np.arange(7)[None, None, :]) & 1
+
+    frame_bits[:, 32:] = frame_bits[:, 32:][:, _ILEAVE]
+    packed = np.packbits(frame_bits, axis=1)
+    packed ^= _PRN[None, :]
+    return packed
+
+
 def frame_symbols(frames: np.ndarray) -> np.ndarray:
     """2-bit symbols from frame bytes, MSB-first pairs
     (src/dance.c:489)."""

@@ -59,3 +59,40 @@ def test_ntsc_bs_waveform():
     e = ours[:n].astype(np.float64) - r
     snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-12))
     assert snr >= 100.0, f"ntsc-bs raw SNR {snr:.2f} dB"
+
+
+def test_dance_mode_b_decode_back():
+    """Mode B (2x 48 kHz 16-bit linear; src/dance.c:283-351): the frame
+    pair must carry every sample verbatim — deinterleave, strip PRN,
+    check header/BCH, and recover the previous call's samples from the
+    payload slots."""
+    from hacktv_tpu.audio import dance
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32768, (5 * 48, 2)).astype(np.int64)
+    pre = dance.pre_emphasis_b(pcm.reshape(-1)).reshape(-1, 2)
+    frames = dance.encode_frames_b(pre, 1)
+    assert frames.shape == (4, 256)
+    inv = np.argsort(dance._ILEAVE)
+    for f in range(4):
+        clear = frames[f] ^ dance._PRN
+        bits = np.unpackbits(clear)
+        assert np.packbits(bits[:16]).tobytes() == b"\x13\x5e"
+        hdr2 = int(np.packbits(bits[16:24])[0])
+        assert hdr2 >> 7 == 1                 # mode B flag
+        assert (hdr2 >> 3) & 3 == 3           # channels 3/4 none
+        blk = bits[32:][inv].reshape(32, 63)
+        # BCH(63,56) re-encode must match
+        contrib = np.where(blk[:, :56].astype(bool),
+                           dance._BCH_MASKS[None, :], 0)
+        code = np.bitwise_xor.reduce(contrib, axis=1)
+        assert np.array_equal(
+            blk[:, 56:], (code[:, None] >> np.arange(7)[None, :]) & 1)
+        # payload: 96 16-bit samples of the PREVIOUS call (frame f maps
+        # to pre block f since block 0 is the pre-first-call context)
+        got = np.zeros(96, dtype=np.int64)
+        v = blk[:, 1:49].reshape(32, 3, 16)
+        w = (v << np.arange(15, -1, -1)[None, None, :]).sum(axis=2)
+        got[:] = w.reshape(-1)
+        sa = np.arange(96)
+        want = pre[f * 48:(f + 1) * 48][sa >> 1, sa & 1] & 0xFFFF
+        assert np.array_equal(got, want)
