@@ -119,6 +119,11 @@ def _declare(lib) -> None:
     lib.rt_mac_encode_packets.argtypes = [
         c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+    lib.rt_mac_mux_replay.argtypes = [
+        c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_int]
     lib.rt_nicam_encode_frames.argtypes = [
         c.c_void_p, c.c_long, c.c_void_p, c.c_int, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_long, c.c_int,

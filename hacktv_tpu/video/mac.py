@@ -244,11 +244,155 @@ class MacMux:
 
     # -- packet queue ---------------------------------------------------
     def _write_packet(self, subframe, address, continuity, payload, scr):
+        col = getattr(self, "_push_sink", None)
+        if col is not None:
+            # native replay: collect pushes in order; the queue-full
+            # drop rule is applied inside rt_mac_mux_replay
+            col.append((subframe, address, continuity, payload, scr))
+            return True
         q = self.queues[subframe]
         if len(q) == MAC_QUEUE_LEN:
             return False
         q.append((address, continuity, payload, scr))
         return True
+
+    # -- event bodies shared by the python and native replays ----------
+    def _event_frame(self, frame):
+        if self.eurocrypt is not None:
+            self.eurocrypt.next_frame(self, frame)
+        self.prbs1.reset(self.cw, frame - 1)
+        self._cw_hist[frame] = self.cw
+        if len(self._cw_hist) > 8:
+            for f in sorted(self._cw_hist)[:-4]:
+                del self._cw_hist[f]
+        if (frame & 3) == 0:
+            pkt = mb.si_dg0_packet(self.audio.address)
+            self._write_packet(0, 0x000, 0, pkt, False)
+            if self.mode_d:
+                self._write_packet(1, 0x000, 0, pkt, False)
+        elif (frame & 3) == 1:
+            ec = None
+            if self.eurocrypt is not None:
+                ec = self.eurocrypt.si_info()
+            pkt = mb.si_dg3_packet(self.audio.address, self.vsam,
+                                   self.ratio,
+                                   self.teletext is not None, ec)
+            self._write_packet(0, 0x000, 0, pkt, False)
+
+    def _event_audio(self, m):
+        pkts = self._audio_pkts.pop(m, None)
+        if pkts is None:
+            pkts = self.audio.write_audio(
+                self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN))
+        for addr, cont, payload, scr in pkts:
+            self._write_packet(0, addr, cont, payload, scr)
+
+    def _replay_python(self, events, his, read_ks, spans, ri, _drain,
+                       nsub):
+        """Reference replay: per-event drains + pushes (parity oracle
+        for rt_mac_mux_replay; also the no-native fallback)."""
+        self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
+        his = [h.tolist() for h in his]   # python ints: fast indexing
+        h0 = his[0]
+        for ei, (k_e, phase, kind, arg) in enumerate(events):
+            if h0[ei] > ri[0]:
+                _drain(0, h0[ei])
+            # subframe 1 is only ever pushed to at frame events (SI
+            # dg0, src/mac.c:930-935), so its reads can drain lazily:
+            # the dummy/real split only depends on the queue state at
+            # push boundaries
+            if kind == "f":
+                if nsub > 1 and his[1][ei] > ri[1]:
+                    _drain(1, his[1][ei])
+                self._event_frame(arg)
+                self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
+            else:
+                self._event_audio(arg)
+        for c in range(nsub):
+            _drain(c, len(read_ks[c]))
+
+    def _replay_native(self, events, his, read_ks, spans, lib):
+        """One native call runs the queue simulation and encodes every
+        packet directly into the window's stream bit buffers."""
+        nsub = 2 if self.mode_d else 1
+        n0 = len(read_ks[0])
+        n1 = len(read_ks[1]) if nsub > 1 else 0
+        ne = len(events)
+        pushes = [(c, a, ct, pl, sc) for c in range(nsub)
+                  for (a, ct, pl, sc) in self.queues[c]]
+        off = [0, len(pushes)]
+        iw_parts = [self.prbs1.take(int(next(spans, 0)))]
+        self._push_sink = pushes
+        try:
+            for k_e, phase, kind, arg in events:
+                if kind == "f":
+                    self._event_frame(arg)
+                    iw_parts.append(
+                        self.prbs1.take(int(next(spans, 0))))
+                else:
+                    self._event_audio(arg)
+                off.append(len(pushes))
+        finally:
+            self._push_sink = None
+
+        R = len(pushes)
+        push_q = np.zeros(R, np.uint8)
+        addr = np.zeros(R, np.int32)
+        cont = np.zeros(R, np.int32)
+        pays = np.zeros((R, mb.MAC_PAYLOAD_BYTES), np.uint8)
+        hasp = np.zeros(R, np.uint8)
+        scrs = np.zeros(R, np.uint8)
+        for i, (c, a, ct, pl, sc) in enumerate(pushes):
+            push_q[i] = c
+            addr[i] = a
+            cont[i] = ct & 3
+            if pl is not None:
+                b = np.frombuffer(pl, np.uint8)
+                pays[i, :len(b)] = b[:mb.MAC_PAYLOAD_BYTES]
+                hasp[i] = 1
+            if sc:
+                if c != 0:
+                    raise NotImplementedError(
+                        "scrambled packet on subframe 1")
+                scrs[i] = 1
+        iw0 = (np.concatenate(iw_parts).astype(np.uint64)
+               & np.uint64((1 << 61) - 1))
+        assert len(iw0) == n0
+        his0 = np.ascontiguousarray(
+            np.concatenate([his[0], [n0]]).astype(np.int64))
+        his1 = np.ascontiguousarray(np.concatenate(
+            [his[1] if nsub > 1 else np.zeros(ne, np.int64), [n1]]
+        ).astype(np.int64))
+        off_a = np.ascontiguousarray(off, dtype=np.int32)
+        dumc = np.ascontiguousarray(self.dummy_continuity[:2],
+                                    dtype=np.int32)
+        out0 = np.empty(max(n0, 1) * mb.MAC_PACKET_BITS, np.uint8)
+        out1 = np.empty(max(n1, 1) * mb.MAC_PACKET_BITS, np.uint8)
+        surv = np.zeros(2 * MAC_QUEUE_LEN, np.int32)
+        n_surv = np.zeros(2, np.int32)
+        import os as _os
+        lib.rt_mac_mux_replay(
+            ne, his0.ctypes.data, his1.ctypes.data, off_a.ctypes.data,
+            push_q.ctypes.data, addr.ctypes.data, cont.ctypes.data,
+            pays.ctypes.data, hasp.ctypes.data, scrs.ctypes.data,
+            iw0.ctypes.data, dumc.ctypes.data, out0.ctypes.data,
+            out1.ctypes.data, surv.ctypes.data, n_surv.ctypes.data,
+            min(8, _os.cpu_count() or 1))
+        self.dummy_continuity = [int(dumc[0]), int(dumc[1])]
+        if n0:
+            self._stream[0].append(out0[:n0 * mb.MAC_PACKET_BITS])
+            self._slen[0] += n0 * mb.MAC_PACKET_BITS
+        if nsub > 1 and n1:
+            self._stream[1].append(out1[:n1 * mb.MAC_PACKET_BITS])
+            self._slen[1] += n1 * mb.MAC_PACKET_BITS
+        k = 0
+        newq = [[], []]
+        for c in range(2):
+            for _ in range(int(n_surv[c])):
+                p = pushes[int(surv[k])]
+                k += 1
+                newq[c].append((p[1], p[2], p[3], p[4]))
+        self.queues = newq
 
     def _read_packet(self, subframe):
         q = self.queues[subframe]
@@ -510,53 +654,16 @@ class MacMux:
         fidx = [i for i, e in enumerate(events) if e[2] == "f"]
         r_pos = [int(his[0][i]) for i in fidx] + [len(read_ks[0])]
         spans = iter(np.diff([0] + r_pos) if r_pos else [])
-        self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
-        his = [h.tolist() for h in his]   # python ints: fast indexing
-        h0 = his[0]
-        for ei, (k_e, phase, kind, arg) in enumerate(events):
-            if h0[ei] > ri[0]:
-                _drain(0, h0[ei])
-            # subframe 1 is only ever pushed to at frame events (SI
-            # dg0, src/mac.c:930-935), so its reads can drain lazily:
-            # the dummy/real split only depends on the queue state at
-            # push boundaries
-            if kind == "f":
-                if nsub > 1 and his[1][ei] > ri[1]:
-                    _drain(1, his[1][ei])
-                frame = arg
-                if self.eurocrypt is not None:
-                    self.eurocrypt.next_frame(self, frame)
-                self.prbs1.reset(self.cw, frame - 1)
-                self._iw = [self.prbs1.take(int(next(spans, 0))), 0]
-                self._cw_hist[frame] = self.cw
-                if len(self._cw_hist) > 8:
-                    for f in sorted(self._cw_hist)[:-4]:
-                        del self._cw_hist[f]
-                if (frame & 3) == 0:
-                    pkt = mb.si_dg0_packet(self.audio.address)
-                    self._write_packet(0, 0x000, 0, pkt, False)
-                    if self.mode_d:
-                        self._write_packet(1, 0x000, 0, pkt, False)
-                elif (frame & 3) == 1:
-                    ec = None
-                    if self.eurocrypt is not None:
-                        ec = self.eurocrypt.si_info()
-                    pkt = mb.si_dg3_packet(self.audio.address,
-                                           self.vsam, self.ratio,
-                                           self.teletext is not None,
-                                           ec)
-                    self._write_packet(0, 0x000, 0, pkt, False)
-            else:
-                m = arg
-                pkts = self._audio_pkts.pop(m, None)
-                if pkts is None:
-                    pkts = self.audio.write_audio(
-                        self._pcm(m * NICAM_AUDIO_LEN,
-                                  NICAM_AUDIO_LEN))
-                for addr, cont, payload, scr in pkts:
-                    self._write_packet(0, addr, cont, payload, scr)
-        for c in range(nsub):
-            _drain(c, len(read_ks[c]))
+
+        from .. import runtime
+        if not getattr(self, "_no_native", False) and \
+                runtime.available():
+            self._replay_native(events, his, read_ks, spans,
+                                runtime.load())
+            pend = []
+        else:
+            self._replay_python(events, his, read_ks, spans, ri,
+                                _drain, nsub)
 
         # resolve the deferred packet encodes in one native call
         if pend:

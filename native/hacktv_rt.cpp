@@ -984,4 +984,116 @@ void rt_nicam_encode_frames(const int32_t *pcm,   // [n*32+hist][2]
     }
 }
 
+// ---------------------------------------------------------------------------
+// MAC mux window replay: runs the packet-queue simulation for one
+// window's read schedule (hacktv_tpu/video/mac.py ensure phase B;
+// src/mac.c:1016-1039) and encodes every 751-bit packet directly into
+// the per-subframe stream bit buffers (bit per byte, read i at
+// out_c + i*751).  Pushes are grouped per slot: slot 0 is applied
+// before any event (the surviving queue of the previous window), slot
+// e+1 after event e's drains.  Queue capacity 12; full queues drop the
+// push, empty queues read dummies (addr 0x3FF, continuity cycle).
+// Returns the surviving queue as push indices.
+// ---------------------------------------------------------------------------
+
+void rt_mac_mux_replay(long n_events,
+                       const int64_t *his0,    // [n_events+1] boundaries
+                       const int64_t *his1,    // (last = total reads)
+                       const int32_t *push_off,  // [n_events+2]
+                       const uint8_t *push_q,
+                       const int32_t *push_addr,
+                       const int32_t *push_cont,
+                       const uint8_t *push_pay,   // [n_push][91]
+                       const uint8_t *push_has,
+                       const uint8_t *push_scr,
+                       const uint64_t *iw0,       // [n_reads0]
+                       int32_t *dumc,             // [2] in/out
+                       uint8_t *out0, uint8_t *out1,
+                       int32_t *surv, int32_t *n_surv,  // [24], [2]
+                       int nthreads) {
+    const long cap = 12;
+    long ri[2] = {0, 0};
+    std::vector<int32_t> queue[2];     // push indices, FIFO
+    // assignment per read: >= 0 push index, -1 dummy
+    long total0 = his0[n_events], total1 = his1[n_events];
+    std::vector<int32_t> asg[2];
+    asg[0].assign((size_t)total0, -1);
+    asg[1].assign((size_t)total1, -1);
+    std::vector<int32_t> dcont[2];     // dummy continuity per dummy read
+    dcont[0].assign((size_t)total0, 0);
+    dcont[1].assign((size_t)total1, 0);
+
+    auto drain = [&](int c, long hi) {
+        auto &q = queue[c];
+        auto &a = asg[c];
+        auto &d = dcont[c];
+        for (long i = ri[c]; i < hi; i++) {
+            if (!q.empty()) {
+                a[i] = q.front();
+                q.erase(q.begin());
+            } else {
+                d[i] = dumc[c]++;
+            }
+        }
+        if (hi > ri[c]) ri[c] = hi;
+    };
+    auto apply = [&](long g) {
+        for (int32_t p = push_off[g]; p < push_off[g + 1]; p++) {
+            int c = push_q[p];
+            if ((long)queue[c].size() < cap) queue[c].push_back(p);
+        }
+    };
+    apply(0);
+    for (long e = 0; e < n_events; e++) {
+        drain(0, his0[e]);
+        drain(1, his1[e]);
+        apply(e + 1);
+    }
+    drain(0, total0);
+    drain(1, total1);
+    n_surv[0] = (int32_t)queue[0].size();
+    n_surv[1] = (int32_t)queue[1].size();
+    for (int c = 0, k = 0; c < 2; c++)
+        for (int32_t p : queue[c]) surv[k++] = p;
+
+    // encode pass: dummy cycle cached (period 4), real packets threaded
+    uint8_t dummy[4][751];
+    for (int t = 0; t < 4; t++)
+        rt_mac_encode_packet(0x3FF, t, nullptr, 0, 0, dummy[t]);
+    auto encode = [&](int c, long i0_, long i1_) {
+        uint8_t *out = c ? out1 : out0;
+        auto &a = asg[c];
+        auto &d = dcont[c];
+        for (long i = i0_; i < i1_; i++) {
+            uint8_t *ob = out + i * 751;
+            int32_t p = a[i];
+            if (p < 0) {
+                memcpy(ob, dummy[d[i] & 3], 751);
+            } else {
+                rt_mac_encode_packet(
+                    push_addr[p], push_cont[p],
+                    push_has[p] ? push_pay + (size_t)p * 91 : nullptr,
+                    push_scr[p], c == 0 ? iw0[i] : 0, ob);
+            }
+        }
+    };
+    if (nthreads <= 1) {
+        encode(0, 0, total0);
+        encode(1, 0, total1);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int c = 0; c < 2; c++) {
+        long total = c ? total1 : total0;
+        int nt = nthreads / 2 > 0 ? nthreads / 2 : 1;
+        long per = (total + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            long i0_ = t * per, i1_ = i0_ + per > total ? total : i0_ + per;
+            if (i0_ >= i1_) break;
+            ts.emplace_back(encode, c, i0_, i1_);
+        }
+    }
+    for (auto &th : ts) th.join();
+}
+
 }  // extern "C"
