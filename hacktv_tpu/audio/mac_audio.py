@@ -380,15 +380,16 @@ class MacAudioEnc:
         in sequence."""
         if not chunks:
             return []
+        allp = (np.concatenate(chunks) if len(chunks) > 1
+                else np.asarray(chunks[0]))
         if self.stereo:
-            conv = [c.reshape(-1).astype(np.int64) for c in chunks]
+            samples = allp.reshape(-1).astype(np.int64)
+            lens = [2 * len(c) for c in chunks]
         else:
-            conv = []
-            for c in chunks:
-                t = c[:, 0].astype(np.int64) + c[:, 1].astype(np.int64)
-                conv.append(np.where(t < 0, -((-t) // 2), t // 2))
-        lens = [len(c) for c in conv]
-        samples = np.concatenate(conv)
+            t = allp[:, 0].astype(np.int64) + allp[:, 1].astype(np.int64)
+            # C integer division truncates toward zero
+            samples = np.where(t < 0, -((-t) // 2), t // 2)
+            lens = [len(c) for c in chunks]
         sspb = self.src_samples_per_block
         buf = np.concatenate([self.j17[:self.j17x], samples])
         nblk = len(buf) // sspb

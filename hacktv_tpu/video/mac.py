@@ -266,7 +266,10 @@ class MacMux:
             for f in sorted(self._cw_hist)[:-4]:
                 del self._cw_hist[f]
         if (frame & 3) == 0:
-            pkt = mb.si_dg0_packet(self.audio.address)
+            pkt = getattr(self, "_si_dg0", None)
+            if pkt is None:
+                pkt = self._si_dg0 = mb.si_dg0_packet(
+                    self.audio.address)
             self._write_packet(0, 0x000, 0, pkt, False)
             if self.mode_d:
                 self._write_packet(1, 0x000, 0, pkt, False)
@@ -274,10 +277,17 @@ class MacMux:
             ec = None
             if self.eurocrypt is not None:
                 ec = self.eurocrypt.si_info()
-            pkt = mb.si_dg3_packet(self.audio.address, self.vsam,
-                                   self.ratio,
-                                   self.teletext is not None, ec)
-            self._write_packet(0, 0x000, 0, pkt, False)
+            key = (self.audio.address, self.vsam, self.ratio,
+                   self.teletext is not None,
+                   tuple(sorted(ec.items())) if ec else None)
+            cached = getattr(self, "_si_dg3", None)
+            if cached is None or cached[0] != key:
+                cached = self._si_dg3 = (
+                    key, mb.si_dg3_packet(self.audio.address, self.vsam,
+                                          self.ratio,
+                                          self.teletext is not None,
+                                          ec))
+            self._write_packet(0, 0x000, 0, cached[1], False)
 
     def _event_audio(self, m):
         pkts = self._audio_pkts.pop(m, None)
