@@ -24,6 +24,8 @@ _CONFIGS = {
                  label="D-MAC FM (dmac-fm) full-chain"),
     "ntsc-vsb": dict(mode="m", rate=13_500_000, vfilter=True,
                      label="NTSC-M+VSB (m) full-chain"),
+    "mux2": dict(mode="i", rate=20_000_000, mux=True,
+                 label="2-channel PAL-I mux (+/-2.25 MHz) full-chain"),
 }
 
 
@@ -66,6 +68,16 @@ def _bench_config(name, e2e=False, dynamic=False):
         from hacktv_tpu.config.standards import get_mode
         enc = MacEncoder(get_mode(mode), sample_rate, 0,
                          frames_per_block=fpb)
+    elif cfg.get("mux"):
+        # BASELINE config #5: two transmitters with offsets, summed on
+        # device (int16 wraparound, byte-identical to --passthru
+        # chaining — tests/test_rf_chain.py)
+        from hacktv_tpu.mux import MuxEncoder
+        enc = MuxEncoder([
+            Encoder(mode, sample_rate, frames_per_block=fpb,
+                    offset=-2_250_000, **kw),
+            Encoder(mode, sample_rate, frames_per_block=fpb,
+                    offset=2_250_000, **kw)])
     else:
         enc = Encoder(mode, sample_rate, frames_per_block=fpb, **kw)
     frame_samples = (enc.params.frame_samples if hasattr(enc, "params")

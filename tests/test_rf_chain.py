@@ -162,3 +162,25 @@ def test_two_channel_mux_golden(tmp_path):
     e2 = ours2.astype(np.float64) - r2
     snr2 = 10 * np.log10((r2 ** 2).sum() / max((e2 ** 2).sum(), 1e-12))
     assert snr2 > 40.0, snr2
+
+
+def test_device_mux_matches_passthru_chain(tmp_path):
+    """MuxEncoder sums whole channel blocks on device with int16
+    wraparound — byte-identical to the reference's --passthru chaining
+    of the same channels (channel 1 captured to a file and re-added
+    during channel 2's encode)."""
+    from hacktv_tpu.mux import MuxEncoder
+
+    ch1 = Encoder("i", 20_000_000, offset=-2_250_000)
+    dump = tmp_path / "ch1.c16"
+    np.concatenate([ch1.encode_frame(f).reshape(-1)
+                    for f in range(2)]).astype(np.int16).tofile(dump)
+
+    chain = Encoder("i", 20_000_000, offset=2_250_000,
+                    passthru=str(dump))
+    want = np.concatenate([chain.encode_frame(f) for f in range(2)])
+
+    mux = MuxEncoder([Encoder("i", 20_000_000, offset=-2_250_000),
+                      Encoder("i", 20_000_000, offset=2_250_000)])
+    got = np.concatenate([mux.encode_block(b) for b in range(2)])
+    assert np.array_equal(got, want[:len(got)])
