@@ -52,6 +52,9 @@ def _build_parser() -> argparse.ArgumentParser:
     a("-r", "--repeat", action="store_true")
     a("--shuffle", action="store_true")
     a("-v", "--verbose", action="store_true")
+    a("--profile", default=None, metavar="DIR",
+      help="capture a JAX profiler trace of the encode loop into DIR "
+           "(view with TensorBoard / xprof)")
     a("--teletext", default=None, metavar="PATH")
     a("--wss", default=None, metavar="MODE")
     a("--videocrypt", default=None, metavar="MODE")
@@ -481,6 +484,11 @@ def main(argv=None) -> int:
     samples_out = 0
     block = 0
     frames_done = 0
+    prof = None
+    if args.profile:
+        import jax.profiler as _jp
+        prof = _jp.trace(args.profile)
+        prof.__enter__()
     try:
         # one-block pipeline: block b+1's device compute is dispatched
         # before block b's device->host copy and sink write, so the
@@ -529,6 +537,10 @@ def main(argv=None) -> int:
     except (BrokenPipeError, KeyboardInterrupt):
         pass
     finally:
+        if prof is not None:
+            prof.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}",
+                  file=sys.stderr)
         sink.close()
         if args.verbose and hasattr(sink, "stats"):
             st = sink.stats()

@@ -230,3 +230,16 @@ def test_pal_motion_multi_frame_golden(tmp_path):
     r = ref.astype(np.float64)
     snr = 10 * np.log10((r ** 2).sum() / max((e ** 2).sum(), 1e-9))
     assert snr >= 60.0, f"motion multi-frame SNR {snr:.1f} dB"
+
+
+def test_cli_profiler_trace(tmp_path):
+    """--profile captures a JAX profiler trace of the encode loop
+    (SURVEY §5 tracing: profiler traces + samples/s counters)."""
+    prof = tmp_path / "trace"
+    r = _run(["-o", "/dev/null", "-m", "pal", "--frames", "1",
+              "--profile", str(prof), "test"])
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"profiler trace written" in r.stderr
+    found = list(prof.rglob("*.xplane.pb")) + \
+        list(prof.rglob("*.trace.json.gz"))
+    assert found, list(prof.rglob("*"))
