@@ -331,7 +331,6 @@ def main(argv=None) -> int:
     scramblers = [s for s in (args.videocrypt, args.videocrypt2,
                               args.videocrypts, args.syster, args.d11)
                   if s]
-    pal625 = conf.lines == 625 and conf.colour_mode == ColourMode.PAL
     if args.videocrypt and args.videocrypt2 and not (
             args.videocrypt == "free" and args.videocrypt2 == "free"):
         raise SystemExit("Videocrypt I and II cannot be used together "
@@ -341,14 +340,22 @@ def main(argv=None) -> int:
             and args.videocrypt2):
         raise SystemExit("Using multiple scrambling modes is not "
                          "supported")
+    # the reference accepts any 625-line mode OR any PAL mode for these
+    # (SECAM-L Syster/VC is the real French config; src/hacktv.c:1207,
+    # 1218, 1236, 1306: lines != 625 && colour_mode != VID_PAL), and
+    # Discret 11 likewise pairs with SECAM (src/hacktv.c:1289)
+    ok625_pal = conf.lines == 625 or conf.colour_mode == ColourMode.PAL
     for flag, name in ((args.videocrypt, "Videocrypt I"),
                        (args.videocrypt2, "Videocrypt II"),
                        (args.videocrypts, "Videocrypt S"),
-                       (args.syster, "Nagravision Syster"),
-                       (args.d11, "Discret 11")):
-        if flag and not pal625:
+                       (args.syster, "Nagravision Syster")):
+        if flag and not ok625_pal:
             raise SystemExit(f"{name} is only compatible with 625 line "
                              "PAL modes")
+    if args.d11 and not (conf.lines == 625
+                         or conf.colour_mode == ColourMode.SECAM):
+        raise SystemExit("Discret 11 is only compatible with 625 line "
+                         "PAL modes")
     if args.acp:
         if conf.lines not in (525, 625):
             raise SystemExit("Analogue Copy Protection is only "
@@ -436,8 +443,13 @@ def main(argv=None) -> int:
         from .video.params import VideoParams
         p = VideoParams.create(conf, sample_rate, pixel_rate)
         source = _build_source(args, conf, p.active_width)
+        import os as _os
+        tt_clock = None
+        if _os.environ.get("HACKTV_TPU_TELETEXT_TIME"):
+            _t = int(_os.environ["HACKTV_TPU_TELETEXT_TIME"])
+            tt_clock = lambda: _t    # deterministic test/golden runs
         enc = Encoder(conf, sample_rate, pixel_rate, source=source,
-                      frames_per_block=fpb,
+                      frames_per_block=fpb, teletext_clock=tt_clock,
                       wss=args.wss, teletext=args.teletext,
                       vfilter=args.vfilter, offset=int(args.offset),
                       swap_iq=args.swap_iq, vits=args.vits,
