@@ -43,6 +43,9 @@ def _build_parser() -> argparse.ArgumentParser:
     a("-l", "--level", type=float, default=None)
     a("-D", "--deviation", type=float, default=None)
     a("-G", "--gamma", type=float, default=None)
+    # repo extra: the reference only carries this as a (stock-disabled)
+    # mode-table field, src/video.c:221 + :4573-4581
+    a("--fm-energy-dispersal", type=float, default=None)
     a("-i", "--interlace", action="store_true")
     a("--fit", choices=["stretch", "fill", "fit", "none"], default=None)
     a("--min-aspect", default=None)
@@ -152,6 +155,8 @@ def _apply_overrides(conf, args):
         kw["level"] = args.level
     if args.deviation is not None:
         kw["fm_deviation"] = args.deviation
+    if args.fm_energy_dispersal is not None:
+        kw["fm_energy_dispersal"] = args.fm_energy_dispersal
     if args.gamma is not None:
         kw["gamma"] = args.gamma
     if args.interlace:

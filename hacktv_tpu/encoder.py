@@ -186,6 +186,7 @@ class Encoder:
         from .rf import ops as rf_ops
         self.fm_video_statics = None
         self.fm_video_exact = None
+        self._fm_ed_frame = None
         if conf.modulation == Modulation.FM:
             use_host = (not conf.swap_iq and not conf.offset
                         and passthru is None)
@@ -204,6 +205,12 @@ class Encoder:
                 # device scalar from the start: the carry stays on
                 # device (no host sync), stable packed-args spec
                 self._fm_r: dict[int, object] = {0: jnp.int32(0)}
+            # frame-locked triangular energy dispersal
+            # (src/video.c:4573-4581): exactly one frame long, so one
+            # static [lines, W] offset pattern covers every block
+            self._fm_ed_frame = rf_ops.fm_energy_dispersal_frame(
+                conf.fm_energy_dispersal, self.out_params.width,
+                conf.lines) if conf.fm_energy_dispersal else None
 
         # complex frequency offset (src/video.c:4592-4605)
         self.offset_statics = None
@@ -811,8 +818,13 @@ class Encoder:
         fm_carry = None
         if self.fm_video_statics is not None:
             from .rf import ops as rf_ops
+            tri = None
+            if self._fm_ed_frame is not None:
+                tri = jnp.asarray(np.tile(
+                    self._fm_ed_frame.astype(np.int32),
+                    (self.frames_per_block, 1)))
             out_i, out_q, fm_carry = rf_ops.fm_video_modulate(
-                self.fm_video_statics, out_i, audio_args["fm_r0"])
+                self.fm_video_statics, out_i, audio_args["fm_r0"], tri)
 
         if self.conf.swap_iq:
             out_i, out_q = out_q, out_i
@@ -1246,6 +1258,13 @@ class Encoder:
             comp = a.reshape(-1).view(np.int16)[0::2]
             n = self.frames_per_block * self.conf.lines * \
                 self.out_params.width
+            if self._fm_ed_frame is not None:
+                # frame-locked triangle added with int16 WRAP semantics
+                # (src/video.c:2303) before the FM recurrence
+                t = np.tile(self._fm_ed_frame.reshape(-1),
+                            self.frames_per_block)
+                comp = (((comp.astype(np.int32) + t + 0x8000) & 0xFFFF)
+                        - 0x8000).astype(np.int16)
             fx = self.fm_video_exact
             n0 = block_no * n
             if n0 < fx.n:

@@ -59,7 +59,30 @@ def _addmod(a, b, den):
     return s - jnp.uint32(den) * (s >= jnp.uint32(den)).astype(jnp.uint32)
 
 
-def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, r0: jnp.ndarray):
+def fm_energy_dispersal_frame(ed: float, width: int,
+                              lines: int) -> np.ndarray | None:
+    """One frame of the FM energy-dispersal triangle, int16 [lines, width].
+
+    The reference (src/video.c:2245-2257) runs a Bresenham counter at
+    level*4*frequency/sample_rate per sample with frequency framelocked to
+    sample_rate/(width*lines) (src/video.c:4573-4581), and offsets each
+    composite sample by abs(counter - level*2) - level before the FM LUT
+    (src/video.c:2301-2318).  counter(n) = floor(n*4L/P) mod 4L with
+    P = width*lines, so the waveform is EXACTLY one frame long — a single
+    static per-frame offset pattern covers the whole stream.
+    """
+    level = int(round(32767 * ed))
+    if level == 0:
+        return None
+    P = width * lines
+    n = np.arange(P, dtype=np.int64)
+    c = (n * (4 * level)) // P % (4 * level)
+    tri = np.abs(c - 2 * level) - level
+    return tri.astype(np.int16).reshape(lines, width)
+
+
+def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, r0: jnp.ndarray,
+                      tri=None):
     """FM-modulate the baseband block.
 
     x: [nlines, W] f32 (int16-scaled composite incl. audio subcarriers).
@@ -87,6 +110,10 @@ def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, r0: jnp.ndarray):
     # canvas instead leaves a sub-LSB mean offset that integrates into
     # an unbounded phase drift.  Quantise first.
     xq = jnp.round(jnp.clip(x, -32768, 32767)).astype(jnp.int32)
+    if tri is not None:
+        # energy dispersal: the reference's `sample += tri` is an int16
+        # add that WRAPS (src/video.c:2303; sample is int16_t)
+        xq = ((xq + tri + 0x8000) & 0xFFFF) - 0x8000
     col_cum = jnp.cumsum(xq, axis=1)                      # exact, inclusive
     T = col_cum[:, -1]                                    # line totals
     Tm = jnp.mod(T, den).astype(jnp.uint32)               # in [0, den)

@@ -75,6 +75,54 @@ def test_fm_video_pal_fm():
     assert snr >= 55.0, f"FM conditional SNR {snr:.2f} dB"
 
 
+def test_fm_energy_dispersal_pal_fm():
+    """Frame-locked triangular energy dispersal (src/video.c:2245-2257,
+    applied at :2301-2318, wired at :4573-4581 — stock-disabled constant
+    video.c:221 enabled via the FM_ED golden-build hook)."""
+    from dataclasses import replace
+    from hacktv_tpu.config.standards import get_mode
+    ref = _golden_iq("palfm_ed_16M_2frames.c16")
+    conf = replace(get_mode("pal-fm"), fm_energy_dispersal=0.0625)
+    enc = Encoder(conf, 16_000_000)
+    ours = np.concatenate(
+        [enc.encode_block(b) for b in range(2)])
+    n = (min(len(ref), len(ours)) // enc.params.width) * enc.params.width
+    W = enc.params.width
+    r = (ref[:n, 0] + 1j * ref[:n, 1]).astype(np.complex128).reshape(-1, W)
+    o = (ours[:n, 0] + 1j * ours[:n, 1]).astype(np.complex128).reshape(-1, W)
+    d0 = np.angle((o[0, :W - 12] * np.conj(r[0, :W - 12])).sum())
+    assert abs(d0) < 0.05, f"initial FM phase differs by {d0:.3f} rad"
+    drift = np.angle((o[:, :W - 12] * np.conj(r[:, :W - 12])).sum(axis=1))
+    o = o * np.exp(-1j * drift)[:, None]
+    e = (o - r)[:, :W - 12]
+    rr = r[:, :W - 12]
+    snr = 10 * np.log10((np.abs(rr) ** 2).sum() / (np.abs(e) ** 2).sum())
+    assert snr >= 55.0, f"FM+ED conditional SNR {snr:.2f} dB"
+
+    # and the triangle must actually be present: with ED off the same
+    # capture must NOT match
+    enc0 = Encoder("pal-fm", 16_000_000)
+    ours0 = np.concatenate([enc0.encode_block(b) for b in range(2)])
+    o0 = (ours0[:n, 0] + 1j * ours0[:n, 1]).astype(np.complex128) \
+        .reshape(-1, W)
+    drift0 = np.angle((o0[:, :W - 12] * np.conj(r[:, :W - 12])).sum(axis=1))
+    o0 = o0 * np.exp(-1j * drift0)[:, None]
+    e0 = (o0 - r)[:, :W - 12]
+    snr0 = 10 * np.log10((np.abs(rr) ** 2).sum() / (np.abs(e0) ** 2).sum())
+    assert snr0 < 30.0, f"ED-off stream unexpectedly matches ({snr0:.1f})"
+
+    # device closed-form path (chosen when FM combines with swap/offset/
+    # passthru) must carry the same triangle: --swap-iq is an exact I<->Q
+    # exchange, so it must match the host-exact stream swapped
+    encs = Encoder(replace(conf, swap_iq=True), 16_000_000)
+    xs = np.concatenate([encs.encode_block(b) for b in range(2)])[:n]
+    swapped = ours[:n][:, ::-1]
+    ds = (xs.astype(np.float64) - swapped.astype(np.float64))
+    snr_s = 10 * np.log10((swapped.astype(np.float64) ** 2).sum()
+                          / max((ds ** 2).sum(), 1e-12))
+    assert snr_s >= 55.0, f"device-path ED SNR {snr_s:.2f} dB"
+
+
 def test_secam_composite():
     path = os.path.join(GOLDEN, "secam_16M_2frames.s16")
     if not os.path.exists(path):

@@ -32,6 +32,10 @@ if [ ! -x "$BUILD/src/hacktv" ]; then
     # CW generation consumes rand(), so golden captures need a fixed,
     # replicable sequence — hacktv_tpu.services.eurocrypt.GlibcRand).
     sed -i 's/srand(time(NULL));/srand(1);/' video.c
+    # Expose the stock-disabled FM energy-dispersal field (video.c:221 is
+    # commented out; no CLI flag exists) through an env var so a golden
+    # can exercise video.c:2245-2257 + :2301-2318.
+    sed -i 's|s->conf = \*conf;|s->conf = *conf; { const char *_ed = getenv("FM_ED"); if(_ed) s->conf.fm_energy_dispersal = atof(_ed); }|' video.c
     # Pin the Eurocrypt "TODAY" broadcast date (src/eurocrypt.c:786:
     # _get_sub_date reads the wall clock, so providers with date "TODAY"
     # — e.g. teletv — would bake the capture date into the ECM).
@@ -138,6 +142,9 @@ capture pal_filter_2frames.s16 2560000 -m pal --filter test
 capture pali_filter_2frames.c16 5120000 -m i --filter test
 # FM satellite + SECAM
 capture palfm_16M_2frames.c16 5120000 -m pal-fm test
+# FM energy dispersal: the 1 MHz-deviation triangle video.c:221 ships
+# commented out, enabled via the FM_ED build hook above
+FM_ED=0.0625 capture palfm_ed_16M_2frames.c16 5120000 -m pal-fm test
 capture secaml_16M_2frames.c16 5120000 -m l test
 capture secaml_fid_2frames.c16 2560000 -m l --secam-field-id test
 capture pal_svideo_2frames.c16 5120000 -m pal --s-video test
