@@ -136,6 +136,17 @@ def _declare(lib) -> None:
         c.c_long, c.c_long, c.c_long, c.c_void_p, c.c_void_p, c.c_int,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
+    lib.rt_mac_encode_packet_packed.argtypes = [
+        c.c_int, c.c_int, c.c_void_p, c.c_int, c.c_uint64, c.c_void_p]
+    lib.rt_mac_mux_replay_packed.argtypes = [
+        c.c_long, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p,
+        c.c_int64, c.c_void_p, c.c_void_p, c.c_int]
+    lib.rt_mac_materialize_packed.argtypes = [
+        c.c_long, c.c_long, c.c_long, c.c_void_p, c.c_void_p, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int]
 
     lib.rt_file_sink_open.restype = c.c_void_p
     lib.rt_file_sink_open.argtypes = [c.c_char_p, c.c_int, c.c_int,

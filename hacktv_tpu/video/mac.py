@@ -204,6 +204,12 @@ class MacMux:
         self._slen = [0, 0]       # appended bits
         self._spos = [0, 0]       # consumed bits
         self._sbase = [0, 0]      # absolute offset of _stream[c][0]
+        # native mode keeps the streams PACKED in one buffer per
+        # subframe (bit i of _pbuf[c] = absolute bit _sbase[c] + i);
+        # _stream stays in use only for the no-native oracle path
+        self._pbuf = [np.zeros(1 << 14, np.uint8),
+                      np.zeros(1 << 14, np.uint8)]
+        self._packed_stream = False
         self._pb = 0           # batch base line (set per ensure window)
         self._pn = 0           # rows pending materialisation
         self._ppos = np.zeros((0, 2), dtype=np.int64)
@@ -376,25 +382,29 @@ class MacMux:
         off_a = np.ascontiguousarray(off, dtype=np.int32)
         dumc = np.ascontiguousarray(self.dummy_continuity[:2],
                                     dtype=np.int32)
-        out0 = np.empty(max(n0, 1) * mb.MAC_PACKET_BITS, np.uint8)
-        out1 = np.empty(max(n1, 1) * mb.MAC_PACKET_BITS, np.uint8)
         surv = np.zeros(2 * MAC_QUEUE_LEN, np.int32)
         n_surv = np.zeros(2, np.int32)
         import os as _os
-        lib.rt_mac_mux_replay(
+        # packets land PACKED, head-to-tail, in the per-subframe stream
+        # buffers (bit i of _pbuf[c] = absolute stream bit _sbase[c]+i)
+        nbits0 = n0 * mb.MAC_PACKET_BITS
+        nbits1 = n1 * mb.MAC_PACKET_BITS
+        tail0 = self._slen[0] - self._sbase[0]
+        tail1 = self._slen[1] - self._sbase[1]
+        b0 = self._grow_pbuf(0, tail0 + nbits0)
+        b1 = self._grow_pbuf(1, tail1 + nbits1)
+        lib.rt_mac_mux_replay_packed(
             ne, his0.ctypes.data, his1.ctypes.data, off_a.ctypes.data,
             push_q.ctypes.data, addr.ctypes.data, cont.ctypes.data,
             pays.ctypes.data, hasp.ctypes.data, scrs.ctypes.data,
-            iw0.ctypes.data, dumc.ctypes.data, out0.ctypes.data,
-            out1.ctypes.data, surv.ctypes.data, n_surv.ctypes.data,
-            min(8, _os.cpu_count() or 1))
+            iw0.ctypes.data, dumc.ctypes.data,
+            b0.ctypes.data, tail0, b1.ctypes.data, tail1,
+            surv.ctypes.data, n_surv.ctypes.data,
+            min(2, _os.cpu_count() or 1))
+        self._packed_stream = True
         self.dummy_continuity = [int(dumc[0]), int(dumc[1])]
-        if n0:
-            self._stream[0].append(out0[:n0 * mb.MAC_PACKET_BITS])
-            self._slen[0] += n0 * mb.MAC_PACKET_BITS
-        if nsub > 1 and n1:
-            self._stream[1].append(out1[:n1 * mb.MAC_PACKET_BITS])
-            self._slen[1] += n1 * mb.MAC_PACKET_BITS
+        self._slen[0] += nbits0
+        self._slen[1] += nbits1
         k = 0
         newq = [[], []]
         for c in range(2):
@@ -403,6 +413,18 @@ class MacMux:
                 k += 1
                 newq[c].append((p[1], p[2], p[3], p[4]))
         self.queues = newq
+
+    def _grow_pbuf(self, c: int, need_bits: int) -> np.ndarray:
+        """Packed stream buffer for subframe c, grown (zero-filled) to
+        hold need_bits plus the 16 spare readable bytes the native
+        extractors require."""
+        need = (need_bits + 7 >> 3) + 16
+        buf = self._pbuf[c]
+        if len(buf) < need:
+            nb = np.zeros(max(2 * len(buf), need), np.uint8)
+            nb[:len(buf)] = buf
+            self._pbuf[c] = buf = nb
+        return buf
 
     def _read_packet(self, subframe):
         q = self.queues[subframe]
@@ -794,7 +816,7 @@ class MacMux:
 
         from .. import runtime
         native = (not getattr(self, "_no_native", False)
-                  and runtime.available())
+                  and runtime.available() and self._packed_stream)
         ones = None
         if native:
             lib = runtime.load()
@@ -816,27 +838,25 @@ class MacMux:
                     [x0, x0 + 99], dtype=np.int64)
             streams, pos, lens = [], [], []
             for c in range(nsub):
-                st = (np.concatenate(self._stream[c]) if self._stream[c]
-                      else np.zeros(0, np.uint8))
-                streams.append(np.ascontiguousarray(st, dtype=np.uint8))
+                streams.append(self._pbuf[c])
                 pos.append(np.ascontiguousarray(
                     self._ppos[:, c] - self._sbase[c]))
                 lens.append(np.ascontiguousarray(self._plen[:, c]))
             if nsub == 1:
-                streams.append(np.zeros(0, np.uint8))
+                streams.append(self._pbuf[1])
                 pos.append(np.zeros(n, np.int64))
                 lens.append(np.zeros(n, np.int64))
             base_rows = np.ascontiguousarray(
                 self._base_tbl[hs.astype(np.int64), dlines - 1])
             packed = np.zeros((n, nbytes), dtype=np.uint8)
             ones = np.zeros(n, dtype=np.int64)
-            lib.rt_mac_materialize(
+            lib.rt_mac_materialize_packed(
                 n, nbytes, sbb, base_rows.ctypes.data,
                 self._seg_offs.ctypes.data, nsub,
                 streams[0].ctypes.data, pos[0].ctypes.data,
                 lens[0].ctypes.data, streams[1].ctypes.data,
                 pos[1].ctypes.data, lens[1].ctypes.data,
-                packed.ctypes.data, ones.ctypes.data, 4)
+                packed.ctypes.data, ones.ctypes.data, 2)
             S = None
         else:
             S = np.zeros((n, sbb * 8), dtype=np.uint8)
@@ -907,18 +927,34 @@ class MacMux:
                                pol[:-1].astype(np.int8))]
                              + getattr(self, "_packed_wins", []))[:2]
         self._pn = 0
-        # drop fully consumed stream chunks (entries may hold several
-        # packets — dummy runs are appended as one array)
-        for c in range(nsub):
-            st = self._stream[c]
-            k = 0
-            off = self._sbase[c]
-            while k < len(st) and off + len(st[k]) <= self._spos[c]:
-                off += len(st[k])
-                k += 1
-            if k:
-                self._sbase[c] = off
-                del st[:k]      # one O(n) shift, not k pop(0)s
+        if self._packed_stream:
+            # compact the packed buffers: drop consumed whole bytes once
+            # the dead prefix passes 4 KB (the unconsumed tail is tiny)
+            for c in range(nsub):
+                drop = (self._spos[c] - self._sbase[c]) >> 3
+                if drop >= 4096:
+                    buf = self._pbuf[c]
+                    used = min(len(buf),
+                               (self._slen[c] - self._sbase[c]
+                                + 7 >> 3) + 16)
+                    tail = buf[drop:used].copy()
+                    nb = np.zeros(len(buf), np.uint8)
+                    nb[:len(tail)] = tail
+                    self._pbuf[c] = nb
+                    self._sbase[c] += drop << 3
+        else:
+            # drop fully consumed stream chunks (entries may hold
+            # several packets — dummy runs are appended as one array)
+            for c in range(nsub):
+                st = self._stream[c]
+                k = 0
+                off = self._sbase[c]
+                while k < len(st) and off + len(st[k]) <= self._spos[c]:
+                    off += len(st[k])
+                    k += 1
+                if k:
+                    self._sbase[c] = off
+                    del st[:k]      # one O(n) shift, not k pop(0)s
 
     def bits_block(self, k_lo: int, k_hi: int):
         """Packed line bits + start polarity for stream lines

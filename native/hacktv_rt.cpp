@@ -1096,4 +1096,332 @@ void rt_mac_mux_replay(long n_events,
     for (auto &th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Packed MAC packet pipeline.  The bit-per-byte representation above costs
+// ~8x the memory traffic and forces per-bit XOR loops downstream; these
+// variants keep the packet streams PACKED (LSB-first bits) end to end:
+// replay writes 94-byte packets head-to-tail at arbitrary bit offsets in a
+// caller-owned stream buffer, and materialize extracts each line's
+// data-burst slice with unaligned u64 loads + shifts (src/mac.c:1375-1439
+// semantics, same bit-exact output as the unpacked path).
+// ---------------------------------------------------------------------------
+
+// PRBS3 whitening byte (src/mac.c:252-266).  Equivalent to the rev64
+// formulation in rt_mac_encode_packet: with r = rev61(iw), the 5 address
+// bits come from r bits 4,9,14,19,24 = iw bits 56,51,46,41,36 and the
+// output bit is r bit (29+a) = iw bit (31-a) -- no reversal needed.
+static inline uint8_t rt_prbs3_byte(uint64_t *iw_) {
+    uint64_t iw = *iw_;
+    uint8_t cb = 0;
+    for (int s = 0; s < 8; s++) {
+        uint32_t a = (uint32_t)(((iw >> 56) & 1) | (((iw >> 51) & 1) << 1) |
+                                (((iw >> 46) & 1) << 2) |
+                                (((iw >> 41) & 1) << 3) |
+                                (((iw >> 36) & 1) << 4));
+        cb = (uint8_t)((cb >> 1) | (((iw >> (31 - a)) & 1u) << 7));
+        iw = (iw >> 1) ^ ((iw & 1) ? 0x163D23594C934051ull : 0ull);
+    }
+    *iw_ = iw;
+    return cb;
+}
+
+// The j*94+d -> 8*d+j interleave as an 8x94 bit-matrix transpose: output
+// byte d collects bit d of each of the 8 serial 94-bit rows.
+static void rt_interleave751(const uint8_t *ser, uint8_t *out) {
+    uint64_t rlo[8], rhi[8];
+    for (int j = 0; j < 8; j++) {
+        long b0 = 94 * j;
+        uint64_t w0, w1;
+        memcpy(&w0, ser + (b0 >> 3), 8);
+        memcpy(&w1, ser + (b0 >> 3) + 8, 8);
+        int sh = (int)(b0 & 7);
+        rlo[j] = sh ? (w0 >> sh) | (w1 << (64 - sh)) : w0;
+        rhi[j] = sh ? (w1 >> sh) : w1;
+    }
+    for (int B = 0; B < 12; B++) {
+        uint64_t x = 0;
+        for (int j = 0; j < 8; j++) {
+            uint8_t byte = B < 8 ? (uint8_t)(rlo[j] >> (8 * B))
+                                 : (uint8_t)(rhi[j] >> (8 * (B - 8)));
+            x |= (uint64_t)byte << (8 * j);
+        }
+        // 8x8 bit transpose: x byte j bit c -> byte c bit j
+        uint64_t t;
+        t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AAull; x ^= t ^ (t << 7);
+        t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCCull; x ^= t ^ (t << 14);
+        t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0ull; x ^= t ^ (t << 28);
+        int lim = (94 - 8 * B) < 8 ? (94 - 8 * B) : 8;
+        for (int c = 0; c < lim; c++)
+            out[8 * B + c] = (uint8_t)(x >> (8 * c));
+    }
+}
+
+// Packed-output packet encoder: 751 interleaved bits in out[94], LSB
+// first (bit 7 of out[93] is always 0).  Bit-identical to
+// rt_mac_encode_packet followed by LSB-first packbits.
+void rt_mac_encode_packet_packed(int address, int continuity,
+                                 const uint8_t *payload, int scramble,
+                                 uint64_t iw, uint8_t *out) {
+    uint8_t ser[112];
+    memset(ser, 0, sizeof(ser));
+    uint32_t hdr = ((uint32_t)address & 0x3FFu) |
+                   (((uint32_t)continuity & 3u) << 10);
+    uint32_t code = 0;
+    for (int i = 0; i < 12; i++) {
+        uint32_t b = ((hdr >> i) ^ code) & 1u;
+        code >>= 1;
+        if (b) code ^= 0x0571u;
+    }
+    uint32_t h23 = (hdr & 0xFFFu) | (code << 12);
+    ser[0] = (uint8_t)h23;
+    ser[1] = (uint8_t)(h23 >> 8);
+    ser[2] = (uint8_t)((h23 >> 16) & 0x7Fu);
+    if (payload) {
+        for (int x = 0; x < 91; x++) {
+            uint8_t byte = payload[x];
+            if (scramble && x >= 1) byte ^= rt_prbs3_byte(&iw);
+            // serial bit 23 + 8x: byte (2+x) bit 7 onward
+            ser[2 + x] |= (uint8_t)(byte << 7);
+            ser[3 + x] |= (uint8_t)(byte >> 1);
+        }
+    }
+    rt_interleave751(ser, out);
+}
+
+// OR a 94-byte packed packet into dst at an arbitrary bit offset.
+// skip_first suppresses the write to the offset's first byte (shared
+// with another writer); its contribution is returned for deferred OR.
+static inline uint8_t rt_or_packet(uint8_t *dst, int64_t bitoff,
+                                   const uint8_t *p, int skip_first) {
+    long b0 = (long)(bitoff >> 3);
+    int sh = (int)(bitoff & 7);
+    if (sh == 0) {
+        for (int i = 0; i < 94; i++) dst[b0 + i] |= p[i];
+        return 0;
+    }
+    uint8_t first = (uint8_t)(p[0] << sh);
+    if (!skip_first) dst[b0] |= first;
+    for (int i = 1; i < 94; i++)
+        dst[b0 + i] |= (uint8_t)((p[i] << sh) | (p[i - 1] >> (8 - sh)));
+    // tail spill: when sh == 1 this is always 0 (packet bit 751 is 0)
+    // and byte b0+94 belongs to the NEXT range's first sh==0 packet --
+    // an unconditional |= 0 would still be a racy read-modify-write
+    uint8_t tl = (uint8_t)(p[93] >> (8 - sh));
+    if (tl) dst[b0 + 94] |= tl;
+    return first;
+}
+
+// rt_mac_mux_replay with packed stream output: packet for read i of
+// subframe c lands at bit (tail_c + i*751) of buf_c.  The buffers must
+// be zeroed beyond the tail and sized for the new bits + 16 spare
+// bytes.  Queue simulation identical to rt_mac_mux_replay.
+void rt_mac_mux_replay_packed(long n_events,
+                              const int64_t *his0, const int64_t *his1,
+                              const int32_t *push_off,
+                              const uint8_t *push_q,
+                              const int32_t *push_addr,
+                              const int32_t *push_cont,
+                              const uint8_t *push_pay,
+                              const uint8_t *push_has,
+                              const uint8_t *push_scr,
+                              const uint64_t *iw0,
+                              int32_t *dumc,
+                              uint8_t *buf0, int64_t tail0,
+                              uint8_t *buf1, int64_t tail1,
+                              int32_t *surv, int32_t *n_surv,
+                              int nthreads) {
+    const long cap = 12;
+    long ri[2] = {0, 0};
+    std::vector<int32_t> queue[2];
+    long total0 = his0[n_events], total1 = his1[n_events];
+    std::vector<int32_t> asg[2];
+    asg[0].assign((size_t)total0, -1);
+    asg[1].assign((size_t)total1, -1);
+    std::vector<int32_t> dcont[2];
+    dcont[0].assign((size_t)total0, 0);
+    dcont[1].assign((size_t)total1, 0);
+
+    auto drain = [&](int c, long hi) {
+        auto &q = queue[c];
+        auto &a = asg[c];
+        auto &d = dcont[c];
+        for (long i = ri[c]; i < hi; i++) {
+            if (!q.empty()) {
+                a[i] = q.front();
+                q.erase(q.begin());
+            } else {
+                d[i] = dumc[c]++;
+            }
+        }
+        if (hi > ri[c]) ri[c] = hi;
+    };
+    auto apply = [&](long g) {
+        for (int32_t p = push_off[g]; p < push_off[g + 1]; p++) {
+            int c = push_q[p];
+            if ((long)queue[c].size() < cap) queue[c].push_back(p);
+        }
+    };
+    apply(0);
+    for (long e = 0; e < n_events; e++) {
+        drain(0, his0[e]);
+        drain(1, his1[e]);
+        apply(e + 1);
+    }
+    drain(0, total0);
+    drain(1, total1);
+    n_surv[0] = (int32_t)queue[0].size();
+    n_surv[1] = (int32_t)queue[1].size();
+    for (int c = 0, k = 0; c < 2; c++)
+        for (int32_t p : queue[c]) surv[k++] = p;
+
+    uint8_t dummyp[4][94];
+    for (int t = 0; t < 4; t++)
+        rt_mac_encode_packet_packed(0x3FF, t, nullptr, 0, 0, dummyp[t]);
+
+    // encode pass: each (thread, subframe) range defers its first-byte
+    // OR (shared with the preceding writer) to a side slot
+    struct Range { int c; long i0, i1; uint8_t side; };
+    std::vector<Range> ranges;
+    int nt = nthreads > 1 ? nthreads : 1;
+    for (int c = 0; c < 2; c++) {
+        long total = c ? total1 : total0;
+        if (!total) continue;
+        long per = (total + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            long i0_ = t * per, i1_ = i0_ + per > total ? total : i0_ + per;
+            if (i0_ >= i1_) break;
+            ranges.push_back({c, i0_, i1_, 0});
+        }
+    }
+    auto encode = [&](Range *r) {
+        uint8_t *buf = r->c ? buf1 : buf0;
+        int64_t tail = r->c ? tail1 : tail0;
+        auto &a = asg[r->c];
+        auto &d = dcont[r->c];
+        for (long i = r->i0; i < r->i1; i++) {
+            uint8_t p94[94];
+            const uint8_t *src;
+            int32_t p = a[i];
+            if (p < 0) {
+                src = dummyp[d[i] & 3];
+            } else {
+                rt_mac_encode_packet_packed(
+                    push_addr[p], push_cont[p],
+                    push_has[p] ? push_pay + (size_t)p * 91 : nullptr,
+                    push_scr[p], r->c == 0 ? iw0[i] : 0, p94);
+                src = p94;
+            }
+            uint8_t f = rt_or_packet(buf, tail + i * 751, src, i == r->i0);
+            if (i == r->i0) r->side = f;
+        }
+    };
+    if (nt <= 1 || ranges.size() <= 1) {
+        for (auto &r : ranges) encode(&r);
+    } else {
+        std::vector<std::thread> ts;
+        for (size_t k = 1; k < ranges.size(); k++)
+            ts.emplace_back(encode, &ranges[k]);
+        encode(&ranges[0]);
+        for (auto &th : ts) th.join();
+    }
+    for (auto &r : ranges) {
+        if (!r.side) continue;
+        uint8_t *buf = r.c ? buf1 : buf0;
+        int64_t off = (r.c ? tail1 : tail0) + r.i0 * 751;
+        buf[off >> 3] |= r.side;
+    }
+}
+
+// rt_mac_materialize over PACKED streams: line i's subframe-c slice is
+// len_c[i] bits at absolute bit pos_c[i] of stream_c, XORed into the
+// packed row at static bit offset offs[c].  Streams need 16 readable
+// bytes beyond their last data byte.
+void rt_mac_materialize_packed(long n, long nbytes, long sbb,
+                               const uint8_t *base, const int64_t *offs,
+                               int nsub,
+                               const uint8_t *st0, const int64_t *pos0,
+                               const int64_t *len0,
+                               const uint8_t *st1, const int64_t *pos1,
+                               const int64_t *len1,
+                               uint8_t *packed, int64_t *ones,
+                               int nthreads) {
+    auto work = [&](long lo_, long hi_) {
+        for (long i = lo_; i < hi_; i++) {
+            uint8_t *ob = packed + i * nbytes;
+            memcpy(ob, base + i * sbb, sbb);
+            for (int c = 0; c < nsub; c++) {
+                const uint8_t *st = c ? st1 : st0;
+                int64_t pos = c ? pos1[i] : pos0[i];
+                long ln = (long)(c ? len1[i] : len0[i]);
+                if (ln <= 0) continue;
+                uint64_t w0, w1;
+                memcpy(&w0, st + (pos >> 3), 8);
+                memcpy(&w1, st + (pos >> 3) + 8, 8);
+                int sh = (int)(pos & 7);
+                uint64_t vlo = sh ? (w0 >> sh) | (w1 << (64 - sh)) : w0;
+                uint64_t vhi = sh ? (w1 >> sh) : w1;
+                if (ln < 64) {
+                    vlo &= (1ull << ln) - 1;
+                    vhi = 0;
+                } else if (ln == 64) {
+                    vhi = 0;
+                } else if (ln - 64 < 64) {
+                    vhi &= (1ull << (ln - 64)) - 1;
+                }
+                int64_t off = offs[c];
+                long ob0 = (long)(off >> 3);
+                int osh = (int)(off & 7);
+                uint64_t v0 = vlo << osh;
+                uint64_t v1 = osh ? (vhi << osh) | (vlo >> (64 - osh))
+                                  : vhi;
+                uint64_t v2 = osh ? (vhi >> (64 - osh)) : 0ull;
+                if (nbytes - ob0 >= 24) {
+                    uint64_t d;
+                    memcpy(&d, ob + ob0, 8);
+                    d ^= v0;
+                    memcpy(ob + ob0, &d, 8);
+                    memcpy(&d, ob + ob0 + 8, 8);
+                    d ^= v1;
+                    memcpy(ob + ob0 + 8, &d, 8);
+                    if (v2) {
+                        memcpy(&d, ob + ob0 + 16, 8);
+                        d ^= v2;
+                        memcpy(ob + ob0 + 16, &d, 8);
+                    }
+                } else {
+                    uint8_t vb[24];
+                    memcpy(vb, &v0, 8);
+                    memcpy(vb + 8, &v1, 8);
+                    memcpy(vb + 16, &v2, 8);
+                    long nb = (long)((off + ln + 7) / 8) - ob0;
+                    for (long b = 0; b < nb && ob0 + b < nbytes; b++)
+                        ob[ob0 + b] ^= vb[b];
+                }
+            }
+            long cnt = 0;
+            long j = 0;
+            for (; j + 8 <= sbb; j += 8) {
+                uint64_t w;
+                memcpy(&w, ob + j, 8);
+                cnt += __builtin_popcountll(w);
+            }
+            for (; j < sbb; j++) cnt += __builtin_popcount(ob[j]);
+            ones[i] = cnt;
+        }
+    };
+    if (nthreads <= 1 || n < 2048) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    long per = (n + nthreads - 1) / nthreads;
+    for (int t = 1; t < nthreads; t++) {
+        long i0_ = t * per, i1_ = i0_ + per > n ? n : i0_ + per;
+        if (i0_ >= i1_) break;
+        ts.emplace_back(work, i0_, i1_);
+    }
+    work(0, per > n ? n : per);
+    for (auto &th : ts) th.join();
+}
+
 }  // extern "C"

@@ -60,6 +60,10 @@ def _mux_stream(mode, no_native, frames=6, **kw):
         from hacktv_tpu.services.eurocrypt import Eurocrypt
         kw = dict(kw, eurocrypt=Eurocrypt(kw["eurocrypt"],
                                           now=1_200_000_000))
+    if "teletext" in kw:
+        # the rolling-header clock defaults to wall time; the A/B runs
+        # would otherwise diverge whenever they straddle a second
+        kw = dict(kw, teletext_clock=lambda: 1_200_000_000)
     enc = MacEncoder(mode, 20_250_000, **kw)
     mux = enc.mux
     if no_native:
