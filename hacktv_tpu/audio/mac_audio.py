@@ -260,6 +260,8 @@ class MacAudioEnc:
         enc = self._encode_blocks_native(S)
         if enc is not None:
             return enc
+        # the numpy path accumulates J.17 products past int32 range
+        S = np.asarray(S, dtype=np.int64)
         bps = self.bits_per_sample
         step = 2 if self.stereo else 1
         out_buf = np.zeros((nblk, spb), dtype=np.int64)
@@ -372,26 +374,40 @@ class MacAudioEnc:
         del self._bytes[:npkt * 90]
         return out
 
-    def write_audio_batch(self, chunks: list) -> list:
+    def write_audio_batch(self, chunks: list, packed: bool = False,
+                          contig: np.ndarray | None = None):
         """Batched write_audio over consecutive chunks: one vectorised
         block-encode for the whole span, then an exact replay of the
         per-chunk SI-timer / packet-emission schedule.  Returns one
         packet list per chunk, identical to calling write_audio(chunk)
-        in sequence."""
+        in sequence.
+
+        With packed=True the BC1 payloads stay in one [npkt, 91] uint8
+        matrix and each chunk yields (si_cont | None, row0, nrow,
+        cont0); building ~300 payload bytes objects per D-MAC block and
+        re-parsing them in the mux replay marshal cost ~1 ms/block."""
         if not chunks:
-            return []
-        allp = (np.concatenate(chunks) if len(chunks) > 1
-                else np.asarray(chunks[0]))
+            return ([], np.zeros((0, MAC_PAYLOAD_BYTES), np.uint8)) \
+                if packed else []
+        if contig is not None:
+            allp = contig            # chunks are views of this buffer
+        else:
+            allp = (np.concatenate(chunks) if len(chunks) > 1
+                    else np.asarray(chunks[0]))
+        # the native block encoder takes int32; stay narrow until the
+        # numpy fallback needs int64
+        wdt = np.int64 if allp.dtype == np.int64 else np.int32
         if self.stereo:
-            samples = allp.reshape(-1).astype(np.int64)
+            samples = np.ascontiguousarray(allp.reshape(-1), dtype=wdt)
             lens = [2 * len(c) for c in chunks]
         else:
-            t = allp[:, 0].astype(np.int64) + allp[:, 1].astype(np.int64)
+            t = allp[:, 0].astype(wdt) + allp[:, 1].astype(wdt)
             # C integer division truncates toward zero
             samples = np.where(t < 0, -((-t) // 2), t // 2)
             lens = [len(c) for c in chunks]
         sspb = self.src_samples_per_block
-        buf = np.concatenate([self.j17[:self.j17x], samples])
+        buf = np.concatenate(
+            [self.j17[:self.j17x].astype(samples.dtype), samples])
         nblk = len(buf) // sspb
         enc = self._encode_blocks(
             buf[:nblk * sspb].reshape(nblk, sspb)) if nblk else b""
@@ -427,21 +443,37 @@ class MacAudioEnc:
         len0 = len(self._bytes)
         allb = bytes(self._bytes) + enc
         npkt_t = (len0 + Bt * bl) // (MAC_PAYLOAD_BYTES - 1)
-        out_all = []
         npkt_prev = 0
         c0 = self.continuity
         addr = self.address
-        for t in range(nch):
-            out = []
-            if si_at[t]:
-                out.append((addr, (c0 + npkt_prev - 2) & 3,
-                            self.si_pkt, False))
-            for p in range(npkt_prev, int(npkt_t[t])):
-                out.append((addr, (c0 + p) & 3,
-                            b"\xc7" + allb[p * 90:p * 90 + 90],
-                            self.scramble))
-            npkt_prev = int(npkt_t[t])
-            out_all.append(out)
+        if packed:
+            ntot = int(npkt_t[-1])
+            pm = np.empty((ntot, MAC_PAYLOAD_BYTES), np.uint8)
+            pm[:, 0] = 0xC7
+            pm[:, 1:] = np.frombuffer(
+                allb[:ntot * 90], np.uint8).reshape(-1, 90)
+            out_all = []
+            for t in range(nch):
+                si_cont = ((c0 + npkt_prev - 2) & 3) if si_at[t] \
+                    else None
+                n_t = int(npkt_t[t]) - npkt_prev
+                out_all.append((si_cont, npkt_prev, n_t,
+                                (c0 + npkt_prev) & 3))
+                npkt_prev = int(npkt_t[t])
+            out_all = (out_all, pm)
+        else:
+            out_all = []
+            for t in range(nch):
+                out = []
+                if si_at[t]:
+                    out.append((addr, (c0 + npkt_prev - 2) & 3,
+                                self.si_pkt, False))
+                for p in range(npkt_prev, int(npkt_t[t])):
+                    out.append((addr, (c0 + p) & 3,
+                                b"\xc7" + allb[p * 90:p * 90 + 90],
+                                self.scramble))
+                npkt_prev = int(npkt_t[t])
+                out_all.append(out)
         self.continuity = c0 + npkt_prev
         self._bytes = bytearray(allb[npkt_prev * 90:])
         rem = int(avail_t[-1] - Bt[-1] * sspb)

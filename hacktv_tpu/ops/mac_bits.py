@@ -375,6 +375,40 @@ def bch_encode(bits: np.ndarray, n: int, k: int) -> np.ndarray:
     return out
 
 
+_BCH_REM = {}
+
+
+def _bch_rem_table(n: int, k: int) -> np.ndarray:
+    """Remainder of each unit input bit through the BCH LFSR.  The
+    division loop in bch_encode is linear over GF(2), so the code word
+    of any input is the XOR of the unit remainders of its set bits."""
+    tab = _BCH_REM.get((n, k))
+    if tab is None:
+        g = 0x0571 if n == 23 else 0x3BB0
+        tab = np.zeros(k, dtype=np.int64)
+        # remainder of e_{k-1} is g itself; each earlier unit bit goes
+        # through one more LFSR step c -> (c >> 1) ^ (c & 1 ? g : 0)
+        c = g
+        tab[k - 1] = c
+        for j in range(k - 2, -1, -1):
+            c = (c >> 1) ^ (g if c & 1 else 0)
+            tab[j] = c
+        _BCH_REM[(n, k)] = tab
+    return tab
+
+
+def bch_encode_batch(bits: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Vectorised bch_encode over a [F, k] LSB-first bit matrix;
+    returns [F, n] (src/mac.c:464-483)."""
+    tab = _bch_rem_table(n, k)
+    codes = np.bitwise_xor.reduce(
+        np.where(bits[:, :k] != 0, tab[None, :], 0), axis=1)
+    out = np.zeros((bits.shape[0], n), dtype=np.uint8)
+    out[:, :k] = bits[:, :k]
+    out[:, k:n] = (codes[:, None] >> np.arange(n - k)[None, :]) & 1
+    return out
+
+
 def golay_encode(data: bytes, blocks: int) -> bytes:
     """Golay(24,12) via paired BCH(23,12)+parity (src/mac.c:486-513).
 
@@ -690,3 +724,56 @@ class Line625State:
         self.rdf = (self.rdf + 1) % len(self.rdf_table)
         il.extend([rdf_bits] * 5)
         return np.concatenate(il)
+
+    def content_bits_batch(self, frames: np.ndarray, udt: np.ndarray,
+                           chid: int, vsam: int,
+                           aspect_43: int) -> np.ndarray:
+        """Vectorised content_bits over a block's line-625 frames;
+        advances the RDF cycle/LINKS state exactly as F sequential
+        content_bits calls would."""
+        frames = np.asarray(frames, dtype=np.int64)
+        F = len(frames)
+        R = len(self.rdf_table)
+
+        udtb = ((udt[frames % 25].astype(np.int64)[:, None]
+                 >> (4 - np.arange(5))[None, :]) & 1).astype(np.uint8)
+
+        df71 = np.zeros((F, 71), dtype=np.uint8)
+        head = np.zeros(32, dtype=np.uint8)
+        head[0:16] = bits_lsb(chid, 16)
+        b = (vsam << 5) | (1 << 4) | (aspect_43 << 3) | (1 << 2) | \
+            (1 << 1) | 1
+        head[24:32] = bits_lsb(b, 8)
+        df71[:, :32] = head[None, :]
+        df71[:, 32:52] = (((frames >> 8) & 0xFFFFF)[:, None]
+                          >> np.arange(20)[None, :]) & 1
+        df71[:, 52] = 1
+        df71[:, 53] = 1
+        df71[:, 54:56] = bits_lsb(3, 2)[None, :]
+        sdf = bch_encode_batch(df71, 71, 57)
+
+        idxs = (self.rdf + np.arange(F)) % R
+        # occurrence t of entry e reads links post-toggle: init ^ (t+1)
+        occ = np.zeros(F, dtype=np.int64)
+        counts = np.zeros(R, dtype=np.int64)
+        for j in range(F):
+            e = int(idxs[j])
+            occ[j] = counts[e]
+            counts[e] += 1
+        links0 = np.asarray(self.links, dtype=np.int64)
+        link = (links0[idxs] ^ (occ + 1)) & 1
+        tab = np.asarray(self.rdf_table, dtype=np.int64)[idxs]
+        df94 = np.zeros((F, 94), dtype=np.uint8)
+        df94[:, 0:8] = (frames[:, None] >> np.arange(8)[None, :]) & 1
+        x = 9
+        for col, nb in ((0, 8), (1, 10), (2, 10), (3, 10), (4, 10),
+                        (5, 11), (6, 11)):
+            df94[:, x:x + nb] = (tab[:, col][:, None]
+                                 >> np.arange(nb)[None, :]) & 1
+            x += nb
+        df94[:, x] = link
+        rdf = bch_encode_batch(df94, 94, 80)
+
+        self.rdf = int((self.rdf + F) % R)
+        self.links = list((links0 ^ counts) & 1)
+        return np.concatenate([udtb, sdf] + [rdf] * 5, axis=1)

@@ -158,6 +158,41 @@ class _LineBitsView:
         return self.get(k) is not None
 
 
+class _PackedChunk:
+    """One audio chunk's packets as rows of a shared payload matrix
+    (write_audio_batch(packed=True)): the optional SI packet's
+    continuity, then nrow BC1 payloads pm[row0:row0+nrow] with
+    continuity cont0, cont0+1, ..."""
+    __slots__ = ("si_cont", "pm", "row0", "nrow", "cont0")
+
+    def __init__(self, si_cont, pm, row0, nrow, cont0):
+        self.si_cont = si_cont
+        self.pm = pm
+        self.row0 = row0
+        self.nrow = nrow
+        self.cont0 = cont0
+
+
+class _PushCollector:
+    """Ordered push sink for the native replay: plain tuples from
+    _write_packet plus whole audio segments (a _PackedChunk slice), so
+    audio payloads never round-trip through per-packet bytes objects."""
+    __slots__ = ("items", "count")
+
+    def __init__(self):
+        self.items = []
+        self.count = 0
+
+    def append(self, tup):
+        # (subframe, address, continuity, payload, scramble)
+        self.items.append(tup)
+        self.count += 1
+
+    def append_seg(self, chunk, address, scramble):
+        self.items.append((chunk, address, scramble))
+        self.count += chunk.nrow
+
+
 class MacMux:
     """Replays the reference's per-line packet multiplex deterministically
     (golden build: audio lineprocess synchronous, trailing the raster by
@@ -247,6 +282,13 @@ class MacMux:
         self.line_bits = _LineBitsView(self)
         # per line: (apply, xc_colour_or_single, xc_luma)
         self.scramble: dict[int, tuple] = {}
+        # device materialisation (MacEncoder sets device_mode=True):
+        # _materialize only records the read schedule + packed frame
+        # rows; the base-row gather / stream XOR / polarity scan run on
+        # device from device_bits_block()'s bundle
+        self.device_mode = False
+        self._sched_wins: list[tuple] = []
+        self._full_abs: dict[int, np.ndarray] = {}
 
     # -- packet queue ---------------------------------------------------
     def _write_packet(self, subframe, address, continuity, payload, scr):
@@ -300,6 +342,22 @@ class MacMux:
         if pkts is None:
             pkts = self.audio.write_audio(
                 self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN))
+        if isinstance(pkts, _PackedChunk):
+            a = self.audio
+            if pkts.si_cont is not None:
+                self._write_packet(0, a.address, pkts.si_cont,
+                                   a.si_pkt, False)
+            if not pkts.nrow:
+                return
+            col = self._push_sink
+            if isinstance(col, _PushCollector):
+                col.append_seg(pkts, a.address, a.scramble)
+            else:
+                for j in range(pkts.nrow):
+                    self._write_packet(
+                        0, a.address, (pkts.cont0 + j) & 3,
+                        pkts.pm[pkts.row0 + j].tobytes(), a.scramble)
+            return
         for addr, cont, payload, scr in pkts:
             self._write_packet(0, addr, cont, payload, scr)
 
@@ -334,11 +392,13 @@ class MacMux:
         n0 = len(read_ks[0])
         n1 = len(read_ks[1]) if nsub > 1 else 0
         ne = len(events)
-        pushes = [(c, a, ct, pl, sc) for c in range(nsub)
-                  for (a, ct, pl, sc) in self.queues[c]]
-        off = [0, len(pushes)]
+        col = _PushCollector()
+        for c in range(nsub):
+            for (a, ct, pl, sc) in self.queues[c]:
+                col.append((c, a, ct, pl, sc))
+        off = [0, col.count]
         iw_parts = [self.prbs1.take(int(next(spans, 0)))]
-        self._push_sink = pushes
+        self._push_sink = col
         try:
             for k_e, phase, kind, arg in events:
                 if kind == "f":
@@ -347,18 +407,37 @@ class MacMux:
                         self.prbs1.take(int(next(spans, 0))))
                 else:
                     self._event_audio(arg)
-                off.append(len(pushes))
+                off.append(col.count)
         finally:
             self._push_sink = None
 
-        R = len(pushes)
+        R = col.count
         push_q = np.zeros(R, np.uint8)
         addr = np.zeros(R, np.int32)
         cont = np.zeros(R, np.int32)
         pays = np.zeros((R, mb.MAC_PAYLOAD_BYTES), np.uint8)
         hasp = np.zeros(R, np.uint8)
         scrs = np.zeros(R, np.uint8)
-        for i, (c, a, ct, pl, sc) in enumerate(pushes):
+        keep = [None] * R
+        # audio segments, grouped by payload matrix so each group's
+        # rows move in one fancy-index copy (~640 tiny chunks/block
+        # made a per-segment loop overhead-bound)
+        segs = {}
+        i = 0
+        for it in col.items:
+            if len(it) == 3:                  # audio segment
+                ch, a, sc = it
+                g = segs.setdefault(id(ch.pm), (ch.pm, [], [], [], [],
+                                                [], []))
+                g[1].append(i)
+                g[2].append(ch.row0)
+                g[3].append(ch.nrow)
+                g[4].append(ch.cont0)
+                g[5].append(a)
+                g[6].append(1 if sc else 0)
+                i += ch.nrow
+                continue
+            c, a, ct, pl, sc = it
             push_q[i] = c
             addr[i] = a
             cont[i] = ct & 3
@@ -371,6 +450,24 @@ class MacMux:
                     raise NotImplementedError(
                         "scrambled packet on subframe 1")
                 scrs[i] = 1
+            keep[i] = (a, ct, pl, sc)
+            i += 1
+        for pm, dsts, row0s, nrows, cont0s, addrs, sflags in \
+                segs.values():
+            nr = np.asarray(nrows, dtype=np.int64)
+            tot = int(nr.sum())
+            if not tot:
+                continue
+            j = np.arange(tot) - np.repeat(np.cumsum(nr) - nr, nr)
+            src = np.repeat(np.asarray(row0s, np.int64), nr) + j
+            dst = np.repeat(np.asarray(dsts, np.int64), nr) + j
+            pays[dst] = pm[src]
+            cont[dst] = (np.repeat(np.asarray(cont0s, np.int64), nr)
+                         + j) & 3
+            addr[dst] = np.repeat(np.asarray(addrs, np.int32), nr)
+            hasp[dst] = 1
+            scrs[dst] = np.repeat(
+                np.asarray(sflags, np.uint8), nr)
         iw0 = (np.concatenate(iw_parts).astype(np.uint64)
                & np.uint64((1 << 61) - 1))
         assert len(iw0) == n0
@@ -409,9 +506,13 @@ class MacMux:
         newq = [[], []]
         for c in range(2):
             for _ in range(int(n_surv[c])):
-                p = pushes[int(surv[k])]
+                si = int(surv[k])
                 k += 1
-                newq[c].append((p[1], p[2], p[3], p[4]))
+                t = keep[si]
+                if t is None:     # packed audio row: rebuild the tuple
+                    t = (int(addr[si]), int(cont[si]),
+                         pays[si].tobytes(), bool(scrs[si]))
+                newq[c].append(t)
         self.queues = newq
 
     def _grow_pbuf(self, c: int, need_bits: int) -> np.ndarray:
@@ -445,7 +546,9 @@ class MacMux:
 
     def _pcm(self, start: int, count: int) -> np.ndarray:
         raw = self.source.read_audio(start, count)
-        v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
+        # int32 holds the Q8 product for any sane volume (<= 2^15)
+        dt = np.int32 if self.volume_int < 32768 else np.int64
+        v = (raw.astype(dt) * dt(self.volume_int) + dt(128)) >> dt(8)
         return np.clip(v, -32768, 32767)
 
     def _prefetch_audio(self, k_through: int):
@@ -464,9 +567,20 @@ class MacMux:
                         (m_hi - m0) * NICAM_AUDIO_LEN)
         chunks = [pcm[i * NICAM_AUDIO_LEN:(i + 1) * NICAM_AUDIO_LEN]
                   for i in range(m_hi - m0)]
-        for m, o in zip(range(m0, m_hi),
-                        self.audio.write_audio_batch(chunks)):
-            self._audio_pkts[m] = o
+        from .. import runtime
+        if not getattr(self, "_no_native", False) and \
+                runtime.available():
+            entries, pm = self.audio.write_audio_batch(chunks,
+                                                       packed=True,
+                                                       contig=pcm)
+            for m, (si_cont, row0, nrow, cont0) in zip(
+                    range(m0, m_hi), entries):
+                self._audio_pkts[m] = _PackedChunk(si_cont, pm, row0,
+                                                   nrow, cont0)
+        else:
+            for m, o in zip(range(m0, m_hi),
+                            self.audio.write_audio_batch(chunks)):
+                self._audio_pkts[m] = o
         self._audio_m = m_hi
 
     def _line_625(self, frame: int, line: int) -> np.ndarray:
@@ -502,6 +616,14 @@ class MacMux:
         return out
 
     def _line_624(self, frame: int, line: int) -> np.ndarray:
+        # the body is static and the sync word only depends on parity
+        par = (frame + line) & 1
+        cache = getattr(self, "_l624_cache", None)
+        if cache is None:
+            cache = self._l624_cache = {}
+        row = cache.get(par)
+        if row is not None:
+            return row
         out = np.zeros(self.nbits, dtype=np.uint8)
         x = 0
         if self.mode_d:
@@ -511,6 +633,49 @@ class MacMux:
         x += 6
         body = mb.line_624_bits(self.mode_d)
         out[x:x + len(body)] = body
+        cache[par] = out
+        return out
+
+    def _lines_625_batch(self, frames: np.ndarray) -> np.ndarray:
+        """All of a window's frame-sync lines in one vectorised pass;
+        row j == _line_625(frames[j], 625) exactly (parity-tested)."""
+        frames = np.asarray(frames, dtype=np.int64)
+        F = len(frames)
+        out = np.zeros((F, self.nbits), dtype=np.uint8)
+        x = 0
+        if self.mode_d:
+            out[:, 0] = 1
+            x = 1
+        hs = np.stack([mb.hsync_word_bits(0, 625),
+                       mb.hsync_word_bits(1, 625)])
+        out[:, x:x + 6] = hs[frames & 1]
+        x += 6
+        cri_t = np.stack([mb.rbits_msb((~mb.MAC_CRI) & 0xFFFFFFFF, 32),
+                          mb.rbits_msb(mb.MAC_CRI, 32)])
+        fsw_t = np.stack(
+            [mb.rbits_msb((~mb.MAC_FSW) & 0xFFFFFFFFFFFFFFFF, 64),
+             mb.rbits_msb(mb.MAC_FSW, 64)])
+        fpar = (frames & 1).astype(np.int64)
+        out[:, x:x + 32] = cri_t[fpar]
+        x += 32
+        out[:, x:x + 64] = fsw_t[fpar]
+        x += 64
+        il = self.l625.content_bits_batch(frames, self.udt,
+                                          self.conf.chid, self.vsam,
+                                          self.aspect_43)
+        n = il.shape[1]
+        if not self.mode_d:
+            out[:, x:x + n] = il
+            return out
+        wh = getattr(self, "_wh625", None)
+        if wh is None:
+            rem = self.nbits - (x + 2 * n)
+            wh = self.prbs15.seq(int(self.seeds[624]),
+                                 96 + 2 * n + rem)[96:]
+            self._wh625 = wh
+        out[:, x:x + 2 * n:2] = il
+        out[:, x + 1:x + 2 * n:2] = wh[None, 1:2 * n:2]
+        out[:, x + 2 * n:] = wh[None, 2 * n:]
         return out
 
     # -- main advance -------------------------------------------------------
@@ -776,13 +941,18 @@ class MacMux:
                 if v is not None:
                     self._ptt_rows[j] = (int(lines[j]), v)
 
-        for j in np.nonzero(lines >= 624)[0]:
+        sel = np.nonzero(lines >= 624)[0]
+        j625 = [int(j) for j in sel if int(lines[j]) == 625]
+        if j625:
+            rows = self._lines_625_batch(
+                1 + ks[np.asarray(j625)] // ML)
+            for i, j in enumerate(j625):
+                self._pfull_rows[j] = rows[i]
+        for j in sel:
             j = int(j)
-            frame = 1 + int(ks[j]) // ML
-            line = int(lines[j])
-            self._pfull_rows[j] = (self._line_625(frame, line)
-                                   if line == 625 else
-                                   self._line_624(frame, line))
+            if int(lines[j]) == 624:
+                self._pfull_rows[j] = self._line_624(
+                    1 + int(ks[j]) // ML, 624)
 
         self.k = k_through + 1
         self._materialize()
@@ -815,6 +985,41 @@ class MacMux:
         hs = ((frames + dlines) & 1) ^ (dlines == 623)
 
         from .. import runtime
+        if self.device_mode and self._packed_stream:
+            # record the window's read schedule (row lens are <= 99;
+            # positions are contiguous so the device recovers them by
+            # cumsum from the window-start positions) and the packed
+            # frame rows, then only compact the stream buffers
+            nsub_w = self._plen.shape[1]
+            plen = np.zeros((n, 2), np.uint8)
+            plen[:, :nsub_w] = self._plen
+            self._sched_wins = ([(base, plen,
+                                  self._ppos[0, :].copy())]
+                                + self._sched_wins)[:2]
+            for i, payload in self._pfull_rows.items():
+                self._full_abs[base + i] = np.packbits(
+                    payload, bitorder="little")
+            self._pn = 0
+            # consumed bits stay alive until their rows leave the
+            # retained schedule windows (device_bits_block re-slices
+            # them); drop only below the oldest window, with a small
+            # margin for the upload's leading boundary rows
+            oldest = min(self._sched_wins, key=lambda w: w[0])[2]
+            for c in range(nsub):
+                keep = int(oldest[c]) - 8 * 16 if c < len(oldest) \
+                    else self._spos[c]
+                drop = (keep - self._sbase[c]) >> 3
+                if drop >= 4096:
+                    buf = self._pbuf[c]
+                    used = min(len(buf),
+                               (self._slen[c] - self._sbase[c]
+                                + 7 >> 3) + 16)
+                    tail = buf[drop:used].copy()
+                    nb = np.zeros(len(buf), np.uint8)
+                    nb[:len(tail)] = tail
+                    self._pbuf[c] = nb
+                    self._sbase[c] += drop << 3
+            return
         native = (not getattr(self, "_no_native", False)
                   and runtime.available() and self._packed_stream)
         ones = None
@@ -975,14 +1180,54 @@ class MacMux:
             packed[sel] = pk[lo - base:hi - base]
             pol0[sel] = pl[lo - base:hi - base]
             covered[sel] = True
-        rows = [j for j in range(n)
-                if not covered[j]
-                and self.line_bits.get(k_lo + j) is not None]
+        rows = [int(j) for j in np.nonzero(~covered)[0]
+                if self.line_bits.get(k_lo + int(j)) is not None]
         if rows:
             bits = np.stack([self.line_bits[k_lo + j] for j in rows])
             packed[rows] = np.packbits(bits, axis=1, bitorder="little")
             pol0[rows] = [self.pol_start[k_lo + j] for j in rows]
         return packed, pol0
+
+    def device_bits_block(self, k_lo: int, k_hi: int):
+        """Upload bundle for on-device line-bit assembly (device_mode):
+        per-row consumed-bit lengths, the packed packet-stream slices
+        they index (positions recovered by cumsum from p0), and the
+        packed 624/625 frame rows.  Replaces the 1.6 MB/block packed
+        line upload with ~150 KB of stream bytes."""
+        n = k_hi - k_lo
+        nsub = 2 if self.mode_d else 1
+        lens = np.zeros((n, 2), np.uint8)
+        p0_abs = [None] * nsub
+        for base, plen, pos0 in sorted(self._sched_wins,
+                                       key=lambda w: w[0]):
+            lo = max(k_lo, base)
+            hi = min(k_hi, base + len(plen))
+            if lo >= hi:
+                continue
+            lens[lo - k_lo:hi - k_lo] = plen[lo - base:hi - base]
+            for c in range(min(nsub, len(pos0))):
+                if p0_abs[c] is None:
+                    # abs position of row k_lo's data: rows before the
+                    # first covering window consumed nothing
+                    p0_abs[c] = int(pos0[c]) + int(
+                        plen[:lo - base, c].astype(np.int64).sum())
+        streams, p0_rel = [], []
+        for c in range(nsub):
+            pa = p0_abs[c] if p0_abs[c] is not None else self._sbase[c]
+            total = int(lens[:, c].astype(np.int64).sum())
+            rel = pa - self._sbase[c]
+            assert rel >= 0, "stream slice already compacted away"
+            b0 = rel >> 3
+            b1 = min(len(self._pbuf[c]), ((rel + total + 7) >> 3) + 8)
+            streams.append(self._pbuf[c][b0:b1])
+            p0_rel.append(rel - (b0 << 3))
+        fks = sorted(k for k in self._full_abs
+                     if k_lo <= k < k_hi)
+        fr = (np.stack([self._full_abs[k] for k in fks])
+              if fks else np.zeros((0, self.nbits // 8), np.uint8))
+        fr_idx = np.asarray([k - k_lo for k in fks], np.int32)
+        return dict(streams=streams, p0=p0_rel, lens=lens,
+                    full_rows=fr, full_idx=fr_idx)
 
     def scramble_block(self, k_lo: int, k_hi: int):
         """(apply f32, xc1 i32, xc2 i32) arrays for stream lines
@@ -1006,6 +1251,8 @@ class MacMux:
     def prune(self, below_k: int):
         for key in [x for x in self.scramble if x < below_k]:
             del self.scramble[key]
+        for key in [x for x in self._full_abs if x < below_k]:
+            del self._full_abs[key]
 
 
 # ----------------------------------------------------------------------
@@ -1141,6 +1388,38 @@ class MacEncoder:
             self._fm_r = {0: jnp.int32(0)}
 
         self._meta = None
+        # device materialisation: assemble the line bits on device from
+        # the packet stream (device_bits_block) instead of uploading
+        # 1.6 MB of host-assembled packed rows per block.  Host path
+        # stays for teletext (vision-region overlays) and as the
+        # no-native oracle.
+        from .. import runtime as _rt
+        self.device_mat = (tt is None and _rt.available()
+                           and not getattr(self.mux, "_no_native",
+                                           False))
+        n_l = frames_per_block * mb.MAC_LINES
+        halo = 1 if self.resampler is not None else 0
+        nrows2 = n_l + 2 + 2 * halo
+        if self.device_mat:
+            # device_mode flips on at the first encode_block_device
+            # call: the host bits_block/line_bits APIs (parity oracles)
+            # stay usable on a mux that is only driven directly
+            nsub = 2 if self.mux.mode_d else 1
+            x0 = 7 if self.mux.mode_d else 6
+            nbits = self.mux.nbits
+            B = np.zeros((2, mb.MAC_LINES, nbits), np.int8)
+            if self.mux.mode_d:
+                B[:, :, 0] = 1
+                B[:, :, x0 + 99 * nsub] = 1
+            B[0, :, x0 - 6:x0] = self.mux._hs[0]
+            B[1, :, x0 - 6:x0] = self.mux._hs[1]
+            B[:, :, x0:x0 + 99 * nsub] = \
+                self.mux._wh_all[None, :, :99 * nsub]
+            self._base_bits = B.reshape(2 * mb.MAC_LINES, nbits)
+            self._scap = (99 * nrows2) // 8 + 24
+            self._fcap = 2 * (frames_per_block + 2)
+            self._pol_c = {0: jnp.int32(self.mux.polarity)}
+
         # mesh execution: partition the block's line axis (same scheme
         # as Encoder(devices=...); the duobinary basis matmuls and the
         # scramble gathers shard row-wise)
@@ -1160,8 +1439,16 @@ class MacEncoder:
             outs = ((shard, rep) if self.fm_video_statics is not None
                     else shard)
             self._step = jax.jit(self._step_impl, out_shardings=outs)
+            if self.device_mat:
+                outs_dev = ((shard, rep, rep)
+                            if self.fm_video_statics is not None
+                            else (shard, rep))
+                self._step_dev = jax.jit(self._step_impl_dev,
+                                         out_shardings=outs_dev)
         else:
             self._step = jax.jit(self._step_impl)
+            if self.device_mat:
+                self._step_dev = jax.jit(self._step_impl_dev)
         self._next_block = 0
 
     # ------------------------------------------------------------------
@@ -1243,18 +1530,80 @@ class MacEncoder:
     # ------------------------------------------------------------------
     def _step_impl(self, packed, pol0, planes, meta, scr_apply, xc1,
                    xc2, fm_r0, first):
-        y_img, u_img, v_img = planes
-        n = self.frames_per_block * mb.MAC_LINES
-        nrows = n + (2 if self.resampler is not None else 0)
-        W = self.width
         # unpack line bits and expand duobinary symbols on device
         # (polarity flips on every 0 bit, src/mac.c:193-203)
         bits = ((packed[:, :, None] >> jnp.arange(8, dtype=jnp.uint8))
                 & 1).reshape(packed.shape[0], -1)[:, :self.mux.nbits]
         bits = bits.astype(jnp.int32)
+        p0 = pol0.astype(jnp.int32)[:, None]
+        return self._synth(bits, p0, planes, meta, scr_apply, xc1,
+                           xc2, fm_r0, first)
+
+    def _step_impl_dev(self, stream0, stream1, lens, p00, p01,
+                       full_rows, full_idx, pol_c, k0p, planes, meta,
+                       scr_apply, xc1, xc2, fm_r0, first):
+        """Device-side line-bit assembly (mux.device_mode): gather the
+        static (sync + whitening) base row per line, XOR the consumed
+        packet-stream slices in at the data-burst columns
+        (src/mac.c:1375-1439), overwrite the packed 624/625 frame rows,
+        and run the duobinary start-polarity scan with a cross-block
+        carry (src/mac.c:193-203)."""
+        nbits = self.mux.nbits
+        nsub = 2 if self.mux.mode_d else 1
+        x0 = 7 if self.mux.mode_d else 6
+        nrows2 = lens.shape[0]
+        rows = k0p + jnp.arange(nrows2, dtype=jnp.int32)
+        valid = rows >= 0
+        rr = jnp.where(valid, rows, 0)
+        line0 = rr % mb.MAC_LINES              # line-1
+        frame = rr // mb.MAC_LINES + 1
+        hsp = ((frame + line0 + 1) & 1) ^ (line0 == 622).astype(
+            jnp.int32)
+        base = jnp.asarray(self._base_bits)[hsp * mb.MAC_LINES + line0]
+        bits = base.astype(jnp.int32) * valid[:, None].astype(jnp.int32)
+
+        co = jnp.arange(99, dtype=jnp.int32)[None, :]
+        for c, (sbytes, p0c) in enumerate(
+                ((stream0, p00), (stream1, p01))[:nsub]):
+            sb = ((sbytes[:, None] >> jnp.arange(8, dtype=jnp.uint8))
+                  & 1).reshape(-1).astype(jnp.int32)
+            lc = lens[:, c].astype(jnp.int32)
+            pos = p0c + jnp.cumsum(lc) - lc
+            idx = pos[:, None] + co
+            d = sb[jnp.clip(idx, 0, sb.shape[0] - 1)] \
+                * (co < lc[:, None])
+            seg = bits[:, x0 + 99 * c:x0 + 99 * (c + 1)] ^ d
+            bits = bits.at[:, x0 + 99 * c:x0 + 99 * (c + 1)].set(seg)
+
+        if full_rows.shape[0]:
+            frb = ((full_rows[:, :, None]
+                    >> jnp.arange(8, dtype=jnp.uint8)) & 1).reshape(
+                full_rows.shape[0], -1)[:, :nbits].astype(jnp.int32)
+            bits = bits.at[full_idx].set(frb, mode="drop")
+
+        ones = jnp.sum(bits, axis=1, dtype=jnp.int32)
+        neg = (nbits - ones) & 1
+        cum_ex = jnp.cumsum(neg) - neg
+        polrow = pol_c * (1 - 2 * (cum_ex & 1))
+        n = self.frames_per_block * mb.MAC_LINES
+        # next block's first row is this upload's row n; cum_ex[n] is
+        # the inclusive flip count of rows 0..n-1
+        carry = pol_c * (1 - 2 * (cum_ex[n] & 1))
+        out = self._synth(bits, polrow[:, None], planes, meta,
+                          scr_apply, xc1, xc2, fm_r0, first)
+        if self.fm_video_statics is not None:
+            o, fm_carry = out
+            return o, fm_carry, carry
+        return out, carry
+
+    def _synth(self, bits, p0, planes, meta, scr_apply, xc1, xc2,
+               fm_r0, first):
+        y_img, u_img, v_img = planes
+        n = self.frames_per_block * mb.MAC_LINES
+        nrows = n + (2 if self.resampler is not None else 0)
+        W = self.width
         zeros = 1 - bits
         flips = jnp.cumsum(zeros, axis=1)
-        p0 = pol0.astype(jnp.int32)[:, None]
         pol_before = jnp.where((flips - zeros) & 1, -p0, p0)
         sym = (bits * pol_before).astype(jnp.float32)
         # duobinary laid down before this line's overwrites: own bits +
@@ -1365,25 +1714,66 @@ class MacEncoder:
         halo = 1 if self.resampler is not None else 0
         nrows = n + 2 * halo
         k0 = block_no * n
+        if self.device_mat:
+            if getattr(self.mux, "_no_native", False):
+                self.device_mat = False     # oracle mode was forced on
+            else:
+                self.mux.device_mode = True
         self.mux.ensure(k0 + n + halo)
 
-        packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
-                                           k0 + n + 1 + halo)
         scr_apply, xc1, xc2 = self.mux.scramble_block(k0 - halo,
                                                       k0 + n + halo)
-        self.mux.prune(k0 + n - 2)
-
         planes = self._device_planes(block_no * self.frames_per_block)
         meta = self._line_meta()
         fm_r0 = (self._fm_r[block_no]
                  if self.fm_video_statics is not None else jnp.int32(0))
         first = jnp.float32(0.0 if block_no == 0 else 1.0)
-        out = self._step(jnp.asarray(packed), jnp.asarray(pol0),
-                         planes, meta,
-                         jnp.asarray(scr_apply), jnp.asarray(xc1),
-                         jnp.asarray(xc2), fm_r0, first)
-        if self.fm_video_statics is not None:
-            out, fm_carry = out
+        if self.device_mat:
+            bundle = self.mux.device_bits_block(k0 - 1 - halo,
+                                                k0 + n + 1 + halo)
+            self.mux.prune(k0 + n - 2)
+            nsub = 2 if self.mux.mode_d else 1
+            s0 = np.zeros(self._scap, np.uint8)
+            sl = bundle["streams"][0]
+            s0[:len(sl)] = sl
+            s1 = np.zeros(self._scap if nsub > 1 else 1, np.uint8)
+            if nsub > 1:
+                sl1 = bundle["streams"][1]
+                s1[:len(sl1)] = sl1
+            nrows2 = n + 2 + 2 * halo
+            fr = np.zeros((self._fcap, self.mux.nbits // 8), np.uint8)
+            fidx = np.full(self._fcap, nrows2, np.int32)
+            nf = len(bundle["full_idx"])
+            fr[:nf] = bundle["full_rows"]
+            fidx[:nf] = bundle["full_idx"]
+            out = self._step_dev(
+                jnp.asarray(s0), jnp.asarray(s1),
+                jnp.asarray(bundle["lens"]),
+                jnp.int32(bundle["p0"][0]),
+                jnp.int32(bundle["p0"][1] if nsub > 1 else 0),
+                jnp.asarray(fr), jnp.asarray(fidx),
+                self._pol_c[block_no], jnp.int32(k0 - 1 - halo),
+                planes, meta, jnp.asarray(scr_apply),
+                jnp.asarray(xc1), jnp.asarray(xc2), fm_r0, first)
+            fm_carry = None
+            if self.fm_video_statics is not None:
+                out, fm_carry, pol_carry = out
+            else:
+                out, pol_carry = out
+            self._pol_c[block_no + 1] = pol_carry
+            self._pol_c.pop(block_no - 2, None)
+        else:
+            packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
+                                               k0 + n + 1 + halo)
+            self.mux.prune(k0 + n - 2)
+            out = self._step(jnp.asarray(packed), jnp.asarray(pol0),
+                             planes, meta,
+                             jnp.asarray(scr_apply), jnp.asarray(xc1),
+                             jnp.asarray(xc2), fm_r0, first)
+            fm_carry = None
+            if self.fm_video_statics is not None:
+                out, fm_carry = out
+        if fm_carry is not None:
             # carry stays a device scalar: no host sync, the next
             # block's dispatch chains on it asynchronously
             self._fm_r[block_no + 1] = fm_carry
@@ -1425,6 +1815,8 @@ class MacEncoder:
         st = {"version": 1, "next_block": b, "mux": snap}
         if self.fm_video_statics is not None:
             st["fm_r"] = np.asarray(self._fm_r[b])
+        if self.device_mat:
+            st["pol_c"] = np.asarray(self._pol_c[b])
         return pickle.dumps(st)
 
     def load_checkpoint(self, blob: bytes) -> int:
@@ -1439,6 +1831,12 @@ class MacEncoder:
             self.mux.teletext.service.clock = clock
         if "fm_r" in st:
             self._fm_r = {b: jnp.asarray(st["fm_r"])}
+        if self.device_mat:
+            if "pol_c" not in st:
+                raise ValueError(
+                    "checkpoint was written by a host-materialise "
+                    "encoder; resume with device_mat disabled")
+            self._pol_c = {b: jnp.asarray(st["pol_c"])}
         self._next_block = b
         return b
 

@@ -687,6 +687,23 @@ static inline uint8_t rt_l2_hamming(uint32_t b) {
     return (uint8_t)p;
 }
 
+// Dot product of the reversed-tap vector with a forward input window.
+// Forward unit-stride indexing on both operands lets the compiler
+// vectorize; target_clones picks the widest ISA at load time while the
+// binary stays portable.
+#if defined(__x86_64__) && defined(__has_attribute)
+#if __has_attribute(target_clones)
+__attribute__((target_clones("avx512f", "avx2", "default")))
+#endif
+#endif
+static int64_t rt_fir_dot(const int32_t *rtaps, const int32_t *w,
+                          int ntaps) {
+    int64_t acc = 0;
+    for (int j = 0; j < ntaps; j++)
+        acc += (int64_t)rtaps[j] * w[j];
+    return acc;
+}
+
 // Streaming FIR state is kept by the caller: hist holds the last
 // ntaps-1 inputs, phase the decimation phase.  Returns decimated y.
 static void rt_j17_fir(const int32_t *taps, int ntaps, int dec,
@@ -698,14 +715,15 @@ static void rt_j17_fir(const int32_t *taps, int ntaps, int dec,
     std::vector<int32_t> buf((size_t)(ntaps - 1 + n));
     memcpy(buf.data(), hist, sizeof(int32_t) * (ntaps - 1));
     memcpy(buf.data() + ntaps - 1, x, sizeof(int32_t) * n);
+    // taps[j] pairs with w[ntaps-1-j]; reversing the taps makes both
+    // sides of the product walk forward
+    std::vector<int32_t> rtaps((size_t)ntaps);
+    for (int j = 0; j < ntaps; j++) rtaps[j] = taps[ntaps - 1 - j];
     for (long t = 0; t < n; t++) {
         bool keep = dec <= 1 || ((t + ph) % dec) == 0;
         if (keep) {
-            int64_t acc = 0;
-            const int32_t *w = buf.data() + t;
-            for (int j = 0; j < ntaps; j++)
-                acc += (int64_t)taps[j] * w[ntaps - 1 - j];
-            acc >>= 15;
+            int64_t acc = rt_fir_dot(rtaps.data(), buf.data() + t,
+                                     ntaps) >> 15;
             if (acc > 32767) acc = 32767;
             if (acc < -32768) acc = -32768;
             y[m++] = (int32_t)acc;

@@ -233,7 +233,7 @@ if [ ! -s "$GOLDEN/motion_702x576.bgra" ]; then
 import numpy as np
 H, W = 576, 702
 frames = []
-for f in range(4):
+for f in range(8):
     y, x = np.mgrid[0:H, 0:W]
     r = ((x * (f + 1)) % 256).astype(np.uint8)
     g = ((y + 40 * f) % 256).astype(np.uint8)
@@ -256,7 +256,7 @@ if [ ! -s "$GOLDEN/motion_832x576.bgra" ]; then
 import numpy as np
 H, W = 576, 922
 frames = []
-for f in range(6):
+for f in range(10):
     y, x = np.mgrid[0:H, 0:W]
     r = ((x * (f + 1)) % 256).astype(np.uint8)
     g = ((y + 40 * f) % 256).astype(np.uint8)
