@@ -38,7 +38,7 @@ def _bench_config(name, e2e=False, dynamic=False):
     # MAC (host bit mux) and SECAM (host-exact serial IIR) pipeline
     # better with smaller blocks; the PAL/NTSC device-only chains
     # amortise dispatch best at 64 frames
-    fpb = 16 if mode.startswith(("dmac", "d2mac", "l", "secam")) else 64
+    fpb = 32 if mode.startswith(("dmac", "d2mac")) else (16 if mode.startswith(("l", "secam")) else 64)
     kw = {"vfilter": True} if cfg.get("vfilter") else {}
     if dynamic:
         # non-repeating source: the device runtime can serve repeated
@@ -67,7 +67,7 @@ def _bench_config(name, e2e=False, dynamic=False):
         from hacktv_tpu.video.mac import MacEncoder
         from hacktv_tpu.config.standards import get_mode
         enc = MacEncoder(get_mode(mode), sample_rate, 0,
-                         frames_per_block=fpb)
+                         frames_per_block=fpb, pipeline_mux=True)
     elif cfg.get("mux"):
         # BASELINE config #5: two transmitters with offsets, summed on
         # device (int16 wraparound, byte-identical to --passthru

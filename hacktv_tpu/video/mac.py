@@ -361,6 +361,15 @@ class MacMux:
         for addr, cont, payload, scr in pkts:
             self._write_packet(0, addr, cont, payload, scr)
 
+    def _event_audio_slow(self, m, pkts):
+        """Non-packed audio event: list-of-tuples entry or an
+        on-demand encode (prefetch miss)."""
+        if pkts is None:
+            pkts = self.audio.write_audio(
+                self._pcm(m * NICAM_AUDIO_LEN, NICAM_AUDIO_LEN))
+        for addr, cont, payload, scr in pkts:
+            self._write_packet(0, addr, cont, payload, scr)
+
     def _replay_python(self, events, his, read_ks, spans, ri, _drain,
                        nsub):
         """Reference replay: per-event drains + pushes (parity oracle
@@ -397,18 +406,57 @@ class MacMux:
             for (a, ct, pl, sc) in self.queues[c]:
                 col.append((c, a, ct, pl, sc))
         off = [0, col.count]
+        off_append = off.append
         iw_parts = [self.prbs1.take(int(next(spans, 0)))]
         self._push_sink = col
+        # audio chunks push rows of a shared payload matrix; runs of
+        # chunks between SI/frame events are contiguous in it, so they
+        # merge into one segment (640 chunks/block -> ~20 segments)
+        a_addr = self.audio.address
+        a_scr = self.audio.scramble
+        a_si = self.audio.si_pkt
+        sched = self._audio_pkts
+        run = None                     # [pm, row0, nrow, cont0]
+        items = col.items
+
+        def flush():
+            nonlocal run
+            if run is not None and run[2]:
+                items.append((_PackedChunk(None, run[0], run[1],
+                                           run[2], run[3]),
+                              a_addr, a_scr))
+            run = None
         try:
             for k_e, phase, kind, arg in events:
                 if kind == "f":
+                    flush()
                     self._event_frame(arg)
                     iw_parts.append(
                         self.prbs1.take(int(next(spans, 0))))
+                    off_append(col.count)
+                    continue
+                e = sched.pop(arg, None)
+                if not isinstance(e, _PackedChunk):
+                    flush()
+                    self._event_audio_slow(arg, e)
+                    off_append(col.count)
+                    continue
+                cnt = col.count + e.nrow
+                if e.si_cont is not None:
+                    flush()
+                    self._write_packet(0, a_addr, e.si_cont, a_si,
+                                       False)
+                    cnt += 1
+                if run is not None and run[0] is e.pm and \
+                        run[1] + run[2] == e.row0:
+                    run[2] += e.nrow
                 else:
-                    self._event_audio(arg)
-                off.append(col.count)
+                    flush()
+                    run = [e.pm, e.row0, e.nrow, e.cont0]
+                col.count = cnt
+                off_append(cnt)
         finally:
+            flush()
             self._push_sink = None
 
         R = col.count
@@ -1280,7 +1328,7 @@ class MacEncoder:
                  scramble_video: int = 0, scramble_audio: bool = False,
                  eurocrypt=None, timestamp: int = 1_200_000_000,
                  teletext: str | None = None, teletext_clock=None,
-                 devices=None):
+                 devices=None, pipeline_mux: bool = False):
         conf = get_mode(mode) if isinstance(mode, str) else mode
         assert conf.mac_mode is not None
         self.conf = conf
@@ -1419,6 +1467,30 @@ class MacEncoder:
             self._scap = (99 * nrows2) // 8 + 24
             self._fcap = 2 * (frames_per_block + 2)
             self._pol_c = {0: jnp.int32(self.mux.polarity)}
+            # everything the block needs travels in ONE uint8 buffer
+            # (each separate upload costs an RPC round-trip on slow
+            # interconnects); static byte offsets, device bitcasts
+            nwin = n_l + 2 * halo
+            o = 0
+            lay = {}
+
+            def put(name, nbytes_, align=1):
+                nonlocal o
+                o = (o + align - 1) // align * align
+                lay[name] = o
+                o += nbytes_
+            put("s0", self._scap)
+            put("s1", self._scap if (self.mux.mode_d) else 1)
+            put("lens", nrows2 * 2)
+            put("fr", self._fcap * (nbits // 8))
+            put("fidx", self._fcap * 4, 4)
+            put("scr", nwin * 4, 4)
+            put("xc1", nwin * 4, 4)
+            put("xc2", nwin * 4, 4)
+            put("ints", 4 * 4, 4)     # p00, p01, k0p, first
+            lay["total"] = (o + 3) // 4 * 4
+            self._lay = lay
+            self._nwin = nwin
 
         # mesh execution: partition the block's line axis (same scheme
         # as Encoder(devices=...); the duobinary basis matmuls and the
@@ -1449,6 +1521,16 @@ class MacEncoder:
             self._step = jax.jit(self._step_impl)
             if self.device_mat:
                 self._step_dev = jax.jit(self._step_impl_dev)
+        # opt-in one-block-ahead mux pipelining: the worker thread owns
+        # the mux; native calls release the GIL, overlapping the main
+        # thread's uploads/dispatch.  Incompatible with checkpoint()
+        # (the mux runs ahead of the dispatched stream).
+        self.pipeline_mux = bool(pipeline_mux)
+        self._pipe = None
+        self._pipe_pool = None
+        if self.pipeline_mux:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pipe_pool = ThreadPoolExecutor(max_workers=1)
         self._next_block = 0
 
     # ------------------------------------------------------------------
@@ -1539,19 +1621,45 @@ class MacEncoder:
         return self._synth(bits, p0, planes, meta, scr_apply, xc1,
                            xc2, fm_r0, first)
 
-    def _step_impl_dev(self, stream0, stream1, lens, p00, p01,
-                       full_rows, full_idx, pol_c, k0p, planes, meta,
-                       scr_apply, xc1, xc2, fm_r0, first):
+    def _step_impl_dev(self, buf, pol_c, planes, meta, fm_r0):
         """Device-side line-bit assembly (mux.device_mode): gather the
         static (sync + whitening) base row per line, XOR the consumed
         packet-stream slices in at the data-burst columns
         (src/mac.c:1375-1439), overwrite the packed 624/625 frame rows,
         and run the duobinary start-polarity scan with a cross-block
-        carry (src/mac.c:193-203)."""
+        carry (src/mac.c:193-203).  All per-block host data arrives in
+        the single packed uint8 buffer laid out by self._lay."""
         nbits = self.mux.nbits
         nsub = 2 if self.mux.mode_d else 1
         x0 = 7 if self.mux.mode_d else 6
-        nrows2 = lens.shape[0]
+        lay = self._lay
+        n_l = self.frames_per_block * mb.MAC_LINES
+        halo = 1 if self.resampler is not None else 0
+        nrows2 = n_l + 2 + 2 * halo
+        nwin = self._nwin
+
+        def bi32(name, count):
+            a = lay[name]
+            return jax.lax.bitcast_convert_type(
+                buf[a:a + 4 * count].reshape(count, 4), jnp.int32)
+
+        stream0 = buf[lay["s0"]:lay["s0"] + self._scap]
+        stream1 = buf[lay["s1"]:lay["s1"]
+                      + (self._scap if self.mux.mode_d else 1)]
+        lens = buf[lay["lens"]:lay["lens"] + nrows2 * 2].reshape(
+            nrows2, 2)
+        full_rows = buf[lay["fr"]:lay["fr"]
+                        + self._fcap * (nbits // 8)].reshape(
+            self._fcap, nbits // 8)
+        full_idx = bi32("fidx", self._fcap)
+        scr_apply = jax.lax.bitcast_convert_type(
+            buf[lay["scr"]:lay["scr"] + 4 * nwin].reshape(nwin, 4),
+            jnp.float32)
+        xc1 = bi32("xc1", nwin)
+        xc2 = bi32("xc2", nwin)
+        ints = bi32("ints", 4)
+        p00, p01, k0p = ints[0], ints[1], ints[2]
+        first = ints[3].astype(jnp.float32)
         rows = k0p + jnp.arange(nrows2, dtype=jnp.int32)
         valid = rows >= 0
         rr = jnp.where(valid, rows, 0)
@@ -1706,13 +1814,12 @@ class MacEncoder:
                         ).astype(jnp.int16)
 
     # ------------------------------------------------------------------
-    def encode_block_device(self, block_no: int):
-        if block_no != self._next_block:
-            raise RuntimeError("MAC blocks must be encoded sequentially")
-        self._next_block += 1
+    def _prepare_host(self, block_no: int):
+        """Host-side block prep: advance the mux and build the upload
+        arrays.  Runs on the pipeline worker thread when pipeline_mux
+        is on (the mux is then touched only by that thread)."""
         n = self.frames_per_block * mb.MAC_LINES
         halo = 1 if self.resampler is not None else 0
-        nrows = n + 2 * halo
         k0 = block_no * n
         if self.device_mat:
             if getattr(self.mux, "_no_native", False):
@@ -1720,41 +1827,80 @@ class MacEncoder:
             else:
                 self.mux.device_mode = True
         self.mux.ensure(k0 + n + halo)
-
         scr_apply, xc1, xc2 = self.mux.scramble_block(k0 - halo,
                                                       k0 + n + halo)
-        planes = self._device_planes(block_no * self.frames_per_block)
-        meta = self._line_meta()
-        fm_r0 = (self._fm_r[block_no]
-                 if self.fm_video_statics is not None else jnp.int32(0))
-        first = jnp.float32(0.0 if block_no == 0 else 1.0)
         if self.device_mat:
             bundle = self.mux.device_bits_block(k0 - 1 - halo,
                                                 k0 + n + 1 + halo)
             self.mux.prune(k0 + n - 2)
             nsub = 2 if self.mux.mode_d else 1
-            s0 = np.zeros(self._scap, np.uint8)
-            sl = bundle["streams"][0]
-            s0[:len(sl)] = sl
-            s1 = np.zeros(self._scap if nsub > 1 else 1, np.uint8)
-            if nsub > 1:
-                sl1 = bundle["streams"][1]
-                s1[:len(sl1)] = sl1
             nrows2 = n + 2 + 2 * halo
-            fr = np.zeros((self._fcap, self.mux.nbits // 8), np.uint8)
-            fidx = np.full(self._fcap, nrows2, np.int32)
+            lay = self._lay
+            buf = np.zeros(lay["total"], np.uint8)
+
+            def put(name, a):
+                a = np.ascontiguousarray(a)
+                v = a.view(np.uint8).reshape(-1)
+                buf[lay[name]:lay[name] + len(v)] = v
+            put("s0", bundle["streams"][0])
+            if nsub > 1:
+                put("s1", bundle["streams"][1])
+            put("lens", bundle["lens"])
             nf = len(bundle["full_idx"])
-            fr[:nf] = bundle["full_rows"]
+            if nf:
+                fr = np.zeros((self._fcap, self.mux.nbits // 8),
+                              np.uint8)
+                fr[:nf] = bundle["full_rows"]
+                put("fr", fr)
+            fidx = np.full(self._fcap, nrows2, np.int32)
             fidx[:nf] = bundle["full_idx"]
-            out = self._step_dev(
-                jnp.asarray(s0), jnp.asarray(s1),
-                jnp.asarray(bundle["lens"]),
-                jnp.int32(bundle["p0"][0]),
-                jnp.int32(bundle["p0"][1] if nsub > 1 else 0),
-                jnp.asarray(fr), jnp.asarray(fidx),
-                self._pol_c[block_no], jnp.int32(k0 - 1 - halo),
-                planes, meta, jnp.asarray(scr_apply),
-                jnp.asarray(xc1), jnp.asarray(xc2), fm_r0, first)
+            put("fidx", fidx)
+            put("scr", np.ascontiguousarray(scr_apply, np.float32))
+            put("xc1", np.ascontiguousarray(xc1, np.int32))
+            put("xc2", np.ascontiguousarray(xc2, np.int32))
+            put("ints", np.array(
+                [bundle["p0"][0],
+                 bundle["p0"][1] if nsub > 1 else 0,
+                 k0 - 1 - halo,
+                 0 if block_no == 0 else 1], np.int32))
+            return ("dev", buf)
+        packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
+                                           k0 + n + 1 + halo)
+        self.mux.prune(k0 + n - 2)
+        return ("host", packed, pol0, scr_apply, xc1, xc2)
+
+    def encode_block_device(self, block_no: int):
+        if block_no != self._next_block:
+            raise RuntimeError("MAC blocks must be encoded sequentially")
+        self._next_block += 1
+        n = self.frames_per_block * mb.MAC_LINES
+        halo = 1 if self.resampler is not None else 0
+        k0 = block_no * n
+
+        if self.pipeline_mux:
+            if self._pipe is not None and self._pipe[0] == block_no:
+                prep = self._pipe[1].result()
+            else:
+                prep = self._prepare_host(block_no)
+            # overlap the next block's mux with this block's uploads,
+            # dispatch and device compute
+            self._pipe = (block_no + 1,
+                          self._pipe_pool.submit(self._prepare_host,
+                                                 block_no + 1))
+        else:
+            prep = self._prepare_host(block_no)
+
+        planes = self._device_planes(block_no * self.frames_per_block)
+        meta = self._line_meta()
+        if self.fm_video_statics is not None:
+            fm_r0 = self._fm_r[block_no]
+        else:
+            fm_r0 = self._zero_i32 = getattr(
+                self, "_zero_i32", None) or jnp.int32(0)
+        if prep[0] == "dev":
+            out = self._step_dev(jnp.asarray(prep[1]),
+                                 self._pol_c[block_no], planes, meta,
+                                 fm_r0)
             fm_carry = None
             if self.fm_video_statics is not None:
                 out, fm_carry, pol_carry = out
@@ -1763,9 +1909,8 @@ class MacEncoder:
             self._pol_c[block_no + 1] = pol_carry
             self._pol_c.pop(block_no - 2, None)
         else:
-            packed, pol0 = self.mux.bits_block(k0 - 1 - halo,
-                                               k0 + n + 1 + halo)
-            self.mux.prune(k0 + n - 2)
+            _, packed, pol0, scr_apply, xc1, xc2 = prep
+            first = jnp.float32(0.0 if block_no == 0 else 1.0)
             out = self._step(jnp.asarray(packed), jnp.asarray(pol0),
                              planes, meta,
                              jnp.asarray(scr_apply), jnp.asarray(xc1),
@@ -1796,6 +1941,10 @@ class MacEncoder:
             raise NotImplementedError(
                 "checkpoint with a raw: packet stream")
         b = int(next_block)
+        if self.pipeline_mux:
+            raise NotImplementedError(
+                "checkpoint with pipeline_mux=True: the mux runs one "
+                "block ahead of the dispatched stream")
         if self._next_block != b:
             raise RuntimeError(
                 f"checkpoint at block {b} but stream is at "

@@ -451,41 +451,49 @@ static inline uint64_t rt_rev64(uint64_t v, int bits) {
 // Generate n 61-bit PRBS1 codes (src/mac.c:310-336), advancing the
 // LFSR pair state[0]=sr1 (31 bit), state[1]=sr2 (29 bit) in place.
 void rt_mac_prbs1(uint64_t *state, long n, uint64_t *codes) {
-    uint32_t sr1 = (uint32_t)state[0], sr2 = (uint32_t)state[1];
+    // registers kept in the BIT-REVERSED domain: the generator reads
+    // rev(sr) every step, and a right-shift LFSR step is a left-shift
+    // step on the reversed register with a reversed polynomial
+    uint32_t r1 = rt_rev32((uint32_t)state[0], 31);
+    uint32_t r2 = rt_rev32((uint32_t)state[1], 29);
+    const uint32_t Q1 = rt_rev32(0x78810820u, 31);
+    const uint32_t Q2 = rt_rev32(0x17121100u, 29);
     for (long k = 0; k < n; k++) {
         uint64_t code = 0;
         for (int i = 0; i < 61; i++) {
-            uint32_t r1 = rt_rev32(sr1, 31);
-            uint32_t r2 = rt_rev32(sr2, 29);
             uint32_t a = (r2 & 3u) | ((r1 << 2) & 0x1Cu);
             uint32_t b = ((r2 >> 2) & 0xFFu) | ((r1 << 5) & 0xFFFFFF00u);
             code |= (uint64_t)((b >> a) & 1u) << i;
-            sr1 = (sr1 >> 1) ^ ((sr1 & 1u) ? 0x78810820u : 0u);
-            sr2 = (sr2 >> 1) ^ ((sr2 & 1u) ? 0x17121100u : 0u);
+            r1 = ((r1 << 1) & 0x7FFFFFFFu) ^ (-((r1 >> 30) & 1u) & Q1);
+            r2 = ((r2 << 1) & 0x1FFFFFFFu) ^ (-((r2 >> 28) & 1u) & Q2);
         }
         codes[k] = code;
     }
-    state[0] = sr1;
-    state[1] = sr2;
+    state[0] = rt_rev32(r1, 31);
+    state[1] = rt_rev32(r2, 29);
 }
 
 // Generate n 16-bit PRBS2 vision-scrambling codes (src/mac.c:287-293,
 // 339-361), advancing state[0]=sr3 (31 bit), state[1]=sr4 (29 bit).
 void rt_mac_prbs2(uint64_t *state, long n, uint16_t *codes) {
-    uint32_t sr3 = (uint32_t)state[0], sr4 = (uint32_t)state[1];
+    // reversed-domain registers (see rt_mac_prbs1)
+    uint32_t r3 = rt_rev32((uint32_t)state[0], 31);
+    uint32_t r4 = rt_rev32((uint32_t)state[1], 29);
+    const uint32_t Q3 = rt_rev32(0x7BB88888u, 31);
+    const uint32_t Q4 = rt_rev32(0x17A2C100u, 29);
     for (long k = 0; k < n; k++) {
         uint32_t code = 0;
         for (int i = 0; i < 16; i++) {
-            uint32_t a = rt_rev32(sr4, 29) & 0x1Fu;
+            uint32_t a = r4 & 0x1Fu;
             if (a == 31) a = 30;
-            code = (code >> 1) | (((rt_rev32(sr3, 31) >> a) & 1u) << 15);
-            sr3 = (sr3 >> 1) ^ ((sr3 & 1u) ? 0x7BB88888u : 0u);
-            sr4 = (sr4 >> 1) ^ ((sr4 & 1u) ? 0x17A2C100u : 0u);
+            code = (code >> 1) | (((r3 >> a) & 1u) << 15);
+            r3 = ((r3 << 1) & 0x7FFFFFFFu) ^ (-((r3 >> 30) & 1u) & Q3);
+            r4 = ((r4 << 1) & 0x1FFFFFFFu) ^ (-((r4 >> 28) & 1u) & Q4);
         }
         codes[k] = (uint16_t)code;
     }
-    state[0] = sr3;
-    state[1] = sr4;
+    state[0] = rt_rev32(r3, 31);
+    state[1] = rt_rev32(r4, 29);
 }
 
 // Generate n Videocrypt cut bytes (src/videocrypt.c:456-472): emit the
@@ -696,12 +704,17 @@ static inline uint8_t rt_l2_hamming(uint32_t b) {
 __attribute__((target_clones("avx512f", "avx2", "default")))
 #endif
 #endif
-static int64_t rt_fir_dot(const int32_t *rtaps, const int32_t *w,
+__attribute__((optimize("-fassociative-math", "-fno-signed-zeros",
+                        "-fno-trapping-math")))
+static int64_t rt_fir_dot(const double *rtaps, const double *w,
                           int ntaps) {
-    int64_t acc = 0;
+    // int16-range samples x int32 taps: products <= 2^46 and a 65-tap
+    // sum < 2^53, so double accumulation is EXACT and vectorizes to
+    // wide FMA where int64 multiply-accumulate does not
+    double acc = 0;
     for (int j = 0; j < ntaps; j++)
-        acc += (int64_t)rtaps[j] * w[j];
-    return acc;
+        acc += rtaps[j] * w[j];
+    return (int64_t)acc;
 }
 
 // Streaming FIR state is kept by the caller: hist holds the last
@@ -711,13 +724,13 @@ static void rt_j17_fir(const int32_t *taps, int ntaps, int dec,
                        const int32_t *x, long n, int32_t *y, long *ny) {
     long m = 0;
     int ph = *phase;
-    // work buffer: history + input
-    std::vector<int32_t> buf((size_t)(ntaps - 1 + n));
-    memcpy(buf.data(), hist, sizeof(int32_t) * (ntaps - 1));
-    memcpy(buf.data() + ntaps - 1, x, sizeof(int32_t) * n);
+    // work buffer: history + input, widened once to double
+    std::vector<double> buf((size_t)(ntaps - 1 + n));
+    for (int j = 0; j < ntaps - 1; j++) buf[j] = hist[j];
+    for (long t = 0; t < n; t++) buf[ntaps - 1 + t] = x[t];
     // taps[j] pairs with w[ntaps-1-j]; reversing the taps makes both
     // sides of the product walk forward
-    std::vector<int32_t> rtaps((size_t)ntaps);
+    std::vector<double> rtaps((size_t)ntaps);
     for (int j = 0; j < ntaps; j++) rtaps[j] = taps[ntaps - 1 - j];
     for (long t = 0; t < n; t++) {
         bool keep = dec <= 1 || ((t + ph) % dec) == 0;
@@ -730,7 +743,8 @@ static void rt_j17_fir(const int32_t *taps, int ntaps, int dec,
         }
     }
     *phase = (int)((ph + n) % (dec > 1 ? dec : 1));
-    memcpy(hist, buf.data() + n, sizeof(int32_t) * (ntaps - 1));
+    for (int j = 0; j < ntaps - 1; j++)
+        hist[j] = (int32_t)buf[n + j];
     *ny = m;
 }
 
@@ -782,7 +796,6 @@ void rt_mac_audio_blocks(const int32_t *S, long nblk, long sspb,
 
     auto blocks = [&](long k0_, long k1_) {
     std::vector<uint32_t> out_buf((size_t)spb);
-    std::vector<uint8_t> bits((size_t)block_len * 8);
     for (long k = k0_; k < k1_; k++) {
         uint32_t sfc = 0;
         int factors[2];
@@ -829,23 +842,32 @@ void rt_mac_audio_blocks(const int32_t *S, long nblk, long sspb,
                 uint32_t sfb = ((uint32_t)factors[b] >> (2 - i % 3)) & 1u;
                 out_buf[ch_sf_off[b] + step * i] ^= sfb << (bps - 1);
             }
-        // bit assembly, LSB-first within the block
-        memset(bits.data(), 0, bits.size());
-        long o = 0;
-        if (!linear && !protection) o = 16;          // zero prefix
+        // bit assembly, LSB-first within the block: append each
+        // sample's bps bits with shifted byte ORs (the bit-per-byte
+        // temp cost ~3 passes over 720 bits per block)
+        uint8_t tmp[256 + 8];
+        memset(tmp, 0, (size_t)block_len + 8);
+        long bitpos = 0;
+        if (!linear && !protection) bitpos = 16;     // zero prefix
         if (linear && protection) {
-            o = 18;
-            for (int i = 0; i < 18; i++)
-                bits[o + i] = (sfc >> (17 - i)) & 1u;
-            o += 18;
+            bitpos = 18;
+            for (int i = 0; i < 18; i++) {
+                if ((sfc >> (17 - i)) & 1u)
+                    tmp[bitpos >> 3] |=
+                        (uint8_t)(1u << (bitpos & 7));
+                bitpos++;
+            }
         }
-        for (long i = 0; i < spb; i++)
-            for (int j = 0; j < bps; j++)
-                bits[o + i * bps + j] = (out_buf[i] >> j) & 1u;
-        uint8_t *ob = out + k * block_len;
-        memset(ob, 0, block_len);
-        for (long i = 0; i < block_len * 8; i++)
-            if (bits[i]) ob[i >> 3] |= (uint8_t)(1u << (i & 7));
+        for (long i = 0; i < spb; i++) {
+            uint64_t w = (uint64_t)out_buf[i] << (bitpos & 7);
+            uint8_t *p = tmp + (bitpos >> 3);
+            p[0] |= (uint8_t)w;
+            p[1] |= (uint8_t)(w >> 8);
+            p[2] |= (uint8_t)(w >> 16);
+            p[3] |= (uint8_t)(w >> 24);
+            bitpos += bps;
+        }
+        memcpy(out + k * block_len, tmp, block_len);
     }
     };
     if (nblk < 64) {
@@ -1128,7 +1150,7 @@ void rt_mac_mux_replay(long n_events,
 // formulation in rt_mac_encode_packet: with r = rev61(iw), the 5 address
 // bits come from r bits 4,9,14,19,24 = iw bits 56,51,46,41,36 and the
 // output bit is r bit (29+a) = iw bit (31-a) -- no reversal needed.
-static inline uint8_t rt_prbs3_byte(uint64_t *iw_) {
+static uint8_t rt_prbs3_byte_scalar(uint64_t *iw_) {
     uint64_t iw = *iw_;
     uint8_t cb = 0;
     for (int s = 0; s < 8; s++) {
@@ -1141,6 +1163,42 @@ static inline uint8_t rt_prbs3_byte(uint64_t *iw_) {
     }
     *iw_ = iw;
     return cb;
+}
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+// pext gathers the 5 address bits in ascending position order
+// (36,41,46,51,56) while the generator wants them descending; a 32-entry
+// reversal table fixes the order in one load.
+static const uint8_t rt_rev5_tab[32] = {
+    0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30,
+    1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31};
+__attribute__((target("bmi2")))
+static uint8_t rt_prbs3_byte_bmi2(uint64_t *iw_) {
+    const uint64_t M = (1ull << 36) | (1ull << 41) | (1ull << 46) |
+                       (1ull << 51) | (1ull << 56);
+    uint64_t iw = *iw_;
+    uint8_t cb = 0;
+    for (int s = 0; s < 8; s++) {
+        uint32_t a = rt_rev5_tab[_pext_u64(iw, M)];
+        cb = (uint8_t)((cb >> 1) | (((iw >> (31 - a)) & 1u) << 7));
+        iw = (iw >> 1) ^ (-(iw & 1) & 0x163D23594C934051ull);
+    }
+    *iw_ = iw;
+    return cb;
+}
+static uint8_t (*rt_prbs3_select())(uint64_t *) {
+    return __builtin_cpu_supports("bmi2") ? rt_prbs3_byte_bmi2
+                                          : rt_prbs3_byte_scalar;
+}
+static uint8_t (*const rt_prbs3_byte_ptr)(uint64_t *) = rt_prbs3_select();
+#else
+static uint8_t (*const rt_prbs3_byte_ptr)(uint64_t *) =
+    rt_prbs3_byte_scalar;
+#endif
+
+static inline uint8_t rt_prbs3_byte(uint64_t *iw_) {
+    return rt_prbs3_byte_ptr(iw_);
 }
 
 // The j*94+d -> 8*d+j interleave as an 8x94 bit-matrix transpose: output
