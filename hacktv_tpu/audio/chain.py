@@ -232,8 +232,7 @@ class AudioChain:
         lo = max(start, 0)
         if lo < start + count:
             if self.inverter is not None:
-                raw = self.inverter.process(self.source.read_audio, lo,
-                                            start + count - lo)
+                raw = self._inverted(lo, start + count - lo)
             else:
                 raw = self.source.read_audio(lo, start + count - lo)
             if self.volume_int == 256 and raw.dtype == np.int16:
@@ -246,6 +245,35 @@ class AudioChain:
                 v = (raw.astype(np.int64) * self.volume_int + 128) >> 8
                 out[lo - start:] = np.clip(v, -32768, 32767)
         return out
+
+    def _inverted(self, lo: int, n: int) -> np.ndarray:
+        """Spectrum-inverted pairs [lo, lo+n) through a rolling span
+        cache: the FM and NICAM feeds request overlapping ranges each
+        block, and the 771-tap inversion is index-pure, so only the
+        uncovered head/tail spans are computed."""
+        hi = lo + n
+        c = getattr(self, "_inv_cache", None)
+        if c is None or lo > c[0] + len(c[1]) or hi < c[0]:
+            arr = self.inverter.process(self.source.read_audio, lo, n)
+            self._inv_cache = [lo, arr]
+            return arr
+        base, arr = c
+        if lo < base:
+            head = self.inverter.process(self.source.read_audio, lo,
+                                         base - lo)
+            arr = np.concatenate([head, arr])
+            base = lo
+        end = base + len(arr)
+        if hi > end:
+            tail = self.inverter.process(self.source.read_audio, end,
+                                         hi - end)
+            arr = np.concatenate([arr, tail])
+        drop = lo - base - 8192
+        if drop > 0:
+            arr = arr[drop:]
+            base += drop
+        self._inv_cache = [base, arr]
+        return arr[lo - base:lo - base + n]
 
     # -- timing helpers -------------------------------------------------
     def held_index(self, n) -> np.ndarray:

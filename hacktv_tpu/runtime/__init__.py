@@ -114,6 +114,7 @@ def _declare(lib) -> None:
     lib.rt_mac_prbs1.argtypes = [c.c_void_p, c.c_long, c.c_void_p]
     lib.rt_mac_prbs2.argtypes = [c.c_void_p, c.c_long, c.c_void_p]
     lib.rt_vc_clock16.argtypes = [c.c_void_p, c.c_long, c.c_void_p]
+    lib.rt_ng_event.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
     lib.rt_mac_encode_packet.argtypes = [c.c_int, c.c_int, c.c_void_p,
                                          c.c_int, c.c_uint64, c.c_void_p]
     lib.rt_mac_encode_packets.argtypes = [

@@ -39,18 +39,15 @@ class _SiSState:
         self.chain = chain
         self.lag = audio_lag_lines
         self.W = width
-        self.re = 0
         self.fnum = 0
         self.hist = np.zeros((nicam.J17_NTAPS - 1, 2), dtype=np.int64)
-        self.cur_buf = -1          # last consumed audio buffer index
-        self._wins: list = []      # (base_k, rows) fill windows
-        self._next_j = 0
 
         # First iteration state matches the reference exactly: the
         # symbol queue starts with one zeroed frame (the reference's
-        # zeroed frame bytes with frame_bit = 0).
+        # zeroed frame bytes with frame_bit = 0).  _symq_base is the
+        # absolute symbol index of _symq[0].
         self._symq = np.zeros(nicam.NICAM_FRAME_BITS // 2, dtype=np.uint8)
-        self._symq_pos = 0
+        self._symq_base = 0
         self._sim = (0, 0, 0)      # (line J, re, cumulative bits)
         self._sim_e = 0            # encode events simulated so far
 
@@ -93,8 +90,10 @@ class _SiSState:
         is exactly the sequential per-frame encode with carried
         history."""
         ks = self._trigger_lines(256)
-        ms = np.array([self._visible_buffer(max(J - 1, 0)) for J in ks],
-                      dtype=np.int64)
+        A, S = self.chain.A, self.chain.S
+        lim = (np.maximum(np.asarray(ks, dtype=np.int64) - 1, 0)
+               - self.lag) * self.W
+        ms = np.where(lim > 0, (lim * A) // (32 * S), 0)
         # consecutive frames advance the visible buffer index by <= a
         # few, so fetch the whole span once and slice per frame
         pos = ms[ms > 0]
@@ -112,70 +111,29 @@ class _SiSState:
         self.fnum += len(ks)
         syms = ((frames[:, :, None] >> np.array([6, 4, 2, 0])) & 3
                 ).astype(np.uint8).reshape(-1)
-        self._symq = np.concatenate([self._symq[self._symq_pos:], syms])
-        self._symq_pos = 0
+        self._symq = np.concatenate([self._symq, syms])
 
-    def _take_syms(self, count: int) -> np.ndarray:
-        while len(self._symq) - self._symq_pos < count:
+    # -- absolute-index symbol access (device bit-matrix path) ---------
+    # Iteration i (from stream epoch, re0 = 0) has previous residue
+    # rprev(i) = 44 i mod 125 and consumes 22 symbols when rprev >= 81
+    # else 24 (rate adaptation, src/sis.c:173-178); the cumulative
+    # count has the closed form S(i) = 24 i - 2 floor(44 i / 125), so
+    # each block's symbol span is a plain queue slice and the bit
+    # matrix itself is built on device (SiS.apply).
+    @staticmethod
+    def syms_before(i: int) -> int:
+        return 24 * i - 2 * ((44 * i) // 125)
+
+    def syms_range(self, lo: int, hi: int) -> np.ndarray:
+        while self._symq_base + len(self._symq) < hi:
             self._refill_syms()
-        s = self._symq[self._symq_pos:self._symq_pos + count]
-        self._symq_pos += count
-        return s
+        return self._symq[lo - self._symq_base:hi - self._symq_base]
 
-    def _fill_through(self, j_hi: int):
-        """Vectorised run of iterations self._next_j .. j_hi: the 48/44
-        line schedule is re_i = (re0 + 44 i) mod 125 (shortened line iff
-        the previous residue is >= 81), symbols come off the queue in
-        order, and all rows scatter in one pass."""
-        j0 = self._next_j
-        n = j_hi - j0 + 1
-        if n <= 0:
-            return
-        i = np.arange(n, dtype=np.int64)
-        rprev = (self.re + 44 * i) % 125
-        nb = np.where(rprev >= 81, 46, 50)
-        self.re = int((self.re + 44 * n) % 125)
-        counts = (nb - 2) // 2
-        syms = self._take_syms(int(counts.sum()))
-        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        # dense per-row symbol window (gather) instead of a flat scatter
-        p25 = np.arange(25, dtype=np.int64)
-        idx = starts[:, None] + p25[None, :]
-        np.minimum(idx, len(syms) - 1, out=idx)
-        S25 = syms[idx]
-        sel = ((2 + 2 * p25) & 4) >> 2           # grey-code table row
-        S25 = _GC_ARR[np.broadcast_to(sel, S25.shape), S25]
-        S25 &= (p25[None, :] < counts[:, None]).astype(np.uint8) * 3
-        B = np.zeros((n, 50), dtype=np.uint8)
-        long_r = nb == 50
-        for rows, off, cnt in ((np.nonzero(long_r)[0], 0, 24),
-                               (np.nonzero(~long_r)[0], 4, 22)):
-            B[rows, off] = 1                     # 0xC0 run-in
-            B[rows, off + 1] = 1
-            B[rows[:, None], off + 2 + 2 * p25[None, :cnt]] = \
-                S25[rows, :cnt] >> 1
-            B[rows[:, None], off + 3 + 2 * p25[None, :cnt]] = \
-                S25[rows, :cnt] & 1
-        # row t covers stream line j0 + t - 1; keep the two most recent
-        # fill windows (consecutive blocks overlap on the halo lines)
-        self._wins = ([(j0 - 1, B)] + getattr(self, "_wins", []))[:2]
-        self._next_j = j_hi + 1
-
-    def bits_window(self, k_lo: int, k_hi: int) -> np.ndarray:
-        """Burst bit rows [k_lo, k_hi) as one array (rows before stream
-        start are zero)."""
-        if self._next_j <= k_hi:
-            self._fill_through(k_hi)
-        out = np.zeros((k_hi - k_lo, 50), dtype=np.uint8)
-        for base, B in getattr(self, "_wins", ()):
-            lo = max(k_lo, base, 0)    # pre-stream rows stay zero
-            hi = min(k_hi, base + len(B))
-            if lo < hi:
-                out[lo - k_lo:hi - k_lo] = B[lo - base:hi - base]
-        return out
-
-    def bits_for_line(self, k: int) -> np.ndarray:
-        return self.bits_window(k, k + 1)[0]
+    def prune_syms(self, below: int):
+        drop = below - self._symq_base
+        if drop > 1 << 16:
+            self._symq = self._symq[drop:]
+            self._symq_base += drop
 
 
 class SiS:
@@ -183,8 +141,8 @@ class SiS:
 
     lookahead = 1
     # checkpoint: the generator state minus its chain/source references
-    _SIS_FIELDS = ("re", "fnum", "hist", "cur_buf", "_wins", "_next_j",
-                   "_symq", "_symq_pos", "_sim", "_sim_e")
+    _SIS_FIELDS = ("fnum", "hist", "_symq", "_symq_base", "_sim",
+                   "_sim_e")
 
     def ckpt_state(self):
         import copy
@@ -229,9 +187,19 @@ class SiS:
         self.blank_level = float(p.sync_level)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
-        bits = self.state.bits_window(k0, k0 + nlines)
-        return {"packed": np.packbits(bits, axis=1,
-                                      bitorder="little")}
+        # line k is burst iteration k + 1 (the sis process window
+        # trails the raster by one slot, src/video.c:4675-4688)
+        st = self.state
+        i0 = k0 + 1
+        assert i0 >= 0
+        s_lo = st.syms_before(i0)
+        s_hi = st.syms_before(i0 + nlines)
+        syms = st.syms_range(s_lo, s_hi)
+        st.prune_syms(s_lo)
+        cap = 24 * nlines
+        pad = np.zeros(cap, dtype=np.uint8)
+        pad[:len(syms)] = syms
+        return {"syms": pad, "r0": int((44 * i0) % 125)}
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
@@ -243,5 +211,25 @@ class SiS:
         blended = region + jnp.floor(
             (win * (self.blank_level - region) - region) * (1.0 / 32768.0))
         out = out.at[:, L:L + N].set(blended)
-        bits = vbidata.device_unpack_bits(arrays["packed"], 50)
-        return out + vbidata.render(bits, self.basis)
+        # device-side quit-bit matrix: run-in + grey-coded symbol bits
+        # at per-row offset (0/4 for the 48/44-bit rate adaptation)
+        n = out.shape[0]
+        syms = arrays["syms"].astype(jnp.int32)
+        r0 = arrays["r0"]
+        rprev = (r0 + 44 * jnp.arange(n, dtype=jnp.int32)) % 125
+        off = jnp.where(rprev >= 81, 4, 0)[:, None]
+        counts = 24 - (off[:, 0] >> 1)
+        starts = jnp.cumsum(counts) - counts
+        jj = jnp.arange(50, dtype=jnp.int32)[None, :]
+        q = jj - off
+        p = (q - 2) >> 1
+        valid = (q >= 2) & (p < counts[:, None])
+        idx = starts[:, None] + jnp.where(valid, p, 0)
+        S = syms[jnp.clip(idx, 0, syms.shape[0] - 1)]
+        # grey-code row ((2 + 2p) & 4) >> 2 = 0,1,1,0,0,1,1,0,...
+        gc = jnp.asarray(_GC_ARR.reshape(-1).astype(np.int32))
+        S = gc[((((p + 1) >> 1) & 1) << 2) | S]
+        bits = jnp.where(valid, jnp.where((q & 1) == 1, S & 1, S >> 1),
+                         ((q == 0) | (q == 1)).astype(jnp.int32))
+        return out + vbidata.render(bits.astype(jnp.float32),
+                                    self.basis)

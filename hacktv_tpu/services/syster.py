@@ -139,14 +139,26 @@ _SEQ_FILE = os.path.join(os.path.dirname(__file__), "data",
                          "scramble_sequences.npz")
 
 
-def _crc16(data) -> int:
-    """CRC-16, poly 0xC003 reflected (src/syster.c:191-208)."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _crc16_table() -> list:
+    tab = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = (crc >> 1) ^ 0xC003 if crc & 1 else crc >> 1
             crc &= 0xFFFF
+        tab.append(crc)
+    return tab
+
+
+_CRC16_TAB = _crc16_table()
+
+
+def _crc16(data) -> int:
+    """CRC-16, poly 0xC003 reflected (src/syster.c:191-208)."""
+    crc = 0
+    tab = _CRC16_TAB
+    for byte in data:
+        crc = (crc >> 8) ^ tab[(crc ^ byte) & 0xFF]
     return crc
 
 
@@ -230,13 +242,26 @@ class _NGState:
 
     def _update_field_order(self):
         """Kuhn's expansion of (s, r) into the 287-line permutation
-        (src/syster.c:305-327)."""
-        b = list(range(-32, 0))
+        (src/syster.c:305-327).  The loop's only cross-iteration state
+        is the per-bucket previous index b[j], so a stable sort by
+        bucket turns it into groupwise predecessor links."""
         s2 = 2 * self.s + 1
-        for i in range(NG_LINES_PER_FIELD):
-            j = self.table[(self.r + s2 * i) & 0xFF] if i <= 254 else i - 255
-            self.order[b[j] + 32] = i
-            b[j] = i
+        i = np.arange(NG_LINES_PER_FIELD, dtype=np.int64)
+        js = np.where(i <= 254,
+                      np.asarray(self.table)[(self.r + s2 * i) & 0xFF],
+                      i - 255)
+        perm = np.argsort(js, kind="stable")
+        js_s = js[perm]
+        prev = np.empty(NG_LINES_PER_FIELD, dtype=np.int64)
+        same = np.zeros(NG_LINES_PER_FIELD, dtype=bool)
+        same[1:] = js_s[1:] == js_s[:-1]
+        prev[~same] = js_s[~same] - 32        # initial b[j] = j - 32
+        prev[np.nonzero(same)[0]] = perm[np.nonzero(same)[0] - 1]
+        # entries whose bucket sees no later element keep their previous
+        # value, exactly like the reference's persistent order[] array
+        order = np.asarray(self.order, dtype=np.int64)
+        order[prev + 32] = perm
+        self.order = order.tolist()
 
     # -- VBI -------------------------------------------------------------
     def _ecm_part(self) -> bytes:
@@ -322,6 +347,24 @@ class _NGState:
         sf = frame % 50
         if (sf == 6 or sf == 31) and field == 1:
             self._prbs_reset()
+        from .. import runtime
+        if runtime.available():
+            st = getattr(self, "_ng_st", None)
+            if st is None:
+                st = self._ng_st = np.zeros(4, dtype=np.uint64)
+                self._ng_tab = np.ascontiguousarray(self.table,
+                                                    dtype=np.uint8)
+                self._ng_ord = np.ascontiguousarray(self.order,
+                                                    dtype=np.int32)
+            st[0] = self.sr1
+            st[1] = self.sr2
+            runtime.load().rt_ng_event(st.ctypes.data,
+                                       self._ng_tab.ctypes.data,
+                                       self._ng_ord.ctypes.data)
+            self.sr1, self.sr2 = int(st[0]), int(st[1])
+            self.s, self.r = int(st[2]), int(st[3])
+            self.order = self._ng_ord
+            return
         x = self._prbs_update()
         self.s = x & 0x7F
         self.r = x >> 7
@@ -653,17 +696,25 @@ class SysterAudioInverter:
         # recover the exact integer, and ~100x faster than the direct
         # int64 path.
         # xi*ri - xq*rq = Re((xi + j xq) * (ri + j rq)): one complex
-        # convolution replaces four real ones, both channels batched
-        r = (self.firi[::-1] + 1j * self.firq[::-1]
-             ).astype(np.complex128)
+        # convolution replaces four real ones, both channels batched.
+        # Fixed-size overlap-save with the tap spectrum cached: the
+        # block sizes repeat every call, so scipy's oaconvolve planning
+        # and per-call tap FFT are pure overhead.
         x = xi.astype(np.float64) + 1j * xq.astype(np.float64)
-        try:
-            from scipy.signal import oaconvolve
-            acc = oaconvolve(x, r[:, None], mode="valid", axes=0).real
-        except Exception:                        # pragma: no cover
-            acc = np.stack([np.convolve(x[:, ch], r, mode="valid").real
-                            for ch in range(2)], axis=1)
-        acc = np.round(acc).astype(np.int64)
+        N = 1 << 14
+        R = getattr(self, "_R", None)
+        if R is None:
+            r = (self.firi[::-1] + 1j * self.firq[::-1]
+                 ).astype(np.complex128)
+            R = self._R = np.fft.fft(r, N)
+        step = N - (nt - 1)
+        nseg = -(-count // step)
+        xp = np.zeros((nseg * step + nt - 1, 2), dtype=np.complex128)
+        xp[:len(x)] = x
+        segs = np.stack([xp[s * step:s * step + N] for s in range(nseg)])
+        Y = np.fft.fft(segs, axis=1) * R[None, :, None]
+        y = np.fft.ifft(Y, axis=1)[:, nt - 1:].reshape(-1, 2)[:count]
+        acc = np.round(y.real).astype(np.int64)
         out[:, :] = self._wrap16(self._wrap32(acc) >> 15)
         return out
 

@@ -424,6 +424,10 @@ void rt_secam_carrier_exact(const int16_t *chroma, long B, long W,
 // PRBS3 payload scrambler and the BCH + interleave packet encoder — is
 // pure integer crunching that dominated the D-MAC host profile.
 
+static inline int32_t rt_wrap16(int64_t a) {
+    return (int32_t)(((a + 32768) & 0xFFFF) - 32768);
+}
+
 static inline uint32_t rt_rev32(uint32_t v, int bits) {
     v = ((v >> 1) & 0x55555555u) | ((v & 0x55555555u) << 1);
     v = ((v >> 2) & 0x33333333u) | ((v & 0x33333333u) << 2);
@@ -494,6 +498,35 @@ void rt_mac_prbs2(uint64_t *state, long n, uint16_t *codes) {
     }
     state[0] = rt_rev32(r3, 31);
     state[1] = rt_rev32(r4, 29);
+}
+
+// One Syster PRBS event (src/syster.c:706-724 + 305-327): clock the
+// dual LFSR 16 steps, derive (s, r), and expand Kuhn's permutation
+// into order[287].  st = {sr1, sr2, s_out, r_out}.
+void rt_ng_event(uint64_t *st, const uint8_t *table, int32_t *order) {
+    uint32_t sr1 = (uint32_t)st[0], sr2 = (uint32_t)st[1];
+    uint32_t code = 0;
+    for (int i = 0; i < 16; i++) {
+        sr1 = (sr1 >> 1) ^ ((sr1 & 1u) ? 0x7BB88888u : 0u);
+        sr2 = (sr2 >> 1) ^ ((sr2 & 1u) ? 0x17A2C100u : 0u);
+        uint32_t a = (sr2 >> 24) & 0x1Fu;
+        if (a == 31) a = 30;
+        code = ((code << 1) | ((sr1 >> a) & 1u)) & 0xFFFFu;
+    }
+    st[0] = sr1;
+    st[1] = sr2;
+    uint32_t x = code >> 1;
+    int s = (int)(x & 0x7Fu), r = (int)(x >> 7);
+    st[2] = (uint64_t)s;
+    st[3] = (uint64_t)r;
+    int b[32];
+    for (int j = 0; j < 32; j++) b[j] = j - 32;
+    int s2 = 2 * s + 1;
+    for (int i = 0; i < 287; i++) {
+        int j = i <= 254 ? (int)table[(r + s2 * i) & 0xFF] : i - 255;
+        order[b[j] + 32] = i;
+        b[j] = i;
+    }
 }
 
 // Generate n Videocrypt cut bytes (src/videocrypt.c:456-472): emit the
@@ -943,9 +976,6 @@ void rt_mac_materialize(long n, long nbytes, long sbb,
 // bit interleave, MSB-first packing, PRN whitening.
 // ---------------------------------------------------------------------------
 
-static inline int32_t rt_wrap16(int64_t a) {
-    return (int32_t)(((a + 32768) & 0xFFFF) - 32768);
-}
 
 void rt_nicam_encode_frames(const int32_t *pcm,   // [n*32+hist][2]
                             long n_frames,
