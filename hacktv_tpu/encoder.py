@@ -327,7 +327,15 @@ class Encoder:
             shard = NamedSharding(self.mesh, P("t", None))
             rep = NamedSharding(self.mesh, P())
             outs = (shard,) + (rep,) * n_aux if n_aux else shard
-            self._step = jax.jit(self._step_impl, out_shardings=outs)
+            # replicate every INPUT: backward propagation from the
+            # sharded output alone scattered the small [nlines]-vector
+            # math across shards and paid ~2800 tiny latency-bound
+            # collectives per block (r4 verdict #3); with replicated
+            # inputs GSPMD shards only the [nlines, W] row chain and
+            # the halo exchange collapses to ~8 permutes/block at a
+            # ~1.4x per-device FLOP overhead on the small ops
+            self._step = jax.jit(self._step_impl, in_shardings=rep,
+                                 out_shardings=outs)
         else:
             self._step = jax.jit(self._step_impl)
         from collections import OrderedDict

@@ -1510,12 +1510,16 @@ class MacEncoder:
             rep = NamedSharding(self.mesh, P())
             outs = ((shard, rep) if self.fm_video_statics is not None
                     else shard)
-            self._step = jax.jit(self._step_impl, out_shardings=outs)
+            # replicated inputs: see Encoder.__init__ — kills the tiny
+            # per-vector collectives GSPMD otherwise inserts
+            self._step = jax.jit(self._step_impl, in_shardings=rep,
+                                 out_shardings=outs)
             if self.device_mat:
                 outs_dev = ((shard, rep, rep)
                             if self.fm_video_statics is not None
                             else (shard, rep))
                 self._step_dev = jax.jit(self._step_impl_dev,
+                                         in_shardings=rep,
                                          out_shardings=outs_dev)
         else:
             self._step = jax.jit(self._step_impl)

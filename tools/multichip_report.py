@@ -97,13 +97,17 @@ def main(out_path=None):
     coll = collective_inventory(txt)
     comm_bytes = sum(c["bytes"] for c in coll.values())
 
-    # ICI model: v5e ~100 GB/s/link usable, block compute at the
-    # measured single-chip 4.07 GS/s (BENCH_r02).  Per-block comm is a
-    # handful of halo exchanges; efficiency = t_comp/(t_comp+t_comm)
-    # assuming no overlap (worst case).
+    # ICI model, two parameters: bandwidth (v5e ~100 GB/s/link usable)
+    # PLUS a per-collective launch/latency cost (~1 us/op — the round-4
+    # model ignored it and called 946 tiny permutes "12 us"; r4 verdict
+    # item 3).  Block compute at the measured single-chip 4.07 GS/s
+    # (BENCH_r02); efficiency = t_comp/(t_comp + t_comm), no overlap
+    # (worst case).
     block_samples = 8 * 625 * 1024
+    n_ops = sum(c["ops"] for c in coll.values())
+    t_launch = 1e-6
     t_comp = block_samples / 4.07e9
-    t_comm = comm_bytes / 100e9
+    t_comm = comm_bytes / 100e9 + n_ops * t_launch
     eff = t_comp / (t_comp + t_comm)
 
     report = {
@@ -125,7 +129,9 @@ def main(out_path=None):
         "block_samples": block_samples,
         "model": {
             "t_compute_s": t_comp,
-            "t_comm_s_at_100GBps": t_comm,
+            "collective_ops": n_ops,
+            "t_launch_per_op_s": t_launch,
+            "t_comm_s_at_100GBps_plus_launch": t_comm,
             "predicted_scaling_efficiency": eff,
         },
     }
