@@ -132,6 +132,14 @@ def _build_parser() -> argparse.ArgumentParser:
            "single-device")
     a("--frames", type=int, default=0,
       help="stop after N frames (0 = until interrupted)")
+    a("--hosts", type=int, default=0, metavar="N",
+      help="multi-host streaming: split the --frames stream into N "
+           "contiguous block ranges, one per process (SURVEY 2.10); "
+           "each process writes <out>.partI and host 0 concatenates "
+           "the ordered parts when all are complete")
+    a("--host", type=int, default=0, metavar="I",
+      help="this process's 0-based index for --hosts (defaults to "
+           "$HACKTV_HOST_ID or 0)")
     a("--seconds", type=float, default=0,
       help="stop after S seconds of signal")
     a("--threads", action="store_true", help="accepted for compatibility")
@@ -476,6 +484,35 @@ def main(argv=None) -> int:
         complex_out = enc.complex_out
         frame_samples = enc.frame_samples
 
+    # multi-host streaming (SURVEY 2.10): this process synthesizes a
+    # contiguous block range and writes <out>.part<I>; host 0 stitches
+    # the ordered parts into <out> once every part is complete
+    host_split = None
+    if args.hosts and args.hosts > 1:
+        import os as _os
+        hid = args.host or int(_os.environ.get("HACKTV_HOST_ID", "0"))
+        if not frames_wanted:
+            raise SystemExit("--hosts requires a finite stream "
+                             "(--frames or --seconds)")
+        if not (0 <= hid < args.hosts):
+            raise SystemExit(f"--host {hid} out of range for "
+                             f"--hosts {args.hosts}")
+        out = args.output
+        if out == "-" or any(out == h or out.startswith(h + ":")
+                             for h in ("hackrf", "soapysdr", "fl2k")):
+            raise SystemExit("--hosts requires a file output")
+        if conf.mac_mode is not None:
+            raise SystemExit("--hosts: the MAC packet multiplex is a "
+                             "sequential stream; shard MAC blocks "
+                             "with --devices instead")
+        base_out = out[5:] if out.startswith("file:") else out
+        bf_ = getattr(enc, "frames_per_block", 1)
+        total_blocks = -(-frames_wanted // bf_)
+        bounds = [total_blocks * j // args.hosts
+                  for j in range(args.hosts + 1)]
+        host_split = (args.hosts, hid, base_out, bounds)
+        args.output = f"{base_out}.part{hid}"
+
     sink = _open_sink(args, complex_out)
     if args.verbose:
         # vid_info()-style mode report (src/video.c:4846-4860)
@@ -512,10 +549,17 @@ def main(argv=None) -> int:
         # transfer/IO overlap the synthesis (JAX dispatch is async)
         bf = getattr(enc, "frames_per_block", 1)
         dispatched = 0
+        blk_hi = None
+        if host_split is not None:
+            _, hid, _, bounds = host_split
+            block = bounds[hid]
+            blk_hi = bounds[hid + 1]
+            dispatched = frames_done = block * bf
         pending = None
         while not stop["flag"]:
             nxt = None
             if not (frames_wanted and dispatched >= frames_wanted) \
+                    and not (blk_hi is not None and block >= blk_hi) \
                     and not (source is not None
                              and hasattr(source, "eof")
                              and source.eof(dispatched)):
@@ -567,6 +611,28 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         if source is not None and hasattr(source, "close"):
             source.close()
+        if host_split is not None:
+            import os as _os
+            import shutil as _sh
+            import time as _tm
+            n_hosts, hid, base_out, _ = host_split
+            open(args.output + ".done", "w").close()
+            if hid == 0:
+                parts = [f"{base_out}.part{j}" for j in range(n_hosts)]
+                deadline = _tm.monotonic() + 600.0
+                for pth in parts:
+                    while not _os.path.exists(pth + ".done"):
+                        if _tm.monotonic() > deadline:
+                            raise SystemExit(
+                                f"--hosts: timed out waiting for {pth}")
+                        _tm.sleep(0.05)
+                with open(base_out, "wb") as f:
+                    for pth in parts:
+                        with open(pth, "rb") as g:
+                            _sh.copyfileobj(g, f)
+                for pth in parts:
+                    _os.remove(pth)
+                    _os.remove(pth + ".done")
         if args.verbose and samples_out:
             dt = _time.monotonic() - t0
             print(f"\n{samples_out} samples in {dt:.2f} s = "

@@ -66,3 +66,41 @@ def test_cli_devices_flag_byte_identical(tmp_path):
         assert r.returncode == 0, r.stderr.decode()
         outs.append(out.read_bytes())
     assert outs[0] == outs[1], "sharded CLI output differs"
+
+
+def test_cli_hosts_byte_identical(tmp_path):
+    """Production multi-host streaming (SURVEY 2.10): two --hosts
+    processes, each synthesizing a contiguous block range, must land
+    one ordered file byte-identical to the single-process run."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    base = ["-m", "i", "-s", "1000000", "--frames", "6",
+            "--frames-per-block", "2", "test"]
+
+    single = tmp_path / "single.c16"
+    r = subprocess.run(
+        [sys.executable, "-m", "hacktv_tpu", "-o", str(single)] + base,
+        capture_output=True, timeout=600, cwd=root, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+
+    multi = tmp_path / "multi.c16"
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "hacktv_tpu", "-o", str(multi),
+         "--hosts", "2", "--host", str(i)] + base,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=root, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {i} failed:\n{out}"
+    assert multi.exists(), "host 0 did not stitch the parts"
+    assert not (tmp_path / "multi.c16.part0").exists()
+    assert single.read_bytes() == multi.read_bytes(), \
+        "multi-host stream differs from the single-process run"
