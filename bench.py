@@ -85,10 +85,18 @@ def _bench_config(name, e2e=False, dynamic=False):
     complex_out = getattr(enc, "complex_out", True)
 
     sink = None
+    sink_path = None
     if e2e:
-        # end-to-end: device -> host int16 -> native threaded file sink
+        # end-to-end: device -> host int16 -> native threaded sink.
+        # "null" discards (conversion only), "mem" writes to tmpfs
+        # (D2H + convert + FIFO + pagecache store, no disk), "file"
+        # writes a real file
         from hacktv_tpu import runtime
-        sink = runtime.NativeFileSink("/dev/null", "int16", complex_out)
+        sink_path = {"null": "/dev/null",
+                     "mem": "/dev/shm/hacktv_bench_e2e.bin",
+                     "file": "/root/hacktv_bench_e2e.bin"}[
+            e2e if isinstance(e2e, str) else "null"]
+        sink = runtime.NativeFileSink(sink_path, "int16", complex_out)
 
     pend = {}
 
@@ -128,13 +136,23 @@ def _bench_config(name, e2e=False, dynamic=False):
         trials.append(time.perf_counter() - t0)
     if sink is not None:
         sink.close()
+        if sink_path and sink_path != "/dev/null":
+            import os
+            try:
+                os.remove(sink_path)
+            except OSError:
+                pass
     dt = sorted(trials)[len(trials) // 2]
 
     sps = n_blocks * fpb * frame_samples / dt
     x_rt = sps / sample_rate
+    e2e_label = {False: "device", None: "device",
+                 True: "end-to-end (D2H + null sink)",
+                 "null": "end-to-end (D2H + null sink)",
+                 "mem": "end-to-end (D2H + tmpfs sink)",
+                 "file": "end-to-end (D2H + file sink)"}[e2e]
     return {
-        "metric": (f"{cfg['label']} "
-                   f"{'end-to-end (D2H + sink)' if e2e else 'device'}"
+        "metric": (f"{cfg['label']} {e2e_label}"
                    f"{' dynamic-source' if dynamic else ''} "
                    "IQ samples/s/chip"),
         "value": round(sps),
@@ -149,17 +167,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="i",
                     choices=sorted(_CONFIGS) + ["all"])
-    ap.add_argument("--e2e", action="store_true",
-                    help="include D2H copy + native threaded sink write")
+    ap.add_argument("--e2e", nargs="?", const="null", default=None,
+                    choices=["null", "mem", "file"],
+                    help="include D2H copy + native threaded sink "
+                         "(null=/dev/null, mem=tmpfs, file=real file)")
+    ap.add_argument("--d2h", action="store_true",
+                    help="measure the raw device->host bandwidth of "
+                         "this setup (np.asarray of a device block)")
     ap.add_argument("--dynamic", action="store_true",
                     help="non-repeating source (defeats any runtime "
                          "caching of recurring identical blocks)")
     ns = ap.parse_args()
+    if ns.d2h:
+        # distinct random payloads: an all-zeros or repeated block can
+        # be served compressed/cached by the dev-tunnel runtime
+        import jax
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(0)
+        xs = [jax.random.randint(jax.random.fold_in(key, i),
+                                 (1 << 22,), -2**31, 2**31 - 1,
+                                 jnp.int32) for i in range(4)]
+        jax.block_until_ready(xs)
+        np.asarray(xs[0])
+        t0 = time.perf_counter()
+        for x in xs[1:]:
+            np.asarray(x)
+        bw = 3 * xs[0].nbytes / (time.perf_counter() - t0)
+        print(json.dumps({"metric": "raw D2H bandwidth",
+                          "value": round(bw), "unit": "bytes/s"}))
+        return
     if ns.mode == "all":
         for name in ("i", "secam", "dmac", "ntsc-vsb"):
             print(json.dumps(_bench_config(name)))
             sys.stdout.flush()
-        print(json.dumps(_bench_config("i", e2e=True)))
+        for e2e in ("null", "mem", "file"):
+            print(json.dumps(_bench_config("i", e2e=e2e)))
+            sys.stdout.flush()
         return
     print(json.dumps(_bench_config(ns.mode, e2e=ns.e2e, dynamic=ns.dynamic)))
 

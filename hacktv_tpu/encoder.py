@@ -842,7 +842,7 @@ class Encoder:
             out_i, out_q = rf_ops.offset_rotate(
                 self.offset_statics, out_i, out_q,
                 audio_args["off_c0"], audio_args["off_s0"],
-                audio_args["off_nz"])
+                audio_args["off_nz"], audio_args["off_k"])
 
         # int16 IQ pairs packed as little-endian int32 (I low, Q high):
         # a flat [n, 2] int16 interleave forces XLA into T(1,128)-tiled
@@ -1110,6 +1110,8 @@ class Encoder:
             args["off_c0"] = c0
             args["off_s0"] = s0
             args["off_nz"] = nz
+            args["off_k"] = np.maximum(
+                np.arange(k0, k0 + nlines), 0).astype(np.int32)
         return args
 
     def encode_block_device(self, block_no: int):

@@ -154,6 +154,11 @@ def fm_video_modulate(st: FMVideoStatics, x: jnp.ndarray, r0: jnp.ndarray,
 class OffsetStatics:
     cos_x: jnp.ndarray   # [W] rotation table at col+1 (phase advances
     sin_x: jnp.ndarray   # before the first output sample)
+    # the reference's first 32767 samples rotate by a tiny int32
+    # phasor whose b = phase >> 16 factors are in {-2..0}; emulated
+    # exactly per sample and laid out as whole lines
+    intro_bi: np.ndarray = None   # [intro_rows, W] int8
+    intro_bq: np.ndarray = None
 
 
 _INT32_MAX = 2**31 - 1
@@ -196,9 +201,28 @@ def make_offset_statics(offset_hz: int, sample_rate: int,
     datan, _ = _offset_consts(offset_hz, sample_rate)
     x = np.arange(1, width + 1, dtype=np.float64)
     ang = np.mod(x * datan, 2.0 * np.pi)
+    # exact intro: run the reference's truncated-cint32 recurrence for
+    # the pre-renormalisation span (src/video.c:3482-3515); sample n
+    # uses the phasor after n+1 multiplies (sample 32767 is the first
+    # renormalised one)
+    d = 2.0 * math.pi / sample_rate * offset_hz
+    di = int(math.floor(math.cos(d) * _INT32_MAX + 0.5))
+    dq_ = math.sin(d) * _INT32_MAX
+    dq = int(math.floor(dq_ + 0.5)) if dq_ >= 0 else -int(
+        math.floor(-dq_ + 0.5))
+    rows = -(-_INTRO // width)
+    bi = np.zeros(rows * width, dtype=np.int8)
+    bq = np.zeros(rows * width, dtype=np.int8)
+    pi_, pq = 32767, 0
+    for n in range(_INTRO):
+        pi_, pq = ((pi_ * di - pq * dq) >> 31), ((pi_ * dq + pq * di) >> 31)
+        bi[n] = pi_ >> 16
+        bq[n] = pq >> 16
     return OffsetStatics(
         cos_x=np.cos(ang).astype(np.float32),
-        sin_x=np.sin(ang).astype(np.float32))
+        sin_x=np.sin(ang).astype(np.float32),
+        intro_bi=bi.reshape(rows, width),
+        intro_bq=bq.reshape(rows, width))
 
 
 def offset_rotation(offset_hz: int, sample_rate: int, k0: int, width: int,
@@ -218,20 +242,35 @@ def offset_rotation(offset_hz: int, sample_rate: int, k0: int, width: int,
             nz)
 
 
-def offset_rotate(st: OffsetStatics, out_i, out_q, c0, s0, nz):
+def offset_rotate(st: OffsetStatics, out_i, out_q, c0, s0, nz,
+                  k_rows=None):
     """Complex rotate by the offset carrier, with the reference's
     quantisation: b = phase >> 16 (~cos*32768), (a*b) >> 15.  Samples
-    before the reference's first phase renormalisation (per-line leading
-    count `nz`) are zeroed — the reference's tiny-magnitude phasor there
-    yields only {-2..0} LSB leakage (src/video.c:4596-4598)."""
+    before the reference's first phase renormalisation (per-line
+    leading count `nz`) use the emulated truncated-cint32 intro phasor
+    (b factors in {-2..0}, src/video.c:3482-3515 + :4596-4598)."""
     cc = c0[:, None] * st.cos_x[None, :] - s0[:, None] * st.sin_x[None, :]
     cs = s0[:, None] * st.cos_x[None, :] + c0[:, None] * st.sin_x[None, :]
 
     bi = jnp.clip(jnp.floor(cc * 32768.0), -32768, 32767)
     bq = jnp.clip(jnp.floor(cs * 32768.0), -32768, 32767)
+    if k_rows is not None and st.intro_bi is not None:
+        ir = jnp.clip(k_rows, 0, st.intro_bi.shape[0] - 1)
+        in_intro = (k_rows >= 0) & (k_rows < st.intro_bi.shape[0])
+        sel = in_intro[:, None] & (
+            jnp.arange(bi.shape[-1], dtype=jnp.int32)[None, :]
+            < nz[:, None])
+        bi = jnp.where(sel, jnp.asarray(st.intro_bi)[ir]
+                       .astype(bi.dtype), bi)
+        bq = jnp.where(sel, jnp.asarray(st.intro_bq)[ir]
+                       .astype(bq.dtype), bq)
+        keep = None
+    else:
+        keep = (jnp.arange(bi.shape[-1], dtype=jnp.int32)[None, :]
+                >= nz[:, None])
     inv = np.float32(1.0 / 32768.0)
     ri = jnp.floor((out_i * bi - out_q * bq) * inv)
     rq = jnp.floor((out_i * bq + out_q * bi) * inv)
-    keep = (jnp.arange(ri.shape[-1], dtype=jnp.int32)[None, :]
-            >= nz[:, None])
-    return jnp.where(keep, ri, 0.0), jnp.where(keep, rq, 0.0)
+    if keep is not None:
+        return jnp.where(keep, ri, 0.0), jnp.where(keep, rq, 0.0)
+    return ri, rq
