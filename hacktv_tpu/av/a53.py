@@ -16,6 +16,11 @@ recovers the same pairs from the codec-copied elementary stream
     Annex-B emulation-prevention bytes are stripped.  Pictures are
     taken in bitstream order (B-frame reordering would need full POC
     tracking; streams without B-frames are unaffected).
+  - H.265: prefix SEI NAL units (type 39) carry the same ITU-T T.35
+    payload; pictures are counted at each VCL NAL whose
+    first_slice_segment_in_pic_flag is set.  The reference's libav
+    side-data path is codec-agnostic (src/av_ffmpeg.c:566-581), so
+    the ES recovery covers the same codecs it would in practice.
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ class A53ESParser:
     pairs in display order and counts flushed pictures."""
 
     def __init__(self, codec: str):
-        if codec not in ("mpeg2video", "h264"):
+        if codec not in ("mpeg2video", "h264", "hevc"):
             raise ValueError(f"a53: unsupported codec {codec!r}")
         self.codec = codec
         self._buf = b""
@@ -99,7 +104,7 @@ class A53ESParser:
                             _cc_pairs_from_atsc(payload[5:]))
                 elif code == 0xB7:                       # sequence end
                     self._flush_gop()
-        else:
+        elif self.codec == "h264":
             for code, payload in self._units(final):
                 nal_type = code & 0x1F
                 if nal_type == 6:                        # SEI
@@ -108,6 +113,16 @@ class A53ESParser:
                     self._pairs.extend(self._pending)
                     self._pending = []
                     self.pictures += 1
+        else:                                            # hevc
+            for code, payload in self._units(final):
+                nut = (code >> 1) & 0x3F     # 2-byte NAL header
+                if nut == 39 and payload:                # prefix SEI
+                    self._sei(payload[1:])
+                elif nut <= 31 and len(payload) >= 2:    # VCL slice
+                    if payload[1] >> 7:  # first_slice_segment_in_pic
+                        self._pairs.extend(self._pending)
+                        self._pending = []
+                        self.pictures += 1
         if final:
             self._flush_gop()
         out = self._pairs

@@ -14,10 +14,12 @@ and whether an audio stream exists.  `ffmt`/`fopts` map to the
 reference's --ffmt/--fopts (forced input format + demuxer options,
 src/hacktv.c:520-524, src/av_ffmpeg.c:1022-1031).
 
-EIA-608 captions: the ffmpeg *binary* cannot emit raw A53 byte pairs
-(the reference reads them from libav frame side data,
-src/av_ffmpeg.c:566-581), so captions come from a `<path>.cc608`
-side-car of one byte pair per frame, like the raw: source.
+EIA-608 captions: the ffmpeg *binary* cannot expose libav's decoded
+frame side data (the reference's path, src/av_ffmpeg.c:566-581), so
+in-stream A53 pairs are recovered from a codec-copied elementary
+stream pipe (av/a53.py — MPEG-2 ATSC user data, H.264/H.265 T.35
+SEI).  A `<path>.cc608` side-car of one byte pair per frame overrides
+the in-stream path when present.
 
 When the binary is missing, `open_video_source` falls back to the
 OpenCV decoder (av/videofile.py), which covers moving-video input in
@@ -142,7 +144,7 @@ class FFmpegSource:
         if os.path.exists(cc):
             raw = np.fromfile(cc, dtype=np.uint8)
             self._cc = raw[: len(raw) // 2 * 2].reshape(-1, 2)
-        elif vcodec in ("mpeg2video", "h264"):
+        elif vcodec in ("mpeg2video", "h264", "hevc"):
             from .a53 import A53ESParser
             self._a53 = A53ESParser(vcodec)
             self._a53_proc = subprocess.Popen(

@@ -328,6 +328,20 @@ def main(argv=None) -> int:
     sample_rate = int(args.samplerate)
     pixel_rate = int(args.pixelrate)
 
+    # pixel-rate suitability warning (src/video.c:2385-2404): an exact
+    # number of samples per line needs a multiple of
+    # lines * frame_rate / gcd
+    import math as _math
+    _pr = pixel_rate or sample_rate
+    _m = conf.lines * conf.frame_rate.num
+    _m //= _math.gcd(_m, conf.frame_rate.den)
+    if _pr % _m:
+        _r = _pr // _m
+        print(f"Warning: Pixel rate {_pr} may not work well with this "
+              "mode.", file=sys.stderr)
+        print(f"Next valid pixel rates: {_m * _r}, {_m * (_r + 1)}",
+              file=sys.stderr)
+
     # ---- validation (src/hacktv.c:1184-1437) -------------------------
     if (args.videocrypt or args.videocrypt2) and \
             conf.colour_mode not in (ColourMode.PAL, ColourMode.MONOCHROME):

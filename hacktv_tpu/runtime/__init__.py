@@ -19,8 +19,11 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
-                           "native")
+# HACKTV_RT_DIR points the loader at an alternative build of the
+# native runtime (tools/run_sanitizers.sh uses it for TSAN/ASAN
+# instrumented builds)
+_NATIVE_DIR = os.environ.get("HACKTV_RT_DIR") or os.path.join(
+    os.path.dirname(__file__), os.pardir, os.pardir, "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libhacktv_rt.so"))
 _SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "hacktv_rt.cpp"))
 

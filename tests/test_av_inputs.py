@@ -106,6 +106,30 @@ def test_a53_parser_h264_sei():
     assert pairs == [(0x31, 0x51)]
 
 
+def test_a53_parser_h265_sei():
+    """H.265 prefix SEI (NAL type 39) carries the same ITU-T T.35
+    GA94 payload; pictures are counted at VCL NALs with
+    first_slice_segment_in_pic_flag set (src/av_ffmpeg.c:566-581 is
+    codec-agnostic through libav side data)."""
+    from hacktv_tpu.av.a53 import A53ESParser
+    cc = bytes([0xFC, 0x32, 0x52])
+    t35 = bytes([0xB5, 0x00, 0x31]) + b"GA94\x03" \
+        + bytes([0x41, 0xFF]) + cc
+    # 2-byte NAL header: type 39 (prefix SEI) = (39 << 1), layer/tid
+    sei = b"\x00\x00\x01" + bytes([39 << 1, 0x01]) \
+        + bytes([4, len(t35)]) + t35 + b"\x80"
+    # IDR_W_RADL (type 19) slice with first_slice flag set (MSB of the
+    # first RBSP byte), then a non-first slice segment of the same pic
+    slc = b"\x00\x00\x01" + bytes([19 << 1, 0x01]) + b"\xAA" * 6
+    slc2 = b"\x00\x00\x01" + bytes([19 << 1, 0x01]) + b"\x2A" * 6
+    p = A53ESParser("hevc")
+    pairs = p.feed(sei + slc + slc2
+                   + b"\x00\x00\x01" + bytes([1 << 1, 0x01])
+                   + b"\xBB" * 4, final=True)
+    assert p.pictures == 2          # slc2 continues the first picture
+    assert pairs == [(0x32, 0x52)]
+
+
 def test_ffmpeg_in_stream_a53(tmp_path):
     """No side-car: captions come from the codec-copied elementary
     stream, drained one pair per frame like the reference's FIFO."""
