@@ -452,15 +452,14 @@ class MacAudioEnc:
             pm[:, 0] = 0xC7
             pm[:, 1:] = np.frombuffer(
                 allb[:ntot * 90], np.uint8).reshape(-1, 90)
-            out_all = []
-            for t in range(nch):
-                si_cont = ((c0 + npkt_prev - 2) & 3) if si_at[t] \
-                    else None
-                n_t = int(npkt_t[t]) - npkt_prev
-                out_all.append((si_cont, npkt_prev, n_t,
-                                (c0 + npkt_prev) & 3))
-                npkt_prev = int(npkt_t[t])
-            out_all = (out_all, pm)
+            row0 = np.concatenate([[0], npkt_t[:-1]]).astype(np.int64)
+            nrow = npkt_t - row0
+            cont0 = ((c0 + row0) & 3).astype(np.int32)
+            si_cont = np.where(si_at, (c0 + row0 - 2) & 3,
+                               -1).astype(np.int32)
+            npkt_prev = ntot
+            out_all = (pm, si_cont, row0.astype(np.int64),
+                       nrow.astype(np.int64), cont0)
         else:
             out_all = []
             for t in range(nch):

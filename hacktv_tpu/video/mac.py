@@ -272,6 +272,7 @@ class MacMux:
             self.audio.address = 128
         self.audio_pairs = 0   # pairs consumed so far
         self._audio_pkts: dict[int, list] = {}
+        self._audio_batches: list[tuple] = []   # native-path schedule
         self._audio_m = 0      # chunks batch-encoded so far
         self.nicam_buf_pairs = 0
         self.audio_lag = 1     # lines the audio process trails macraster
@@ -406,57 +407,72 @@ class MacMux:
             for (a, ct, pl, sc) in self.queues[c]:
                 col.append((c, a, ct, pl, sc))
         off = [0, col.count]
-        off_append = off.append
         iw_parts = [self.prbs1.take(int(next(spans, 0)))]
         self._push_sink = col
-        # audio chunks push rows of a shared payload matrix; runs of
-        # chunks between SI/frame events are contiguous in it, so they
-        # merge into one segment (640 chunks/block -> ~20 segments)
+        # audio chunks push rows of shared payload matrices; the whole
+        # schedule is array-valued (_audio_batches), so each gap
+        # between frame events resolves vectorised: off counts by
+        # cumsum, items as contiguous row runs split at SI packets
         a_addr = self.audio.address
         a_scr = self.audio.scramble
         a_si = self.audio.si_pkt
-        sched = self._audio_pkts
-        run = None                     # [pm, row0, nrow, cont0]
         items = col.items
 
-        def flush():
-            nonlocal run
-            if run is not None and run[2]:
-                items.append((_PackedChunk(None, run[0], run[1],
-                                           run[2], run[3]),
-                              a_addr, a_scr))
-            run = None
-        try:
-            for k_e, phase, kind, arg in events:
-                if kind == "f":
-                    flush()
-                    self._event_frame(arg)
-                    iw_parts.append(
-                        self.prbs1.take(int(next(spans, 0))))
-                    off_append(col.count)
+        def emit_audio(ms_lo: int, ms_hi: int):
+            """Push chunks [ms_lo, ms_hi) and extend off per chunk."""
+            self._audio_done = ms_hi
+            cnt = col.count
+            for b_m0, b_m1, pm, si, row0, nrow, cont0 in \
+                    self._audio_batches:
+                lo = max(ms_lo, b_m0)
+                hi = min(ms_hi, b_m1)
+                if lo >= hi:
                     continue
-                e = sched.pop(arg, None)
-                if not isinstance(e, _PackedChunk):
-                    flush()
-                    self._event_audio_slow(arg, e)
-                    off_append(col.count)
-                    continue
-                cnt = col.count + e.nrow
-                if e.si_cont is not None:
-                    flush()
-                    self._write_packet(0, a_addr, e.si_cont, a_si,
-                                       False)
-                    cnt += 1
-                if run is not None and run[0] is e.pm and \
-                        run[1] + run[2] == e.row0:
-                    run[2] += e.nrow
-                else:
-                    flush()
-                    run = [e.pm, e.row0, e.nrow, e.cont0]
+                s = slice(lo - b_m0, hi - b_m0)
+                siv, r0v = si[s], row0[s]
+                nrv, c0v = nrow[s], cont0[s]
+                off.extend((cnt + np.cumsum(nrv + (siv >= 0))
+                            ).tolist())
+                # runs split where an SI packet interleaves
+                cuts = np.nonzero(siv >= 0)[0]
+                seg_lo = np.concatenate([[0], cuts])
+                seg_hi = np.concatenate([cuts, [hi - lo]])
+                for i, (a, b) in enumerate(zip(seg_lo, seg_hi)):
+                    a, b = int(a), int(b)
+                    if i > 0:          # SI packet before chunk `a`
+                        self._write_packet(0, a_addr, int(siv[a]),
+                                           a_si, False)
+                    nr = int(nrv[a:b].sum()) if b > a else 0
+                    if nr:
+                        items.append((_PackedChunk(
+                            None, pm, int(r0v[a]), nr,
+                            int(c0v[a])), a_addr, a_scr))
+                cnt += int(nrv.sum()) + len(cuts)
                 col.count = cnt
-                off_append(cnt)
+                ms_lo = hi
+            while ms_lo < ms_hi:       # prefetch miss: encode inline
+                self._event_audio_slow(ms_lo, None)
+                ms_lo += 1
+                off.append(col.count)
+        try:
+            pend_a = None              # [ms_lo, ms_hi) pending chunks
+            for k_e, phase, kind, arg in events:
+                if kind == "a":
+                    if pend_a is None:
+                        pend_a = [arg, arg + 1]
+                    else:
+                        pend_a[1] = arg + 1
+                    continue
+                if pend_a is not None:
+                    emit_audio(*pend_a)
+                    pend_a = None
+                self._event_frame(arg)
+                iw_parts.append(
+                    self.prbs1.take(int(next(spans, 0))))
+                off.append(col.count)
+            if pend_a is not None:
+                emit_audio(*pend_a)
         finally:
-            flush()
             self._push_sink = None
 
         R = col.count
@@ -618,13 +634,13 @@ class MacMux:
         from .. import runtime
         if not getattr(self, "_no_native", False) and \
                 runtime.available():
-            entries, pm = self.audio.write_audio_batch(chunks,
-                                                       packed=True,
-                                                       contig=pcm)
-            for m, (si_cont, row0, nrow, cont0) in zip(
-                    range(m0, m_hi), entries):
-                self._audio_pkts[m] = _PackedChunk(si_cont, pm, row0,
-                                                   nrow, cont0)
+            pm, si, row0, nrow, cont0 = self.audio.write_audio_batch(
+                chunks, packed=True, contig=pcm)
+            self._audio_batches.append(
+                (m0, m_hi, pm, si, row0, nrow, cont0))
+            lo = getattr(self, "_audio_done", 0) - 8
+            self._audio_batches = [b for b in self._audio_batches
+                                   if b[1] > lo]
         else:
             for m, o in zip(range(m0, m_hi),
                             self.audio.write_audio_batch(chunks)):
