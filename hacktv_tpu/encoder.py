@@ -849,8 +849,14 @@ class Encoder:
         # copies + a 1/128-lane-efficiency store pass; the packed [B, W]
         # int32 store fuses into the preceding elementwise chain.  Hosts
         # recover interleaved int16 with .view(np.int16).
-        ii = jnp.clip(jnp.round(out_i), -32768, 32767).astype(jnp.int32)
-        qq = jnp.clip(jnp.round(out_q), -32768, 32767).astype(jnp.int32)
+        # int16 WRAP, not saturate: every reference mix into the line
+        # buffer is a C `int16_t +=` (services, audio carriers,
+        # src/video.c:3261-3450), so an over-range sum wraps.  In-range
+        # content (everything the reference's level plan produces, bar
+        # the SiS warm-up spill line) is unaffected.
+        wrap = lambda v: ((v + 0x8000) & 0xFFFF) - 0x8000
+        ii = wrap(jnp.round(out_i).astype(jnp.int32))
+        qq = wrap(jnp.round(out_q).astype(jnp.int32))
 
         if self.passthru is not None:
             # the reference adds the passthru stream with plain int16
@@ -858,7 +864,6 @@ class Encoder:
             # (src/video.c:3517-3541); two full-scale channels exceed
             # int16 regularly, so wrap semantics are part of the output.
             pt = audio_args["passthru"].astype(jnp.int32)
-            wrap = lambda v: ((v + 0x8000) & 0xFFFF) - 0x8000
             ii = wrap(ii + pt[..., 0])
             qq = wrap(qq + pt[..., 1])
         iq = (ii & 0xFFFF) | (qq << 16)

@@ -185,6 +185,54 @@ class SiS:
             rc_window(i / pr, left, width_s, rise) * 32767.0
         ).astype(np.float32)
         self.blank_level = float(p.sync_level)
+        self.warmup_spill = self._warmup_spill()
+
+    def _warmup_spill(self) -> np.ndarray:
+        """The reference's warm-up burst, as it actually lands on the
+        first output line.
+
+        At stream start the sis process's first invocation runs on the
+        un-rendered warm-up slot (width 0), so vbidata_render's zero-
+        width boundary branch (src/vbidata.c:218-223) redirects every
+        set bit of that burst onto output line 1 starting at sample 0
+        with the lut read cursor at -offset: the first `offset` reads
+        of each symbol index BEFORE its value array — through the
+        previous symbols' value/length/offset int16s and, for the
+        first two symbols, through the five int16s preceding the lut
+        allocation (the glibc malloc chunk header: prev_size tail 0,
+        size = align16(bytes+8)|PREV_INUSE, high size bytes 0).  The
+        result is a deterministic ~77-sample waveform added (int16
+        wrapping) to the start of line 1 before that line's own blank
+        blend runs.  Verified value-exact against an instrumented
+        reference build; the blend then erases all but the window-edge
+        samples, which is why unemulated output differed from the
+        golden only at samples 0-3."""
+        flat, entries = [], []
+        for e in range(50):
+            row = self.basis[e].astype(np.int64)
+            nz = np.nonzero(row)[0]
+            first, last = int(nz[0]), int(nz[-1])
+            entries.append((len(flat), last - first + 1, first))
+            flat += [last - first + 1, first] + row[first:last + 1].tolist()
+        flat.append(-1)
+        chunk = max(32, ((2 * len(flat) + 8 + 15) // 16) * 16) | 1
+        arr = np.array([0, chunk & 0xffff, 0, 0, 0] + flat,
+                       dtype=np.int64)
+        # warm-up burst bits: iteration 0 reads the initial zeroed
+        # NICAM frame (nb = 50): 0xC0 run-in + grey-coded zero symbols
+        bits = np.zeros(50, dtype=np.uint8)
+        bits[0] = bits[1] = 1
+        for x in range(2, 50, 2):
+            sym = int(_GC_ARR[1 if (x & 4) else 0][0])
+            bits[x] = sym >> 1
+            if x + 1 < 50:
+                bits[x + 1] = sym & 1
+        J = np.zeros(self.p.width, dtype=np.int64)
+        for b in np.nonzero(bits)[0]:
+            pos, ln, off = entries[b]
+            J[:ln + off] += arr[5 + pos + 2 - off: 5 + pos + 2 + ln]
+        n = int(np.nonzero(J)[0][-1]) + 1 if J.any() else 0
+        return J[:n].astype(np.float32)
 
     def block_arrays(self, k0: int, nlines: int, claimed=None) -> dict:
         # line k is burst iteration k + 1 (the sis process window
@@ -199,10 +247,25 @@ class SiS:
         cap = 24 * nlines
         pad = np.zeros(cap, dtype=np.uint8)
         pad[:len(syms)] = syms
-        return {"syms": pad, "r0": int((44 * i0) % 125)}
+        # k0 == -1: block 0's leading halo row is the warm-up slot, so
+        # row 1 is stream line 0 (reference line 1) — the line that
+        # receives the warm-up burst spill
+        return {"syms": pad, "r0": int((44 * i0) % 125),
+                "warm": np.float32(1.0 if k0 == -1 else 0.0)}
 
     def apply(self, out, arrays, lut=None):
         import jax.numpy as jnp
+        # stream start: the reference's warm-up burst lands on line 1
+        # pre-blend with int16 wraparound (see _warmup_spill); the wrap
+        # is the identity for in-range composite when warm == 0
+        row1_pre = None
+        if len(self.warmup_spill):
+            nw = len(self.warmup_spill)
+            r0 = (out[1, :nw]
+                  + arrays["warm"] * jnp.asarray(self.warmup_spill))
+            r0 = jnp.mod(r0 + 32768.0, 65536.0) - 32768.0
+            out = out.at[1, :nw].set(r0)
+            row1_pre = out[1]
         L, N = self.blank_left, self.blank_width
         win = jnp.asarray(self.blank_win)[None, :]
         region = out[:, L:L + N]
@@ -211,6 +274,14 @@ class SiS:
         blended = region + jnp.floor(
             (win * (self.blank_level - region) - region) * (1.0 / 32768.0))
         out = out.at[:, L:L + N].set(blended)
+        if row1_pre is not None:
+            # the wrapped warm-up values put row 1 outside the range
+            # where the f32 rearrangement is exact; redo its blend in
+            # the reference's int32 arithmetic (src/sis.c:203-208)
+            a = jnp.round(row1_pre[L:L + N]).astype(jnp.int32)
+            w = jnp.round(jnp.asarray(self.blank_win)).astype(jnp.int32)
+            t = a * (32767 - w) + jnp.int32(round(self.blank_level)) * w
+            out = out.at[1, L:L + N].set((t >> 15).astype(out.dtype))
         # device-side quit-bit matrix: run-in + grey-coded symbol bits
         # at per-row offset (0/4 for the 48/44-bit rate adaptation)
         n = out.shape[0]

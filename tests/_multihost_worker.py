@@ -24,6 +24,15 @@ port = sys.argv[2]
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
 
+# Build the cross-process Gloo context NOW, while the two processes are
+# still in lockstep from the initialize() rendezvous.  The first
+# collective otherwise runs after the multi-minute production-step
+# compile, and on a loaded host the processes can arrive there more
+# than 30 s apart — past Gloo's context-init key-value deadline
+# (observed: "GetKeyValue() timed out with key: cpu:gloo/...").
+from jax.experimental import multihost_utils  # noqa: E402
+multihost_utils.sync_global_devices("gloo-context-warmup")
+
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
